@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Exact-arithmetic helpers.
+  *
+  * Double summation is order-dependent across shuffle partitions, so
+  * every money-ish aggregate casts to DECIMAL *before* SUM: decimal
+  * addition is associative/commutative, which makes results identical
+  * regardless of partitioning — a requirement both for the DuckDB
+  * oracle hash-match and for run-to-run determinism on a real cluster.
+  */
+object Exact {
+  /** 2-dp money column (source doubles are generated at 2 dp, so this
+    * cast is exact). */
+  def d2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** small 2-dp rate column (discount / tax). */
+  def r2(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  /** price * (1 - discount), exact at scale 4. */
+  def discPrice(price: Column, disc: Column): Column =
+    (d2(price) * (lit(1) - r2(disc))).cast(DecimalType(16, 4))
+
+  /** price * (1 - discount) * (1 + tax), exact at scale 6. */
+  def charge(price: Column, disc: Column, tax: Column): Column =
+    (discPrice(price, disc) * (lit(1) + r2(tax))).cast(DecimalType(18, 6))
+
+  /** Final-output sum with a pinned schema both engines agree on. */
+  def sumDec(c: Column, scale: Int): Column =
+    sum(c).cast(DecimalType(38, scale))
+}

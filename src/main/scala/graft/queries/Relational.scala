@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.Exact._
+
+/** §2.A — relational core. TPC-H-shaped analytics over the synthetic
+  * star schema, written declaratively so Catalyst pushes filters into
+  * the parquet scan, prunes columns, and broadcasts dimension sides.
+  */
+object Relational extends QueryModule {
+
+  // q01: scan → filter → hash-agg. TPC-H Q1 shape.
+  private def q01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, dir).filter($"l_shipdate" <= lit("2000-12-01"))
+    l.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sumDec(d2($"l_quantity"), 2).as("sum_qty"),
+        sumDec(d2($"l_extendedprice"), 2).as("sum_base_price"),
+        sumDec(discPrice($"l_extendedprice", $"l_discount"), 4).as("sum_disc_price"),
+        sumDec(charge($"l_extendedprice", $"l_discount", $"l_tax"), 6).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(16,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+      | CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(16,4)) * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // q02: dim-filter → broadcast join → join fact → agg → top-k. TPC-H Q3 shape.
+  private def q02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+    val o = Tables.orders(s, dir).filter($"o_orderdate" < lit("1998-06-01"))
+    val l = Tables.lineitem(s, dir).filter($"l_shipdate" > lit("1998-06-01"))
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(sumDec(discPrice($"l_extendedprice", $"l_discount"), 4).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderdate".asc, $"l_orderkey".asc)
+      .limit(10)
+      .select($"l_orderkey", $"revenue", $"o_orderdate")
+  }
+
+  private val q02Sql =
+    """SELECT l_orderkey,
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(16,4))) AS DECIMAL(38,4)) AS revenue,
+      | o_orderdate
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  // q03: 6-way join with broadcast dims. TPC-H Q5 shape.
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = Tables.region(s, dir).filter($"r_name" === "ASIA")
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1997-01-01"))
+    val l = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sumDec(discPrice($"l_extendedprice", $"l_discount"), 4).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name".asc)
+  }
+
+  private val q03Sql =
+    """SELECT n_name,
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(16,4))) AS DECIMAL(38,4)) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name ASC""".stripMargin
+
+  // q04: EXISTS via left-semi join. TPC-H Q4 shape.
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1997-01-01"))
+    val l = Tables.lineitem(s, dir)
+    o.join(l, $"o_orderkey" === $"l_orderkey" && $"l_shipdate" > $"o_orderdate", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q04Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // q05: selective filter + global agg (pushdown showcase). TPC-H Q6 shape.
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter(
+        $"l_shipdate" >= lit("1996-01-01") && $"l_shipdate" < lit("1997-01-01") &&
+          $"l_discount" >= 0.03 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(
+        sumDec((d2($"l_extendedprice") * r2($"l_discount")).cast(DecimalType(16, 4)), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q05Sql =
+    """SELECT
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(16,4))) AS DECIMAL(38,4)) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  // q06: window rank per group (top-3 parts per brand by price).
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey".asc)
+    Tables.part(s, dir)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter($"rn" <= 3)
+      .select($"p_brand", $"p_partkey", d2($"p_retailprice").as("price"), $"rn")
+      .orderBy($"p_brand", $"rn")
+  }
+
+  private val q06Sql =
+    """SELECT p_brand, p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price, rn
+      |FROM (SELECT p_brand, p_partkey, p_retailprice,
+      |             ROW_NUMBER() OVER (PARTITION BY p_brand
+      |                                ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+      |      FROM part)
+      |WHERE rn <= 3
+      |ORDER BY p_brand, rn""".stripMargin
+
+  // q07: NOT EXISTS via left-anti join (customers with no 2001 orders).
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter($"o_orderdate" >= lit("2001-01-01"))
+    c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  private val q07Sql =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  // q08: ROLLUP over (year, priority).
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .withColumn("order_year", year($"o_orderdate").cast("bigint"))
+      .rollup($"order_year", $"o_orderpriority")
+      .agg(
+        sumDec(d2($"o_totalprice"), 2).as("total_sales"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"order_year".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  private val q08Sql =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderpriority,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_sales,
+      | COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY ROLLUP(CAST(year(o_orderdate) AS BIGINT), o_orderpriority)
+      |ORDER BY order_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // q09: multi-agg with count(distinct).
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        countDistinct($"o_custkey").as("n_custs"),
+        count(lit(1)).as("n_orders"),
+        sumDec(d2($"o_totalprice"), 2).as("total_sales"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q09Sql =
+    """SELECT o_orderpriority,
+      | COUNT(DISTINCT o_custkey) AS n_custs,
+      | COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_sales
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // q10: conditional (pivot-style) aggregation per customer nation.
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val o = Tables.orders(s, dir)
+    o.join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        count(when($"o_orderstatus" === "F", lit(1))).as("n_f"),
+        count(when($"o_orderstatus" === "O", lit(1))).as("n_o"),
+        count(when($"o_orderstatus" === "P", lit(1))).as("n_p"),
+        count(lit(1)).as("n_total"))
+      .orderBy($"n_name")
+  }
+
+  private val q10Sql =
+    """SELECT n_name,
+      | COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      | COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      | COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+      | COUNT(*) AS n_total
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  override val all: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
+    QueryDef("q02_top_revenue", q02, Some(q02Sql)),
+    QueryDef("q03_regional_revenue", q03, Some(q03Sql)),
+    QueryDef("q04_semi_join", q04, Some(q04Sql)),
+    QueryDef("q05_filter_agg", q05, Some(q05Sql)),
+    QueryDef("q06_window_rank", q06, Some(q06Sql)),
+    QueryDef("q07_anti_join", q07, Some(q07Sql)),
+    QueryDef("q08_rollup", q08, Some(q08Sql)),
+    QueryDef("q09_distinct_agg", q09, Some(q09Sql)),
+    QueryDef("q10_conditional_agg", q10, Some(q10Sql)))
+}

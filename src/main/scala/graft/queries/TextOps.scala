@@ -1,0 +1,6 @@
+package graft.queries
+
+/** Placeholder — filled in by later build batches (SURVEY.md §2). */
+object TextOps extends QueryModule {
+  override val all: Seq[QueryDef] = Seq.empty
+}
