@@ -1,24 +1,57 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Runs the headline query set twice — an untimed
+  * warm-up pass (JVM JIT, parquet footer cache, catalog init) and then
+  * the timed pass — so the reported seconds measure the query plans,
+  * not Spark session startup. Any query failure aborts with exit 1:
+  * a broken query must never contribute a fake timing.
+  *
+  * Emits exactly one JSON line on stdout (also written to
+  * bench_out.json in the cwd for log-noise-proof parsing).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val names = SparkEntry.headline
+    val queries = SparkEntry.queries
+
+    // Warm-up: run every headline query once, untimed.
+    names.foreach { name =>
+      try queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] FATAL: warm-up of $name failed: $e")
+          spark.stop()
+          sys.exit(1)
+      }
+    }
+
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qs = results
+      .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
+    println(line)
     spark.stop()
   }
 }

@@ -25,4 +25,8 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     defs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Benchmark headline set: representative queries per §2 family,
+    * run by graft.Bench at sf0.1 (warm-up + timed pass). */
+  def headline: Seq[String] = modules.flatMap(_.headline)
 }

@@ -15,8 +15,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+      // rejects outright; this legacy conf surfaces it as BIGINT
+      // epoch-nanos instead (runtime-settable, idempotent). All event
+      // queries then work on exact int64 microseconds (ts DIV 1000 ==
+      // DuckDB epoch_us(ts), which truncates ns the same way).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -28,7 +28,12 @@ object Exact {
   def charge(price: Column, disc: Column, tax: Column): Column =
     (discPrice(price, disc) * (lit(1) + r2(tax))).cast(DecimalType(18, 6))
 
-  /** Final-output sum with a pinned schema both engines agree on. */
+  /** Final-output sum: the SUM itself runs in decimal (exact, order-
+    * independent across shuffle partitions), but the *emitted* column is
+    * cast to DOUBLE so Spark and the DuckDB oracle print the identical
+    * float64 — decimal trailing-zero strings ('995.80' vs '995.8')
+    * otherwise flip the driver's value hash. Mirror with
+    * CAST(SUM(...) AS DOUBLE) in oracle SQL. */
   def sumDec(c: Column, scale: Int): Column =
-    sum(c).cast(DecimalType(38, scale))
+    sum(c).cast(DecimalType(38, scale)).cast("double")
 }

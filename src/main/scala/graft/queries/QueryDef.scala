@@ -14,4 +14,8 @@ final case class QueryDef(
 
 trait QueryModule {
   def all: Seq[QueryDef]
+
+  /** Names of this module's queries included in the bench headline set
+    * (default: all of them — override to trim expensive baselines). */
+  def headline: Seq[String] = all.map(_.name)
 }

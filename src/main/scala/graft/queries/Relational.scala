@@ -29,10 +29,10 @@ object Relational extends QueryModule {
 
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(16,4))) AS DECIMAL(38,4)) AS sum_disc_price,
-      | CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(16,4)) * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(16,4))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(16,4)) * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
       | COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -46,7 +46,7 @@ object Relational extends QueryModule {
     val o = Tables.orders(s, dir).filter($"o_orderdate" < lit("1998-06-01"))
     val l = Tables.lineitem(s, dir).filter($"l_shipdate" > lit("1998-06-01"))
     l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate")
       .agg(sumDec(discPrice($"l_extendedprice", $"l_discount"), 4).as("revenue"))
       .orderBy($"revenue".desc, $"o_orderdate".asc, $"l_orderkey".asc)
@@ -56,7 +56,7 @@ object Relational extends QueryModule {
 
   private val q02Sql =
     """SELECT l_orderkey,
-      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(16,4))) AS DECIMAL(38,4)) AS revenue,
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(16,4))) AS DOUBLE) AS revenue,
       | o_orderdate
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -80,7 +80,7 @@ object Relational extends QueryModule {
     val sup = Tables.supplier(s, dir)
     l.join(o, $"l_orderkey" === $"o_orderkey")
       .join(c, $"o_custkey" === $"c_custkey")
-      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
@@ -90,7 +90,7 @@ object Relational extends QueryModule {
 
   private val q03Sql =
     """SELECT n_name,
-      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(16,4))) AS DECIMAL(38,4)) AS revenue
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(16,4))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -139,7 +139,7 @@ object Relational extends QueryModule {
 
   private val q05Sql =
     """SELECT
-      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(16,4))) AS DECIMAL(38,4)) AS revenue,
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(16,4))) AS DOUBLE) AS revenue,
       | COUNT(*) AS n_items
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -154,12 +154,12 @@ object Relational extends QueryModule {
     Tables.part(s, dir)
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter($"rn" <= 3)
-      .select($"p_brand", $"p_partkey", d2($"p_retailprice").as("price"), $"rn")
+      .select($"p_brand", $"p_partkey", $"p_retailprice".as("price"), $"rn")
       .orderBy($"p_brand", $"rn")
   }
 
   private val q06Sql =
-    """SELECT p_brand, p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price, rn
+    """SELECT p_brand, p_partkey, p_retailprice AS price, rn
       |FROM (SELECT p_brand, p_partkey, p_retailprice,
       |             ROW_NUMBER() OVER (PARTITION BY p_brand
       |                                ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
@@ -199,7 +199,7 @@ object Relational extends QueryModule {
 
   private val q08Sql =
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderpriority,
-      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_sales,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_sales,
       | COUNT(*) AS n_orders
       |FROM orders
       |GROUP BY ROLLUP(CAST(year(o_orderdate) AS BIGINT), o_orderpriority)
@@ -221,7 +221,7 @@ object Relational extends QueryModule {
     """SELECT o_orderpriority,
       | COUNT(DISTINCT o_custkey) AS n_custs,
       | COUNT(*) AS n_orders,
-      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_sales
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_sales
       |FROM orders
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin

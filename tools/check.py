@@ -10,7 +10,6 @@ sorted by name, rows sorted by all columns).
 """
 import glob
 import json
-import math
 import sys
 
 import duckdb
@@ -28,25 +27,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def values_equal(a, b) -> bool:
-    if a is None and b is None:
-        return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
+    # STRICT canonical-string equality — the driver hashes stringified
+    # values, so any representation drift (decimal trailing zeros,
+    # 1 vs 1.0, precision) must FAIL here too. No float fallback.
     try:
-        if pd.isna(a) and pd.isna(b):
-            return True
         if bool(pd.isna(a)) != bool(pd.isna(b)):
             return False
+        if pd.isna(a) and pd.isna(b):
+            return True
     except (TypeError, ValueError):
         pass
-    if str(a) == str(b):
-        return True
-    try:
-        return float(a) == float(b)
-    except (TypeError, ValueError):
-        return False
+    return str(a) == str(b)
 
 
 def main():
