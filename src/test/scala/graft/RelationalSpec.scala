@@ -22,7 +22,7 @@ class RelationalSpec extends SparkTestBase {
   test("q02 top revenue returns at most 10 ordered rows") {
     val rows = SparkEntry.queries("q02_top_revenue")(spark, sfDir).collect()
     assert(rows.length <= 10)
-    val revs = rows.map(_.getDecimal(1).doubleValue())
+    val revs = rows.map(_.getDouble(1))
     assert(revs.sameElements(revs.sorted(Ordering[Double].reverse)))
   }
 
