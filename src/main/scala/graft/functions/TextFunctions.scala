@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text distillation functions — everything is built from
+  * org.apache.spark.sql.functions (codegen'd, no UDFs), and each
+  * regex/constant is shared verbatim with the DuckDB oracle SQL.
+  *
+  * Reference semantics:
+  *  - OOC scrub `\(.*?\)` — reference: distill3a_ic_regex.py:34-35
+  *  - Discord mention / custom-emoji normalization — reference:
+  *    distill4_normalize.py:340,343
+  *  - OOC heuristic markers (OOC/OOG, leading paren) — reference:
+  *    distill3b_ic_classifier_gpt.py
+  *  - id hashing for anonymization — reference: scripts/anonymize.py:24-29
+  *  - deterministic train/test split — reference: finetune_prep.py:172-176
+  */
+object TextFunctions {
+
+  /** Parenthesized OOC asides (reference: distill3a_ic_regex.py:34). */
+  val OocAsideRe = "\\(.*?\\)"
+  /** Discord user/role/channel mentions (reference: distill4_normalize.py:340). */
+  val MentionRe = "<(@[!&]?|#)\\d{17,20}>"
+  /** Discord custom emoji → keep `:name:` (reference: distill4_normalize.py:343). */
+  val EmojiRe = "<a?(:\\w+?:)\\d{17,20}>"
+  /** BPE-ish token pattern: letter runs, digit runs, single symbols. */
+  val BpeTokenRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  /** English stopword sample for the language-ID / quality heuristics. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "is", "of", "to", "and", "in", "it", "on")
+  /** Same list as a SQL IN-list literal. */
+  val StopwordsSql: String = Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** Scrub parenthesized asides and trim (empty result = drop). */
+  def scrubOoc(text: Column): Column = trim(regexp_replace(text, OocAsideRe, ""))
+
+  /** Strip mentions, reduce custom emoji to `:name:`. */
+  def normalizeMessage(text: Column): Column =
+    regexp_replace(regexp_replace(text, MentionRe, ""), EmojiRe, "$1")
+
+  /** Heuristic OOC flag (0/1): leading paren or OOC/OOG marker. */
+  def isOoc(text: Column): Column = {
+    val t = lower(text)
+    (t.startsWith("(") || t.contains("ooc") || t.contains("oog")).cast("int")
+  }
+
+  /** Whitespace-token count (BIGINT). */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("bigint")
+
+  /** BPE-ish token count (BIGINT). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenRe)).cast("bigint")
+
+  /** Single-space word array (matches DuckDB string_split(x, ' ')). */
+  def words(text: Column): Column = split(trim(text), " ")
+
+  /** Count of stopwords in a word array (BIGINT). */
+  def stopwordCount(wordArr: Column): Column =
+    size(filter(wordArr, w => w.isin(Stopwords: _*))).cast("bigint")
+
+  /** Whole-document fingerprint: md5 of whitespace-collapsed,
+    * lowercased, trimmed text (reference: scripts/anonymize.py:24
+    * hash-of-normalized-identity analog). */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Deterministic anonymous id: 16 hex chars of salted md5
+    * (reference: scripts/anonymize.py:24-29 md5(id) → numeric id). */
+  def anonId(id: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), id.cast("string"))), 1, 16)
+
+  /** Deterministic [0, mod) bucket from a salted md5 — identical in
+    * DuckDB as CAST(('0x' || substr(md5(...),1,4)) AS BIGINT) % mod.
+    * (reference: finetune_prep.py:172-176 deterministic split). */
+  def hashBucket(id: Column, salt: String, mod: Int): Column =
+    (conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 4), 16, 10)
+      .cast("bigint") % mod).cast("bigint")
+}

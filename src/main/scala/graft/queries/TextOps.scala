@@ -1,6 +1,184 @@
 package graft.queries
 
-/** Placeholder — filled in by later build batches (SURVEY.md §2). */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Anonymize, TrainTestSplit}
+
+/** §2.C — text distillation over `documents`: the reference's
+  * regex-scrub / normalize / anonymize / split stages plus the
+  * LLM-pipeline text-analysis operators (token counting, language-ID,
+  * quality scoring, fingerprinting).
+  *
+  * Everything is a per-row projection (no shuffle at all except the
+  * broadcast rank in q32) built from codegen'd built-ins — at 100 TB
+  * these are pure map stages that saturate scan bandwidth.
+  */
 object TextOps extends QueryModule {
-  override val all: Seq[QueryDef] = Seq.empty
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  // q25: OOC-aside scrub + empty-drop (reference: distill3a_ic_regex.py:34-35).
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("clean_text", scrubOoc(col("text")))
+      .filter(length(col("clean_text")) > 0)
+      .select(col("doc_id"), col("clean_text"))
+      .orderBy(col("doc_id"))
+
+  private val q25Sql =
+    """SELECT doc_id, trim(regexp_replace(text, '\(.*?\)', '', 'g')) AS clean_text
+      |FROM documents WHERE length(trim(regexp_replace(text, '\(.*?\)', '', 'g'))) > 0
+      |ORDER BY doc_id""".stripMargin
+
+  // q26: OOC heuristic labels (reference: distill3b_ic_classifier_gpt.py
+  // heuristic part; the GPT classifier is external and intentionally
+  // out of scope).
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), isOoc(col("text")).as("is_ooc"))
+      .orderBy(col("doc_id"))
+
+  private val q26Sql =
+    """SELECT doc_id,
+      |  CAST(lower(text) LIKE '(%' OR contains(lower(text), 'ooc') OR contains(lower(text), 'oog') AS INT) AS is_ooc
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // q27: mention/emoji normalization (reference: distill4_normalize.py:340,343).
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), normalizeMessage(col("text")).as("norm_text"))
+      .orderBy(col("doc_id"))
+
+  private val q27Sql =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(text, '<(@[!&]?|#)\d{17,20}>', '', 'g'), '<a?(:\w+?:)\d{17,20}>', '\1', 'g') AS norm_text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // q28: whitespace + BPE-ish token counts.
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        wsTokenCount(col("text")).as("n_ws_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val q28Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // q29: stopword-ratio language ID.
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(lower(col("text")))
+    docs(s, dir)
+      .withColumn("n_words", size(ws).cast("bigint"))
+      .withColumn("n_stop", stopwordCount(ws))
+      .withColumn("en_ratio", col("n_stop") / col("n_words"))
+      .withColumn("lang_pred",
+        when(col("en_ratio") >= 0.05, "en").otherwise("other"))
+      .select(col("doc_id"), col("n_words"), col("n_stop"), col("en_ratio"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q29Sql =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents)
+       |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       |  CAST(len(list_filter(ws, x -> x IN $StopwordsSql)) AS BIGINT) AS n_stop,
+       |  len(list_filter(ws, x -> x IN $StopwordsSql)) / len(ws) AS en_ratio,
+       |  CASE WHEN len(list_filter(ws, x -> x IN $StopwordsSql)) / len(ws) >= 0.05
+       |       THEN 'en' ELSE 'other' END AS lang_pred
+       |FROM w ORDER BY doc_id""".stripMargin
+
+  // q30: quality score from length/punct/stopword signals. All per-row
+  // int arithmetic; the divisions are the only float ops, identical in
+  // both engines.
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(lower(col("text")))
+    docs(s, dir)
+      .withColumn("n_chars_m", length(col("text")).cast("bigint"))
+      .withColumn("n_words", size(split(trim(col("text")), " ")).cast("bigint"))
+      .withColumn("n_punct", regexp_count(col("text"), lit("[^a-z0-9\\s]")).cast("bigint"))
+      .withColumn("n_stop", stopwordCount(ws))
+      .withColumn("avg_word_len", (col("n_chars_m") - col("n_words") + 1) / col("n_words"))
+      .withColumn("punct_ratio", col("n_punct") / col("n_chars_m"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_words"))
+      .withColumn("quality_score",
+        lit(0.4) * when(col("n_words") >= 20 && col("n_words") <= 1000, 1).otherwise(0)
+          + lit(0.3) * col("stop_ratio") * 5
+          + lit(0.3) * (lit(1) - col("punct_ratio")))
+      .select(col("doc_id"), col("n_words"), col("avg_word_len"),
+        col("punct_ratio"), col("stop_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q30Sql =
+    s"""WITH b AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+       |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words,
+       |    CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN $StopwordsSql)) AS BIGINT) AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, n_words,
+       |  (n_chars_m - n_words + 1) / n_words AS avg_word_len,
+       |  n_punct / n_chars_m AS punct_ratio,
+       |  n_stop / n_words AS stop_ratio,
+       |  0.4 * (CASE WHEN n_words >= 20 AND n_words <= 1000 THEN 1 ELSE 0 END)
+       |    + 0.3 * (n_stop / n_words) * 5
+       |    + 0.3 * (1 - n_punct / n_chars_m) AS quality_score
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  // q31: normalized-md5 document fingerprint.
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private val q31Sql =
+    """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // q32: anonymization (reference: scripts/anonymize.py:24-29).
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    Anonymize(docs(s, dir), "doc_id", "source")
+      .select(col("doc_id"), col("anon_id"), col("anon_source").as("anon_source"), col("player"))
+      .orderBy(col("doc_id"))
+
+  private val q32Sql =
+    """SELECT doc_id,
+      |  substr(md5('doc' || CAST(doc_id AS VARCHAR)), 1, 16) AS anon_id,
+      |  'src_' || substr(md5(source), 1, 8) AS anon_source,
+      |  'Player ' || CAST(dense_rank() OVER (ORDER BY source) AS VARCHAR) AS player
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // q33: deterministic hash-bucket split (reference: finetune_prep.py:172-176).
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    TrainTestSplit(docs(s, dir), "doc_id")
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  private val q33Sql =
+    """WITH h AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+      |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'valid' ELSE 'test' END AS split
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  override val all: Seq[QueryDef] = Seq(
+    QueryDef("q25_regex_scrub", q25, Some(q25Sql)),
+    QueryDef("q26_ooc_filter", q26, Some(q26Sql)),
+    QueryDef("q27_normalize_text", q27, Some(q27Sql)),
+    QueryDef("q28_token_count", q28, Some(q28Sql)),
+    QueryDef("q29_lang_id", q29, Some(q29Sql)),
+    QueryDef("q30_quality_score", q30, Some(q30Sql)),
+    QueryDef("q31_fingerprint", q31, Some(q31Sql)),
+    QueryDef("q32_anonymize", q32, Some(q32Sql)),
+    QueryDef("q33_train_test_split", q33, Some(q33Sql)))
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.TrainTestSplit
+import graft.queries.TextOps
+
+/** Exercises the reference regexes on crafted Discord-shaped strings
+  * (the synthetic corpus has no mentions/emoji/parens) plus split
+  * determinism invariants.
+  */
+class TextOpsSpec extends SparkTestBase {
+
+  private def one(text: String, c: org.apache.spark.sql.Column): String = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(c.as("out")).first().getString(0)
+  }
+
+  test("OOC aside scrub matches distill3a semantics") {
+    assert(one("attack (ooc: brb) the goblin (sorry)", scrubOoc(col("text")))
+      == "attack  the goblin")
+    assert(one("(entirely ooc)", scrubOoc(col("text"))) == "")
+  }
+
+  test("mention and emoji normalization matches distill4 semantics") {
+    assert(one("hi <@123456789012345678> go", normalizeMessage(col("text"))) == "hi  go")
+    assert(one("role <@&123456789012345678> ch <#123456789012345678>",
+      normalizeMessage(col("text"))) == "role  ch ")
+    assert(one("nice <a:clap:123456789012345678>!", normalizeMessage(col("text"))) == "nice :clap:!")
+    assert(one("x <:sword:12345678901234567> y", normalizeMessage(col("text"))) == "x :sword: y")
+    // short ids (not Discord snowflakes) are untouched
+    assert(one("a <@123> b", normalizeMessage(col("text"))) == "a <@123> b")
+  }
+
+  test("ooc heuristic flags") {
+    import spark.implicits._
+    val got = Seq("(aside from me", "that was OOC sorry", "pure in-character", "OOG note")
+      .toDF("text").select(isOoc(col("text")).as("f")).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 1, 0, 1))
+  }
+
+  test("train/test split is deterministic, complete, and roughly 8/1/1") {
+    val d = Tables.documents(spark, sfDir)
+    val s1 = TrainTestSplit(d, "doc_id").select("doc_id", "split")
+    val s2 = TrainTestSplit(d, "doc_id").select("doc_id", "split")
+    assert(s1.except(s2).isEmpty && s2.except(s1).isEmpty)
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(counts.keySet == Set("train", "valid", "test"))
+    assert(counts("train").toDouble / total > 0.6)
+  }
+
+  test("all text queries execute and key by doc_id uniquely") {
+    for (q <- TextOps.all) {
+      val df = q.run(spark, sfDir)
+      val n = df.count()
+      assert(n > 0, s"${q.name} returned no rows")
+      assert(df.select("doc_id").distinct().count() == n, s"${q.name} duplicated doc_id")
+    }
+  }
+}
