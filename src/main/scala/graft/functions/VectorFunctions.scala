@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Vector math over `array<float>` embedding columns, built from
+  * higher-order built-ins (zip_with/transform/aggregate) so everything
+  * stays codegen-friendly — no UDFs.
+  *
+  * Exactness protocol for oracle-checked similarity: every float32
+  * component is quantized to DECIMAL(12,9) — exact for binary floats
+  * (no float32 value sits on a 1e-9 rounding boundary, since that
+  * would need a denominator divisible by 5^9) — so dot products and
+  * squared norms are order-independent exact decimals in BOTH Spark
+  * and DuckDB. The only float ops are the final sqrt/divide on
+  * identical doubles, which IEEE-754 rounds identically.
+  */
+object VectorFunctions {
+
+  /** Embedding dimensionality of the `embeddings` table. */
+  val Dim = 64
+
+  /** Component quantization scale: x → floor(double(x) * 1e7). */
+  val QScale = 10000000L
+
+  /** Quantized component i (1-based): exact int64. floor of an IEEE
+    * double product is bit-deterministic, so Spark and DuckDB produce
+    * the identical integer from the identical float32 — unlike
+    * engine-native float→decimal casts (DuckDB's rounds in float32
+    * space and is off by ~3e-9 per component). */
+  private def qComp(v: Column, i: Int): Column =
+    floor(element_at(v, i + 1).cast("double") * QScale).cast("long")
+
+  /** Exact integer dot product of two quantized fixed-dim vectors, as
+    * DOUBLE. Generated as a flat 64-term chain instead of
+    * aggregate()-over-lambda: higher-order functions evaluate
+    * interpreted per element, while this chain stays inside
+    * whole-stage codegen (~100x faster in the all-pairs hot path).
+    * |q| ≤ QScale, so the sum is ≤ 64·QScale² « 2^63: no overflow. */
+  def dotQ(a: Column, b: Column): Column =
+    (0 until Dim)
+      .map(i => qComp(a, i) * qComp(b, i))
+      .reduceLeft(_ + _)
+      .cast("double")
+
+  /** Quantized-exact L2 norm, as DOUBLE. */
+  def normQ(a: Column): Column = sqrt(dotQ(a, a))
+
+  /** Cosine similarity given precomputed norms (double ops only on
+    * bit-identical inputs → bit-identical result both engines). */
+  def cosineWithNorms(a: Column, na: Column, b: Column, nb: Column): Column =
+    dotQ(a, b) / (na * nb)
+
+  /** Plain double dot product (for rows-only checked paths where
+    * cross-engine bit-exactness is not required — ~4x cheaper). */
+  def dotDouble(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosineDouble(a: Column, b: Column): Column =
+    dotDouble(a, b) / (sqrt(dotDouble(a, a)) * sqrt(dotDouble(b, b)))
+}

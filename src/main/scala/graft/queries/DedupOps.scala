@@ -1,6 +1,182 @@
 package graft.queries
 
-/** Placeholder — filled in by later build batches (SURVEY.md §2). */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions._
+import graft.operators.Dedup
+
+/** §2.D — deduplication suite over `documents` (+ embedding near-dup
+  * over `embeddings`). Exact → Jaccard → MinHash/LSH → SimHash →
+  * embedding-cosine, in increasing robustness; only the Jaccard
+  * baseline (q35) and pair-listing (q38) touch candidate sets wider
+  * than a hash bucket, and both exist as correctness baselines for
+  * the bucketed scale paths (q36/q37, and q40's LSH for vectors).
+  */
 object DedupOps extends QueryModule {
-  override val all: Seq[QueryDef] = Seq.empty
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  // ---------------------------------------------------------------
+  // q34: exact dedup — one hash window on the normalized fingerprint,
+  // min-doc_id survivor. Linear, single shuffle on the hash.
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    docs(s, dir)
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .withColumn("canon_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("canon_id")).cast("int"))
+      .select(col("doc_id"), col("canon_id"), col("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q34Sql =
+    """WITH f AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents),
+      |c AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS canon_id FROM f)
+      |SELECT doc_id, canon_id, CAST(doc_id <> canon_id AS INT) AS is_dup
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q35: word-3-gram Jaccard pairs (correctness baseline for q36).
+  // The join is keyed per shingle — bounded buckets, not all-pairs;
+  // at 100 TB the high-document-frequency shingles would additionally
+  // be dropped (stop-shingles) before the join.
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingled(docs(s, dir)).withColumn("n", size(col("sh")).cast("bigint"))
+    val e = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
+    val ea = e.select(col("doc_id").as("a"), col("n").as("na"), col("g"))
+    val eb = e.select(col("doc_id").as("b"), col("n").as("nb"), col("g"))
+    ea.join(eb, Seq("g")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jacc") >= 0.5)
+      .select(col("a"), col("b"), col("jacc"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val q35Sql =
+    """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sh
+      |      FROM d WHERE len(ws) >= 3),
+      |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s),
+      |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      |p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+      |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT p.a, p.b, inter / (sa.n + sb.n - inter) AS jacc
+      |FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+      |WHERE inter / (sa.n + sb.n - inter) >= 0.5
+      |ORDER BY p.a, p.b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q36: MinHash + LSH banding — the scale path. Candidates only from
+  // (band, band-key) bucket collisions; similarity estimated from the
+  // signatures themselves (no second pass over text).
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val buckets = Dedup.lshBuckets(Dedup.withSignature(Dedup.shingled(docs(s, dir))))
+      .select(col("doc_id"), col("sg"), col("b"), col("bkey"))
+    val l = buckets.select(col("doc_id").as("a"), col("sg").as("sa"), col("b"), col("bkey"))
+    val r = buckets.select(col("doc_id").as("b_id"), col("sg").as("sb"), col("b"), col("bkey"))
+    l.join(r, Seq("b", "bkey")).filter(col("a") < col("b_id"))
+      .groupBy(col("a"), col("b_id"))
+      .agg(first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+      .withColumn("sim_est", Dedup.signatureSimilarity(col("sa"), col("sb")))
+      .filter(col("sim_est") >= 0.5)
+      .select(col("a"), col("b_id").as("b"), col("sim_est"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val q36Sql =
+    s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+       |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sh
+       |      FROM d WHERE len(ws) >= 3),
+       |hs AS (SELECT doc_id, list_transform(sh, g -> CAST(('0x'||substr(md5(g),1,12)) AS BIGINT) % ${Dedup.P}) AS hv FROM s),
+       |sig AS (SELECT doc_id, list_transform(range(0, ${Dedup.NumHashes}), i -> list_min(list_transform(hv, h -> ((2*i+3)*h + (5*i+7)) % ${Dedup.P}))) AS sg FROM hs),
+       |bands AS (SELECT doc_id, sg, b, md5(array_to_string(sg[b*${Dedup.RowsPerBand}+1 : b*${Dedup.RowsPerBand}+${Dedup.RowsPerBand}], ',')) AS bkey
+       |          FROM sig, range(0, ${Dedup.Bands}) t(b)),
+       |cand AS (SELECT a.doc_id AS a, b.doc_id AS b, first(a.sg) AS sa, first(b.sg) AS sb
+       |         FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |         GROUP BY a.doc_id, b.doc_id)
+       |SELECT a, b,
+       |  CAST(list_sum(list_transform(range(1, ${Dedup.NumHashes + 1}), i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / ${Dedup.NumHashes} AS sim_est
+       |FROM cand
+       |WHERE CAST(list_sum(list_transform(range(1, ${Dedup.NumHashes + 1}), i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / ${Dedup.NumHashes} >= 0.5
+       |ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q37: 60-bit SimHash over the word multiset + 16-bit-prefix
+  // hamming buckets (rows-only check: bit-fold order isn't
+  // SQL-portable to the oracle, but the operator is deterministic).
+  // Distributed shape: explode words → 60 codegen'd conditional SUMs
+  // with map-side partial aggregation (NOT per-row lambda aggregates,
+  // which run interpreted and are ~100x slower), then one bit-fold
+  // projection.
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+      .withColumn("h", expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"))
+    val bitSums = (0 until 60).map(b =>
+      sum(when(expr(s"(shiftright(h, $b) % 2) = 1"), 1L).otherwise(-1L)).as(s"bit$b"))
+    val simhash = (0 until 60)
+      .map(b => when(col(s"bit$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduceLeft(_ + _)
+    val base = words
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", simhash)
+      .withColumn("bucket", expr("shiftright(simhash, 44)"))
+      .select(col("doc_id"), col("simhash"), col("bucket"))
+    val l = base.select(col("doc_id").as("a"), col("simhash").as("ha"), col("bucket"))
+    val r = base.select(col("doc_id").as("b"), col("simhash").as("hb"), col("bucket"))
+    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 12)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  // ---------------------------------------------------------------
+  // q38: embedding-cosine near-dup pairs — top-100 all-pairs baseline
+  // (the bucketed scale path for vectors is q40's hyperplane LSH).
+  // Integer-quantized dot/norm → bit-identical float64 vs the oracle.
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), normQ(col("embedding")).as("nrm"))
+    val a = n.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("sim", cosineWithNorms(col("ea"), col("na"), col("eb"), col("nb")))
+      .select(col("a"), col("b"), col("sim"))
+      .orderBy(col("sim").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
+  private val q38Sql =
+    """WITH q AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, qv,
+      |    sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+      |  FROM q),
+      |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+      |    CAST(list_sum(list_transform(range(1,65), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |      / (a.nrm * b.nrm) AS sim
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT a, b, sim FROM p ORDER BY sim DESC, a, b LIMIT 100""".stripMargin
+
+  override val all: Seq[QueryDef] = Seq(
+    QueryDef("q34_dedup_exact", q34, Some(q34Sql)),
+    QueryDef("q35_dedup_jaccard", q35, Some(q35Sql)),
+    QueryDef("q36_dedup_minhash", q36, Some(q36Sql)),
+    QueryDef("q37_dedup_simhash", q37, None),
+    QueryDef("q38_dedup_embedding", q38, Some(q38Sql)))
+
+  /** q35/q38 are the quadratic correctness baselines — the headline
+    * bench runs the bucketed scale paths instead. */
+  override def headline: Seq[String] =
+    Seq("q34_dedup_exact", "q36_dedup_minhash", "q37_dedup_simhash")
 }
