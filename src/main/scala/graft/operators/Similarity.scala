@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over `array<float>` embeddings: brute-force
+  * cosine top-k (correctness baseline), random-hyperplane LSH ANN,
+  * and IVF-style probing — the scale paths bound every candidate set
+  * by a bucket/cell key so the join is hash-keyed, never all-pairs.
+  *
+  * Query sets and centroid sets are broadcast (small by construction);
+  * the corpus side streams through codegen'd projections — at 100 TB
+  * the scan is the only full pass and everything shuffles at most the
+  * per-query candidate rows.
+  */
+object Similarity {
+
+  /** Corpus projection with quantized-exact norms. */
+  def withNorm(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"), normQ(col("embedding")).as("nrm"))
+
+  private def rankTopK(cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Brute-force top-k: broadcast the query set, one corpus scan,
+    * per-query rank. */
+  def knnBrute(corpus: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val n = withNorm(corpus)
+    val q = n.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    broadcast(q).join(n, col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosineWithNorms(col("qe"), col("qn"), col("embedding"), col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      .transform(rankTopK(_, k))
+  }
+
+  /** Deterministic pseudo-random hyperplane component (plane j, dim i). */
+  private def plane(j: Int, i: Int): Double =
+    ((j.toLong * 73856093L + i.toLong * 19349663L) % 1000003L).toDouble / 1000003.0 - 0.5
+
+  val NumTables = 8
+  val PlanesPerTable = 4
+
+  /** Multi-table sign-bit LSH index: each row explodes into one
+    * (table, bucket-key) entry per table. A single sign-bucket table
+    * has poor recall on low-cosine neighbors; L tables of r planes
+    * give recall 1-(1-p^r)^L — the standard amplification. Each plane
+    * dot is its own projected column (separate codegen expression, so
+    * no single generated method blows the JVM size limit). */
+  def lshEntries(n: DataFrame): DataFrame = {
+    val numPlanes = NumTables * PlanesPerTable
+    val withDots = (0 until numPlanes).foldLeft(n) { (df, j) =>
+      df.withColumn(s"d$j",
+        (0 until Dim)
+          .map(i => element_at(col("embedding"), i + 1).cast("double") * lit(plane(j, i)))
+          .reduceLeft(_ + _))
+    }
+    val tables = (0 until NumTables).map { t =>
+      val key = (0 until PlanesPerTable).map { r =>
+        val j = t * PlanesPerTable + r
+        when(col(s"d$j") > 0, lit(1L << r)).otherwise(0L)
+      }.reduceLeft(_ + _)
+      struct(lit(t).as("tbl"), key.as("bkey"))
+    }
+    withDots
+      .withColumn("e", explode(array(tables: _*)))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("e.tbl").as("tbl"), col("e.bkey").as("bkey"))
+  }
+
+  /** LSH ANN: candidates share any (table, bucket) with the query;
+    * exact rerank over the unioned candidates only. */
+  def annLsh(corpus: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val entries = lshEntries(withNorm(corpus))
+    val q = entries.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("tbl"), col("bkey"))
+    broadcast(q).join(entries, Seq("tbl", "bkey"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qe"), col("qn"),
+        col("vec_id"), col("embedding"), col("nrm"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("sim", cosineWithNorms(col("qe"), col("qn"), col("embedding"), col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      .transform(rankTopK(_, k))
+  }
+
+  /** IVF-style ANN: fixed seed centroids (broadcast), every vector
+    * assigned to its nearest cell in one scan; queries probe their
+    * `probes` nearest cells and rerank only those cells' members. */
+  def ivf(corpus: DataFrame, centroidPred: Column, queryPred: Column,
+          k: Int, probes: Int = 2): DataFrame = {
+    val n = withNorm(corpus)
+    val cents = n.filter(centroidPred)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val simToCent = cosineWithNorms(col("embedding"), col("nrm"), col("ce"), col("cn"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
+    val assigned = n.join(broadcast(cents))
+      .withColumn("csim", simToCent)
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") <= probes)
+    // crank = 1 is the vector's home cell; a query probes its `probes`
+    // nearest cells, candidates live in their home cell only.
+    val members = assigned.filter(col("crank") === 1)
+      .select(col("cent_id").as("cell"), col("vec_id"), col("embedding"), col("nrm"))
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cent_id").as("cell"))
+    broadcast(q).join(members, Seq("cell")).filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosineWithNorms(col("qe"), col("qn"), col("embedding"), col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .transform(rankTopK(_, k))
+  }
+}
