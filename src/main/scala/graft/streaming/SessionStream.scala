@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming analogs of the batch distillation: the
+  * reference pipeline consumes a Kinesis Firehose stream
+  * (reference: dataset/utils.py — the firehose dump IS the dataset);
+  * re-expressed as readStream → stateful transform → writeStream.
+  */
+object SessionStream {
+
+  /** One incoming stream event (event-time in `ts`). */
+  case class StreamEvent(userId: Long, ts: Timestamp, eventType: String, value: Double)
+
+  /** Open-session state kept per user between micro-batches. */
+  case class SessionState(startMs: Long, endMs: Long, nEvents: Long)
+
+  /** A completed (gap-closed or timed-out) session. */
+  case class SessionOut(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
+
+  /** Gap-based streaming sessionization via flatMapGroupsWithState +
+    * event-time timeout. State is one tiny SessionState per active
+    * user — bounded by active users, not by throughput; the watermark
+    * both bounds state (timeouts close idle sessions) and bounds
+    * lateness. Mirrors the batch Sessionize operator's semantics.
+    */
+  def sessionize(events: Dataset[StreamEvent], gapMs: Long,
+                 watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, batch: Iterator[StreamEvent],
+               state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption
+          .map(s => SessionOut(userId, s.startMs, s.endMs, s.nEvents)).toList
+        state.remove()
+        return out.iterator
+      }
+      val sorted = batch.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[SessionOut]
+      var cur = state.getOption
+      for (e <- sorted) {
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.endMs <= gapMs =>
+            cur = Some(s.copy(endMs = math.max(s.endMs, t), nEvents = s.nEvents + 1))
+          case Some(s) =>
+            closed ::= SessionOut(userId, s.startMs, s.endMs, s.nEvents)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // close the open session once the watermark passes its end+gap
+        state.setTimeoutTimestamp(s.endMs + gapMs)
+      }
+      closed.reverse.iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Tumbling-window event counts with a watermark (the reference's
+    * heuristic explorer applied continuously; SURVEY §2 #43). */
+  def windowedCounts(events: Dataset[StreamEvent], window: String,
+                     watermarkDelay: String = "10 seconds") =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window),
+        col("eventType"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("win_start"),
+        col("eventType"),
+        col("n"),
+        col("sum_value"))
+}

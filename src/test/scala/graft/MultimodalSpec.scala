@@ -1,0 +1,41 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.MediaRecord
+
+/** Exercises the multimodal binary-column plumbing: typed schema,
+  * batched per-partition extraction, deterministic stub features. */
+class MultimodalSpec extends SparkTestBase {
+
+  private def media(n: Int): Seq[MediaRecord] =
+    (0 until n).map { i =>
+      MediaRecord(i.toLong, if (i % 2 == 0) "image" else "audio",
+        Array.tabulate(16 + i)(j => ((i * 7 + j) % 256).toByte),
+        width = 64, height = 64, durationMs = 0L)
+    }
+
+  test("binary payloads round-trip the typed schema and batched extraction") {
+    import spark.implicits._
+    val ds = spark.createDataset(media(100)).repartition(5)
+    val feats = Multimodal.extractFeatures(ds).collect().sortBy(_.mediaId)
+    assert(feats.length == 100)
+    assert(feats.forall(_.features.length == Multimodal.FeatureDim))
+    assert(feats.zipWithIndex.forall { case (f, i) => f.nBytes == 16 + i })
+    // deterministic: same input -> bit-identical features on re-run
+    val again = Multimodal.extractFeatures(ds).collect().sortBy(_.mediaId)
+    assert(feats.zip(again).forall { case (a, b) => a.features.sameElements(b.features) })
+    // partitioning must not change results
+    val one = Multimodal.extractFeatures(ds.coalesce(1)).collect().sortBy(_.mediaId)
+    assert(feats.zip(one).forall { case (a, b) => a.features.sameElements(b.features) })
+  }
+
+  test("asMedia validates the physical schema") {
+    import spark.implicits._
+    val df = spark.createDataset(media(3)).toDF()
+    val ds = Multimodal.asMedia(df)
+    assert(ds.collect().map(_.mediaId).sorted.toSeq == Seq(0L, 1L, 2L))
+    val bad = df.withColumn("payload",
+      org.apache.spark.sql.functions.col("payload").cast("string"))
+    intercept[IllegalArgumentException] { Multimodal.asMedia(bad) }
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import java.io.{BufferedWriter, OutputStreamWriter}
+import java.nio.file.{Files, Path}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.EventLogSource
+
+/** Drives the Firehose-layout gzipped-JSONL source end-to-end against
+  * a generated yyyy/MM/dd/HH tree. */
+class SourceSpec extends SparkTestBase {
+
+  private def writeGz(path: Path, lines: Seq[String]): Unit = {
+    Files.createDirectories(path.getParent)
+    val w = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(Files.newOutputStream(path)), "UTF-8"))
+    try lines.foreach { l => w.write(l); w.newLine() }
+    finally w.close()
+  }
+
+  private def rec(id: Long, ts: String, user: Long, et: String, v: Double): String =
+    s"""{"event_id":$id,"ts":"$ts","user_id":$user,"event_type":"$et","value":$v,"props":"{\\"k\\": 1}"}"""
+
+  test("reads nested firehose tree, normalizes to epoch-us, isolates corrupt lines") {
+    val root = Files.createTempDirectory("firehose")
+    writeGz(root.resolve("2024/01/01/00/part-0.jsonl.gz"), Seq(
+      rec(1, "2024-01-01T00:00:01.500Z", 10, "message", 7.5),
+      rec(2, "2024-01-01T00:10:00.000Z", 10, "command", 1.0),
+      "this is not json at all"))
+    writeGz(root.resolve("2024/01/01/01/part-0.jsonl.gz"), Seq(
+      rec(3, "2024-01-01T01:00:00.250Z", 11, "message", 3.0)))
+    // non-matching file name must be ignored by the glob
+    Files.writeString(root.resolve("2024/01/01/00/ignore.txt"), "junk")
+
+    // cache: Spark refuses filtering solely on _corrupt_record of an
+    // uncached raw-file scan (SPARK-21610 guard)
+    val raw = EventLogSource.read(spark, root.toString).cache()
+    assert(raw.count() == 4)
+    assert(raw.filter(col("_corrupt_record").isNotNull).count() == 1)
+
+    val norm = EventLogSource.readNormalized(spark, root.toString)
+    val rows = norm.orderBy("event_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // 2024-01-01T00:00:01.500Z == 1704067201500000 µs
+    assert(rows(0).getLong(1) == 1704067201500000L)
+    assert(rows(2).getLong(1) == 1704070800250000L)
+    assert(norm.columns.toSeq ==
+      Seq("event_id", "ts_us", "user_id", "event_type", "value", "props"))
+  }
+}

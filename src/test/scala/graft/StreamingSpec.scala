@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.SessionStream
+import graft.streaming.SessionStream.StreamEvent
+
+/** Drives the streaming operators through MemoryStream micro-batches,
+  * including watermark-driven session close via event-time timeout. */
+class StreamingSpec extends SparkTestBase {
+
+  private def ev(user: Long, sec: Long, et: String = "message"): StreamEvent =
+    StreamEvent(user, new Timestamp(sec * 1000), et, 1.0)
+
+  test("streaming sessionization closes sessions on gap and on watermark timeout") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamEvent]
+    val query = SessionStream.sessionize(input.toDS(), gapMs = 30000)
+      .writeStream.format("memory").queryName("sessions_out").outputMode("append").start()
+    try {
+      // batch 1: one session (100s,105s) then a gap>30s -> closes it
+      // inline (timestamps start well past epoch 0: an event at
+      // exactly the initial watermark would be dropped as late)
+      input.addData(ev(1, 100), ev(1, 105), ev(1, 200))
+      query.processAllAvailable()
+      // batch 2: another gap -> closes (200,200)
+      input.addData(ev(1, 300))
+      query.processAllAvailable()
+      // batch 3+: unrelated user far in the future pushes the
+      // watermark past 300+30 -> the open (300,300) session times out
+      input.addData(ev(2, 1100))
+      query.processAllAvailable()
+      input.addData(ev(2, 2100))
+      query.processAllAvailable()
+
+      val got = spark.table("sessions_out")
+        .filter(col("userId") === 1)
+        .orderBy("startMs")
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == Seq((100000L, 105000L, 2L), (200000L, 200000L, 1L), (300000L, 300000L, 1L)))
+    } finally query.stop()
+  }
+
+  test("tumbling-window aggregation finalizes windows behind the watermark") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamEvent]
+    val query = SessionStream.windowedCounts(input.toDS(), "1 minute")
+      .writeStream.format("memory").queryName("windows_out").outputMode("append").start()
+    try {
+      input.addData(ev(1, 10), ev(1, 20), ev(2, 30, "command"), ev(1, 70))
+      query.processAllAvailable()
+      // push the watermark far past the first windows
+      input.addData(ev(2, 500))
+      query.processAllAvailable()
+
+      val got = spark.table("windows_out")
+        .select("win_start", "eventType", "n")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got.contains((0L, "message", 2L)))
+      assert(got.contains((0L, "command", 1L)))
+      assert(got.contains((60L, "message", 1L)))
+    } finally query.stop()
+  }
+}
