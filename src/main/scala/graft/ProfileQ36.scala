@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: stage-by-stage timing of the MinHash pipeline. */
+object ProfileQ36 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Dedup
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"STAGE $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = Tables.documents(spark, dir)
+    for (_ <- 1 to 2) {
+      time("shingle+explode")(Dedup.shingled(docs).select(explode(col("sh"))).count())
+      time("signature")(Dedup.withSignature(Dedup.shingled(docs)).count())
+      time("buckets")(Dedup.lshBuckets(Dedup.withSignature(Dedup.shingled(docs))).count())
+      time("full_q36")(SparkEntry.queries("q36_dedup_minhash")(spark, dir).count())
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev perf probe: times named queries with repeats at a given SF dir.
+  * Usage: runMain graft.TimeIt <sfDir> <iters> <name> [<name>...]
+  * (sbt console can't be used for this: its classloader breaks
+  * spark.implicits; this main runs forked like Bench/Verify.)
+  */
+object TimeIt {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val iters = args(1).toInt
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val q = SparkEntry.queries
+    for (n <- names; i <- 1 to iters) {
+      val t0 = System.nanoTime()
+      q(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"PERF $n iter$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

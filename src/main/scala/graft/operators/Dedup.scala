@@ -27,7 +27,8 @@ object Dedup {
   val RowsPerBand = 4
 
   /** Distinct word n-gram shingles from single-space text (docs with
-    * fewer than n words are dropped — they have no shingle set). */
+    * fewer than n words are dropped — they have no shingle set).
+    * Array-per-doc form; fine for small inputs and tests. */
   def shingled(docs: DataFrame, n: Int = 3): DataFrame =
     docs
       .withColumn("ws", split(trim(col("text")), " "))
@@ -37,20 +38,44 @@ object Dedup {
           (1 to n).map(j => s"element_at(ws, i + $j)").mkString("concat_ws(' ', ", ", ", "))"))))
       .drop("ws")
 
-  /** Portable 48-bit shingle hash mod P (== DuckDB
-    * ('0x'||substr(md5(s),1,12))::BIGINT % P). */
-  private def shingleHashes: Column =
-    expr(s"transform(sh, g -> CAST(conv(substr(md5(g), 1, 12), 16, 10) AS BIGINT) % $P)")
+  /** Same shingle SET as [[shingled]], but as distinct (doc_id, g)
+    * ROWS built from posexplode + window leads — everything stays in
+    * whole-stage codegen (the per-row transform lambda above runs
+    * interpreted and dominates MinHash wall-clock at scale). One
+    * shuffle on doc_id (sort for the leads) + one distinct. */
+  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val leadCols = (1 until n).map(j => lead(col("w"), j).over(w).as(s"w$j"))
+    docs
+      .select(col("doc_id"), posexplode(split(trim(col("text")), " ")).as(Seq("i", "w")))
+      .select(col("doc_id") +: col("w") +: leadCols: _*)
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("w") +: (1 until n).map(j => col(s"w$j")): _*).as("g"))
+      .distinct()
+  }
 
   /** k-wide MinHash signature: sig[i] = min over shingles of
-    * ((2i+3)·h + (5i+7)) mod P. */
-  def withSignature(shingledDocs: DataFrame): DataFrame =
-    shingledDocs
-      .withColumn("hv", shingleHashes)
-      .withColumn("sg", expr(
-        s"transform(sequence(0, ${NumHashes - 1}), i -> " +
-          s"array_min(transform(hv, h -> ((2*i+3)*h + (5*i+7)) % $P)))"))
-      .drop("hv")
+    * ((2i+3)·h + (5i+7)) mod P, with h the portable 48-bit md5 hash
+    * mod P (== DuckDB ('0x'||substr(md5(s),1,12))::BIGINT % P).
+    *
+    * Shape: shingle rows → one md5 per (doc, shingle) row → 32
+    * codegen'd MIN aggregates with map-side partial aggregation.
+    * (A per-row transform/array_min lambda nest computes the same
+    * thing but runs interpreted per element — 15x slower at sf0.1.)
+    */
+  def withSignature(shingleRows: DataFrame): DataFrame = {
+    val h = expr(s"CAST(conv(substr(md5(g), 1, 12), 16, 10) AS BIGINT) % $P")
+    val mins = (0 until NumHashes).map(i =>
+      min((lit(2 * i + 3) * col("h") + lit(5 * i + 7)) % P).as(s"m$i"))
+    shingleRows
+      .withColumn("h", h)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .withColumn("sg", array((0 until NumHashes).map(i => col(s"m$i")): _*))
+      .select(col("doc_id"), col("sg"))
+  }
 
   /** Explode signatures into (band, bkey) LSH buckets. */
   def lshBuckets(signed: DataFrame): DataFrame =

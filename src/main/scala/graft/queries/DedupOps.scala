@@ -46,13 +46,15 @@ object DedupOps extends QueryModule {
   // at 100 TB the high-document-frequency shingles would additionally
   // be dropped (stop-shingles) before the join.
   private def q35(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingled(docs(s, dir)).withColumn("n", size(col("sh")).cast("bigint"))
-    val e = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
-    val ea = e.select(col("doc_id").as("a"), col("n").as("na"), col("g"))
-    val eb = e.select(col("doc_id").as("b"), col("n").as("nb"), col("g"))
+    val e = Dedup.shingleRows(docs(s, dir))
+    val sz = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val ea = e.select(col("doc_id").as("a"), col("g"))
+    val eb = e.select(col("doc_id").as("b"), col("g"))
     ea.join(eb, Seq("g")).filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
       .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jacc") >= 0.5)
       .select(col("a"), col("b"), col("jacc"))
@@ -77,7 +79,7 @@ object DedupOps extends QueryModule {
   // (band, band-key) bucket collisions; similarity estimated from the
   // signatures themselves (no second pass over text).
   private def q36(s: SparkSession, dir: String): DataFrame = {
-    val buckets = Dedup.lshBuckets(Dedup.withSignature(Dedup.shingled(docs(s, dir))))
+    val buckets = Dedup.lshBuckets(Dedup.withSignature(Dedup.shingleRows(docs(s, dir))))
       .select(col("doc_id"), col("sg"), col("b"), col("bkey"))
     val l = buckets.select(col("doc_id").as("a"), col("sg").as("sa"), col("b"), col("bkey"))
     val r = buckets.select(col("doc_id").as("b_id"), col("sg").as("sb"), col("b"), col("bkey"))

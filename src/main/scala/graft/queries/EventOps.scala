@@ -246,11 +246,16 @@ object EventOps extends QueryModule {
   // iff ≥1 command follows it — computed with a FOLLOWING window sum,
   // not a join.
   private def q20(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("instance_id"))
+    // cmds_after = total - running-count-inclusive: two O(n) frames
+    // (whole-partition + growing) instead of an O(n²)
+    // unbounded-FOLLOWING frame; identical values.
+    val whole = Window.partitionBy(col("instance_id"))
+    val run = Window.partitionBy(col("instance_id"))
       .orderBy(col("ts_us"), col("event_id"))
-      .rowsBetween(1, Window.unboundedFollowing)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isCmdI = when(isCmd, 1).otherwise(0)
     ev(s, dir)
-      .withColumn("cmds_after", sum(when(isCmd, 1).otherwise(0)).over(w))
+      .withColumn("cmds_after", sum(isCmdI).over(whole) - sum(isCmdI).over(run))
       .groupBy(col("instance_id"))
       .agg(
         count(when(isCmd, lit(1))).as("n_cmds"),

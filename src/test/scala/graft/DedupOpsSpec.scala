@@ -55,4 +55,12 @@ class DedupOpsSpec extends SparkTestBase {
     assert(sh(2L) == Seq("a b c", "b c d"))
     assert(sh(3L) == Seq("x x x"))
   }
+
+  test("shingleRows (codegen path) produces the same shingle sets as shingled") {
+    import org.apache.spark.sql.functions.explode
+    val d = Tables.documents(spark, sfDir)
+    val fromArrays = Dedup.shingled(d).select(col("doc_id"), explode(col("sh")).as("g"))
+    val fromRows = Dedup.shingleRows(d)
+    assert(fromArrays.except(fromRows).isEmpty && fromRows.except(fromArrays).isEmpty)
+  }
 }
