@@ -77,4 +77,40 @@ object TextFunctions {
   def hashBucket(id: Column, salt: String, mod: Int): Column =
     (conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 4), 16, 10)
       .cast("bigint") % mod).cast("bigint")
+
+  /** Actor HP bucket label from (hp, max_hp) — the exact ratio
+    * boundaries of the reference's actor normalization (reference:
+    * distill4_normalize.py:170-181): >=1 Healthy, (0.5,1) Injured,
+    * (0.15,0.5] Bloodied, (0,0.15] Critical, <=0 Dead. Null when
+    * either side is null or max_hp <= 0. */
+  def hpBucket(hp: Column, maxHp: Column): Column = {
+    val r = hp.cast("double") / maxHp.cast("double")
+    when(hp.isNull || maxHp.isNull || maxHp <= 0, lit(null).cast("string"))
+      .when(r >= 1, "Healthy")
+      .when(r > 0.5, "Injured")
+      .when(r > 0.15, "Bloodied")
+      .when(r > 0, "Critical")
+      .otherwise("Dead")
+  }
+
+  /** Actor HP display string "<hp/max HP; Bucket>" (reference:
+    * distill4_normalize.py:168-186). */
+  def hpState(hp: Column, maxHp: Column): Column =
+    when(hp.isNull || maxHp.isNull, lit(null).cast("string"))
+      .otherwise(concat(
+        lit("<"), hp.cast("string"), lit("/"), maxHp.cast("string"), lit(" HP"),
+        when(hpBucket(hp, maxHp).isNotNull,
+          concat(lit("; "), hpBucket(hp, maxHp))).otherwise(lit("")),
+        lit(">")))
+
+  /** Replace the FIRST occurrence of the server's command prefix with
+    * the canonical "!" (reference: distill4_normalize.py:356-357,
+    * content.replace(prefix, "!", 1)). Rows without the prefix pass
+    * through unchanged. */
+  def normalizeCommandPrefix(content: Column, prefix: Column): Column = {
+    val pos = instr(content, prefix) // 1-based; 0 when absent
+    val before = content.substr(lit(1), pos - 1)
+    val after = content.substr(pos + length(prefix), length(content))
+    when(pos > 0, concat(before, lit("!"), after)).otherwise(content)
+  }
 }

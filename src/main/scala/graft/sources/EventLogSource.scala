@@ -38,6 +38,14 @@ object EventLogSource {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(root)
 
+  /** Gzipped-JSONL sink — the reference's stage-output format (every
+    * distill stage writes .jsonl.gz; reference: distill1_time_group.py
+    * et al. write gzip JSON lines). One file per partition; callers
+    * control parallelism/file count via the DataFrame's partitioning
+    * (never coalesce(1) a 100 TB result). */
+  def writeJsonlGz(df: DataFrame, root: String): Unit =
+    df.write.mode("overwrite").option("compression", "gzip").json(root)
+
   /** Same records normalized to the engine's event layout: exact
     * epoch-µs bigint timestamps, corrupt rows dropped. */
   def readNormalized(spark: SparkSession, root: String): DataFrame =

@@ -49,4 +49,19 @@ class SourceSpec extends SparkTestBase {
     assert(norm.columns.toSeq ==
       Seq("event_id", "ts_us", "user_id", "event_type", "value", "props"))
   }
+
+  test("gzipped-JSONL sink round-trips through the reader") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("sink").resolve("stage_out")
+    val df = (1L to 100L).map(i =>
+      (i, s"2024-02-0${i % 9 + 1}T00:00:00Z", i % 7, "message", i * 1.5, s"""{"k": ${i % 3}}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(4)
+    graft.sources.EventLogSource.writeJsonlGz(df, out.toString)
+    val files = Files.list(out).toArray.map(_.toString).filter(_.endsWith(".json.gz"))
+    assert(files.length == 4, "expected one gzip member per partition")
+    val back = spark.read.schema(graft.sources.EventLogSource.schema).json(out.toString)
+    assert(back.count() == 100)
+    assert(back.select("event_id").as[Long].collect().sorted.toSeq == (1L to 100L))
+  }
 }

@@ -52,6 +52,33 @@ class TextOpsSpec extends SparkTestBase {
     assert(counts("train").toDouble / total > 0.6)
   }
 
+  test("actor HP bucketing matches distill4 ratio boundaries") {
+    import spark.implicits._
+    val rows = Seq(
+      (20, 20), (19, 20), (11, 20), (10, 20), (4, 20), (3, 20), (1, 20), (0, 20), (-2, 20))
+      .toDF("hp", "max_hp")
+      .select(hpBucket(col("hp"), col("max_hp")).as("b"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("Healthy", "Injured", "Injured", "Bloodied", "Bloodied",
+      "Critical", "Critical", "Dead", "Dead"))
+    val disp = Seq((10, 20)).toDF("hp", "max_hp")
+      .select(hpState(col("hp"), col("max_hp")).as("s")).first().getString(0)
+    assert(disp == "<10/20 HP; Bloodied>")
+  }
+
+  test("command prefix normalization replaces first occurrence only") {
+    import spark.implicits._
+    val got = Seq(
+      ("$atk longsword", "$"),
+      ("a$b$c", "$"),
+      ("no prefix here", "$"),
+      ("!!cast", "!!"))
+      .toDF("content", "prefix")
+      .select(normalizeCommandPrefix(col("content"), col("prefix")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("!atk longsword", "a!b$c", "no prefix here", "!cast"))
+  }
+
   test("all text queries execute and key by doc_id uniquely") {
     for (q <- TextOps.all) {
       val df = q.run(spark, sfDir)
