@@ -44,12 +44,17 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
+    // String.format with an explicit ROOT locale: the f-interpolator
+    // uses the default locale, which can emit comma decimals (invalid
+    // JSON) on non-English JVMs.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results
-      .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
     println(line)
     spark.stop()

@@ -25,7 +25,7 @@ object TimeIt {
     for (n <- names; i <- 1 to iters) {
       val t0 = System.nanoTime()
       q(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"PERF $n iter$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println("PERF " + n + s" iter$i " + String.format(java.util.Locale.ROOT, "%.2f", Double.box((System.nanoTime() - t0) / 1e9)) + " s")
     }
     spark.stop()
   }

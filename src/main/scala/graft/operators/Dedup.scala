@@ -47,10 +47,11 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("i"))
     val leadCols = (1 until n).map(j => lead(col("w"), j).over(w).as(s"w$j"))
-    docs
+    val exploded = docs
       .select(col("doc_id"), posexplode(split(trim(col("text")), " ")).as(Seq("i", "w")))
       .select(col("doc_id") +: col("w") +: leadCols: _*)
-      .filter(col(s"w${n - 1}").isNotNull)
+    val complete = if (n > 1) exploded.filter(col(s"w${n - 1}").isNotNull) else exploded
+    complete
       .select(col("doc_id"),
         concat_ws(" ", col("w") +: (1 until n).map(j => col(s"w$j")): _*).as("g"))
       .distinct()

@@ -46,7 +46,9 @@ object DedupOps extends QueryModule {
   // at 100 TB the high-document-frequency shingles would additionally
   // be dropped (stop-shingles) before the join.
   private def q35(s: SparkSession, dir: String): DataFrame = {
-    val e = Dedup.shingleRows(docs(s, dir))
+    // cache: referenced three times (sizes + both join sides); the
+    // shingle pipeline dominates wall-clock if recomputed per use
+    val e = Dedup.shingleRows(docs(s, dir)).cache()
     val sz = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val ea = e.select(col("doc_id").as("a"), col("g"))
     val eb = e.select(col("doc_id").as("b"), col("g"))
@@ -79,6 +81,10 @@ object DedupOps extends QueryModule {
   // (band, band-key) bucket collisions; similarity estimated from the
   // signatures themselves (no second pass over text).
   private def q36(s: SparkSession, dir: String): DataFrame = {
+    // NOT cached: the self-join's two sides share the signature
+    // subtree via exchange reuse already, and materializing the
+    // signature arrays into the memory store measured 3x SLOWER than
+    // recomputing (serialization cost of array columns).
     val buckets = Dedup.lshBuckets(Dedup.withSignature(Dedup.shingleRows(docs(s, dir))))
       .select(col("doc_id"), col("sg"), col("b"), col("bkey"))
     val l = buckets.select(col("doc_id").as("a"), col("sg").as("sa"), col("b"), col("bkey"))

@@ -144,18 +144,22 @@ object TextOps extends QueryModule {
     """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  // q32: anonymization (reference: scripts/anonymize.py:24-29).
+  // q32: anonymization (reference: scripts/anonymize.py:24-29);
+  // "Player N" numbered by first appearance (doc_id order), matching
+  // the reference's order-of-appearance renaming.
   private def q32(s: SparkSession, dir: String): DataFrame =
-    Anonymize(docs(s, dir), "doc_id", "source")
-      .select(col("doc_id"), col("anon_id"), col("anon_source").as("anon_source"), col("player"))
+    Anonymize(docs(s, dir), "doc_id", "source", orderCol = "doc_id")
+      .select(col("doc_id"), col("anon_id"), col("anon_source"), col("player"))
       .orderBy(col("doc_id"))
 
   private val q32Sql =
-    """SELECT doc_id,
+    """WITH f AS (SELECT doc_id, source,
+      |  MIN(doc_id) OVER (PARTITION BY source) AS first_seen FROM documents)
+      |SELECT doc_id,
       |  substr(md5('doc' || CAST(doc_id AS VARCHAR)), 1, 16) AS anon_id,
       |  'src_' || substr(md5(source), 1, 8) AS anon_source,
-      |  'Player ' || CAST(dense_rank() OVER (ORDER BY source) AS VARCHAR) AS player
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |  'Player ' || CAST(dense_rank() OVER (ORDER BY first_seen) AS VARCHAR) AS player
+      |FROM f ORDER BY doc_id""".stripMargin
 
   // q33: deterministic hash-bucket split (reference: finetune_prep.py:172-176).
   private def q33(s: SparkSession, dir: String): DataFrame =

@@ -33,7 +33,9 @@ object EventLogSource {
     spark.read
       .schema(schema.add(StructField("_corrupt_record", StringType)))
       .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", "*.jsonl.gz")
+      // matches both firehose-style *.jsonl.gz and this module's own
+      // sink output (Spark names gzip JSON parts part-*.json.gz)
+      .option("pathGlobFilter", "*.json*.gz")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(root)

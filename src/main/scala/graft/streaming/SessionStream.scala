@@ -47,11 +47,20 @@ object SessionStream {
       for (e <- sorted) {
         val t = e.ts.getTime
         cur match {
-          case Some(s) if t - s.endMs <= gapMs =>
-            cur = Some(s.copy(endMs = math.max(s.endMs, t), nEvents = s.nEvents + 1))
-          case Some(s) =>
+          // within gap of the open session on either side (an
+          // in-watermark late event may precede the session start)
+          case Some(s) if t >= s.startMs - gapMs && t <= s.endMs + gapMs =>
+            cur = Some(SessionState(
+              math.min(s.startMs, t), math.max(s.endMs, t), s.nEvents + 1))
+          // after the session's gap window: close it, start fresh
+          case Some(s) if t > s.endMs + gapMs =>
             closed ::= SessionOut(userId, s.startMs, s.endMs, s.nEvents)
             cur = Some(SessionState(t, t, 1))
+          // late event more than a gap BEFORE the open session: it
+          // belongs to an already-gap-closed span — emit it as its own
+          // session rather than corrupting the open one
+          case Some(_) =>
+            closed ::= SessionOut(userId, t, t, 1)
           case None =>
             cur = Some(SessionState(t, t, 1))
         }

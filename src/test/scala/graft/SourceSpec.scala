@@ -60,8 +60,12 @@ class SourceSpec extends SparkTestBase {
     graft.sources.EventLogSource.writeJsonlGz(df, out.toString)
     val files = Files.list(out).toArray.map(_.toString).filter(_.endsWith(".json.gz"))
     assert(files.length == 4, "expected one gzip member per partition")
-    val back = spark.read.schema(graft.sources.EventLogSource.schema).json(out.toString)
+    // round-trip through the module's OWN reader (glob must accept the
+    // sink's part-*.json.gz naming, not just firehose *.jsonl.gz)
+    val back = graft.sources.EventLogSource.read(spark, out.toString)
     assert(back.count() == 100)
     assert(back.select("event_id").as[Long].collect().sorted.toSeq == (1L to 100L))
+    val norm = graft.sources.EventLogSource.readNormalized(spark, out.toString)
+    assert(norm.count() == 100)
   }
 }

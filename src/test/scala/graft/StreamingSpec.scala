@@ -47,6 +47,35 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("in-watermark late events merge backward or emit standalone, never corrupt the open session") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamEvent]
+    val query = SessionStream.sessionize(input.toDS(), gapMs = 30000, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    try {
+      input.addData(ev(1, 100), ev(1, 105))
+      query.processAllAvailable()
+      // late event within gap BEFORE the open session start -> merges,
+      // extending startMs backward
+      input.addData(ev(1, 80))
+      query.processAllAvailable()
+      // late event far before the session -> standalone emission
+      input.addData(ev(1, 10))
+      query.processAllAvailable()
+      // close the open session via gap
+      input.addData(ev(1, 500))
+      query.processAllAvailable()
+
+      val got = spark.table("late_out")
+        .orderBy("startMs")
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == Seq((10000L, 10000L, 1L), (80000L, 105000L, 3L)))
+    } finally query.stop()
+  }
+
   test("tumbling-window aggregation finalizes windows behind the watermark") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
