@@ -13,9 +13,12 @@ object SparkEntry {
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.all)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. q50 runs the reference pipeline's full distill chain
+    * (ingest → nearest-association → triple assembly → pair
+    * emission → split) end-to-end. */
   def entry(spark: SparkSession): DataFrame =
-    defs.head.run(spark, "/root/testdata/sf0.001")
+    queries("q50_finetune_pairs")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -76,6 +76,49 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming sessionize equals batch Sessionize on the real event table") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.EventFunctions
+    import graft.operators.Sessionize
+
+    val gapMs = 1800L * 1000L
+    val evs = EventFunctions.norm(Tables.events(spark, sfDir))
+      .select(col("user_id"), (col("ts_us") / 1000).cast("long").as("ms"), col("event_type"))
+      .collect()
+      .map(r => StreamEvent(r.getLong(0), new Timestamp(r.getLong(1)), r.getString(2), 0.0))
+      .sortBy(_.ts.getTime)
+
+    val input = MemoryStream[StreamEvent]
+    val query = SessionStream.sessionize(input.toDS(), gapMs)
+      .writeStream.format("memory").queryName("equiv_out").outputMode("append").start()
+    try {
+      input.addData(evs.toSeq)
+      query.processAllAvailable()
+      // advance the watermark far past everything so open sessions close
+      input.addData(StreamEvent(-1L, new Timestamp(evs.map(_.ts.getTime).max + 10L * gapMs), "x", 0.0))
+      query.processAllAvailable()
+      input.addData(StreamEvent(-1L, new Timestamp(evs.map(_.ts.getTime).max + 20L * gapMs), "x", 0.0))
+      query.processAllAvailable()
+
+      val streamed = spark.table("equiv_out")
+        .filter(col("userId") >= 0)
+        .select(col("userId"), col("startMs"), col("endMs"), col("nEvents"))
+
+      val batch = Sessionize(
+        EventFunctions.norm(Tables.events(spark, sfDir))
+          .withColumn("ms", (col("ts_us") / 1000).cast("long")),
+        "user_id", "ms", "event_id", gapMs)
+        .groupBy(col("user_id").as("userId"), col("session_id"))
+        .agg(min(col("ms")).as("startMs"), max(col("ms")).as("endMs"),
+          count(lit(1)).as("nEvents"))
+        .select(col("userId"), col("startMs"), col("endMs"), col("nEvents"))
+
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+        "streaming and batch sessionization disagree")
+    } finally query.stop()
+  }
+
   test("tumbling-window aggregation finalizes windows behind the watermark") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
