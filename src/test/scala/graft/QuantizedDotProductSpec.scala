@@ -20,6 +20,19 @@ class QuantizedDotProductSpec extends SparkTestBase {
     assert(pairs.filter(col("native").isNull).isEmpty)
   }
 
+  test("SQL registration via GraftExtensions: quantized_dot callable from SQL text") {
+    val got = spark.sql(
+      """SELECT quantized_dot(
+        |  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+      .first().getLong(0)
+    assert(got == 10000000L * 30000000L + 20000000L * 40000000L)
+    val err = intercept[Exception] {
+      spark.sql("SELECT quantized_dot(array(CAST(1.0 AS FLOAT)))").collect()
+    }
+    assert(err.getMessage.contains("2 arguments") || err.getMessage.contains("quantized_dot"))
+  }
+
   test("interpreted path (eval) matches codegen and handles nulls/mismatch") {
     import spark.implicits._
     val df = Seq(
