@@ -79,6 +79,40 @@ object SessionStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Running per-instance heuristic scores, updated every
+    * micro-batch (the reference's streaming heuristic applicator —
+    * reference: explorer_server.py applies heuristics/count.py and
+    * ratio.py continuously as instances stream in). State per
+    * instance is four counters; emitted in update mode.
+    */
+  case class InstanceEvent(instanceId: Int, ts: Timestamp, eventType: String, value: Double)
+  case class InstanceStats(nEvents: Long, nMessages: Long, nCommands: Long, sumMsgLen: Double)
+  case class InstanceHeuristics(instanceId: Int, nEvents: Long, nMessages: Long,
+      nCommands: Long, msgCmdRatio: Option[Double], avgMsgLen: Option[Double])
+
+  def runningHeuristics(events: Dataset[InstanceEvent]): Dataset[InstanceHeuristics] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.instanceId)
+      .mapGroupsWithState[InstanceStats, InstanceHeuristics](GroupStateTimeout.NoTimeout) {
+        (id, batch, state) =>
+          var s = state.getOption.getOrElse(InstanceStats(0, 0, 0, 0.0))
+          for (e <- batch) {
+            val isMsg = e.eventType == "click" || e.eventType == "view"
+            s = InstanceStats(
+              s.nEvents + 1,
+              s.nMessages + (if (isMsg) 1 else 0),
+              s.nCommands + (if (e.eventType == "purchase") 1 else 0),
+              s.sumMsgLen + (if (isMsg) e.value else 0.0))
+          }
+          state.update(s)
+          InstanceHeuristics(id, s.nEvents, s.nMessages, s.nCommands,
+            if (s.nCommands > 0) Some(s.nMessages.toDouble / s.nCommands) else None,
+            if (s.nMessages > 0) Some(s.sumMsgLen / s.nMessages) else None)
+      }
+  }
+
   /** Tumbling-window event counts with a watermark (the reference's
     * heuristic explorer applied continuously; SURVEY §2 #43). */
   def windowedCounts(events: Dataset[StreamEvent], window: String,

@@ -119,6 +119,35 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("running heuristics accumulate across micro-batches per instance") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import SessionStream.InstanceEvent
+    val input = MemoryStream[InstanceEvent]
+    val query = SessionStream.runningHeuristics(input.toDS())
+      .writeStream.format("memory").queryName("heur_out").outputMode("update").start()
+    try {
+      def e(inst: Int, sec: Long, et: String, v: Double) =
+        InstanceEvent(inst, new Timestamp(sec * 1000), et, v)
+      input.addData(e(1, 10, "click", 4.0), e(1, 20, "purchase", 0.0), e(2, 30, "view", 6.0))
+      query.processAllAvailable()
+      input.addData(e(1, 40, "view", 8.0), e(1, 50, "error", 0.0))
+      query.processAllAvailable()
+
+      val last = spark.table("heur_out")
+        .orderBy(col("nEvents").desc)
+        .collect().groupBy(_.getInt(0))
+        .map { case (k, rows) => k -> rows.maxBy(_.getLong(1)) }
+      val i1 = last(1)
+      assert(i1.getLong(1) == 4 && i1.getLong(2) == 2 && i1.getLong(3) == 1)
+      assert(i1.getDouble(4) == 2.0)   // 2 messages / 1 command
+      assert(i1.getDouble(5) == 6.0)   // (4 + 8) / 2
+      val i2 = last(2)
+      assert(i2.getLong(1) == 1 && i2.getLong(2) == 1 && i2.getLong(3) == 0)
+      assert(i2.isNullAt(4))
+    } finally query.stop()
+  }
+
   test("tumbling-window aggregation finalizes windows behind the watermark") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
