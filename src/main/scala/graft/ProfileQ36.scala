@@ -7,10 +7,7 @@ import org.apache.spark.sql.functions._
 object ProfileQ36 {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = GraftSession.local("32", "32", logLevel = "ERROR")
     import graft.operators.Dedup
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f

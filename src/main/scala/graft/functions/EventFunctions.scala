@@ -49,4 +49,28 @@ object EventFunctions {
       |         CAST(regexp_extract(props, '(\d+)', 1) AS INT) AS instance_id
       |  FROM events
       |)""".stripMargin
+
+  /** Shared oracle CTEs mirroring NearestEvent.assoc on instance_id
+    * (reference: distill1_time_group.py:48-68 — nearest automation run
+    * by |ts delta|, ties → before). Exposes `assoc(msg_id, user_id,
+    * value, ts_us, cmd_id, side, delta_us)`; consumers select the
+    * columns they need. */
+  val NearestAssocSql: String =
+    """w AS (SELECT *,
+      |  last_value(CASE WHEN event_type='purchase' THEN ts_us END IGNORE NULLS) OVER wp AS prev_ts,
+      |  last_value(CASE WHEN event_type='purchase' THEN event_id END IGNORE NULLS) OVER wp AS prev_id,
+      |  first_value(CASE WHEN event_type='purchase' THEN ts_us END IGNORE NULLS) OVER wn AS next_ts,
+      |  first_value(CASE WHEN event_type='purchase' THEN event_id END IGNORE NULLS) OVER wn AS next_id
+      |  FROM ev
+      |  WINDOW wp AS (PARTITION BY instance_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |         wn AS (PARTITION BY instance_id ORDER BY ts_us, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+      |pick AS (SELECT *,
+      |  (next_ts IS NULL OR (prev_ts IS NOT NULL AND ts_us - prev_ts <= next_ts - ts_us)) AS is_before
+      |  FROM w
+      |  WHERE event_type IN ('click','view') AND (prev_ts IS NOT NULL OR next_ts IS NOT NULL)),
+      |assoc AS (SELECT event_id AS msg_id, user_id, value, ts_us,
+      |  CASE WHEN is_before THEN prev_id ELSE next_id END AS cmd_id,
+      |  CASE WHEN is_before THEN 'before' ELSE 'after' END AS side,
+      |  CASE WHEN is_before THEN ts_us - prev_ts ELSE next_ts - ts_us END AS delta_us
+      |FROM pick)""".stripMargin
 }

@@ -36,4 +36,10 @@ object Exact {
     * CAST(SUM(...) AS DOUBLE) in oracle SQL. */
   def sumDec(c: Column, scale: Int): Column =
     sum(c).cast(DecimalType(38, scale)).cast("double")
+
+  /** 2-dp decimal sum emitted as DOUBLE, empty group → 0.0 (mirror
+    * with CAST(COALESCE(SUM(CAST(x AS DECIMAL(12,2))),0) AS DOUBLE)
+    * in oracle SQL). */
+  def sumD2(c: Column): Column =
+    coalesce(sum(d2(c)).cast("double"), lit(0.0))
 }

@@ -24,9 +24,8 @@ object FinetunePrep {
     * empty side are dropped (reference: finetune_prep.py:33-34). */
   def pairs(assoc: DataFrame, utterance: Column, orderKey1: Column,
             orderKey2: Column, sep: String = " | "): DataFrame = {
-    def joined(side: String): Column =
-      concat_ws(sep, expr(
-        s"transform(array_sort(${sideList(side)}), s -> s.utt)"))
+    def joined(listCol: String): Column =
+      concat_ws(sep, expr(s"transform(array_sort($listCol), s -> s.utt)"))
     assoc
       .withColumn("o1", orderKey1)
       .withColumn("o2", orderKey2)
@@ -42,6 +41,4 @@ object FinetunePrep {
       .filter(length(col("prompt")) > 0 && length(col("completion")) > 0)
       .select(col("cmd_id"), col("prompt"), col("completion"))
   }
-
-  private def sideList(name: String): String = name
 }

@@ -128,8 +128,9 @@ object Similarity {
         col("nrm").as("qn"), col("cent_id").as("cell"))
     broadcast(q).join(members, Seq("cell")).filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", cosineWithNorms(col("qe"), col("qn"), col("embedding"), col("nrm")))
+      // no dedup needed: every member has exactly one home cell, so a
+      // (query, member) pair can arise from at most one probed cell
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
-      .dropDuplicates("query_id", "neighbor_id")
       .transform(rankTopK(_, k))
   }
 }

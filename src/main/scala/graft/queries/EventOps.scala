@@ -3,10 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.EventFunctions._
+import graft.functions.Exact.{d2, sumD2}
 import graft.operators.{NearestEvent, Sessionize}
 
 /** §2.B — event-stream distillation: the reference pipeline's core
@@ -26,12 +26,6 @@ object EventOps extends QueryModule {
 
   private def ev(s: SparkSession, dir: String): DataFrame =
     norm(Tables.events(s, dir))
-
-  private def d2(c: Column): Column = c.cast(DecimalType(12, 2))
-
-  /** Exact decimal sum emitted as float64 (both engines identical). */
-  private def sumD2(c: Column): Column =
-    coalesce(sum(d2(c)).cast("double"), lit(0.0))
 
   // ---------------------------------------------------------------
   // q11: 30-min-gap sessionization per user (Kinesis instance-grouping
@@ -88,23 +82,8 @@ object EventOps extends QueryModule {
        |FROM g WHERE msg_id IS NOT NULL GROUP BY msg_id, user_id ORDER BY msg_id""".stripMargin
 
   // ---------------------------------------------------------------
-  // Shared oracle CTE mirroring NearestEvent.assoc on instance_id
-  // (reference: distill1_time_group.py:48-68 — nearest automation run
-  // by |ts delta|, ties → before).
-  private val NearestSql =
-    """w AS (SELECT *,
-      |  last_value(CASE WHEN event_type='purchase' THEN ts_us END IGNORE NULLS) OVER wp AS prev_ts,
-      |  last_value(CASE WHEN event_type='purchase' THEN event_id END IGNORE NULLS) OVER wp AS prev_id,
-      |  first_value(CASE WHEN event_type='purchase' THEN ts_us END IGNORE NULLS) OVER wn AS next_ts,
-      |  first_value(CASE WHEN event_type='purchase' THEN event_id END IGNORE NULLS) OVER wn AS next_id
-      |  FROM ev
-      |  WINDOW wp AS (PARTITION BY instance_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-      |         wn AS (PARTITION BY instance_id ORDER BY ts_us, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
-      |assoc AS (SELECT event_id AS msg_id, user_id, value,
-      |  CASE WHEN next_ts IS NULL OR (prev_ts IS NOT NULL AND ts_us - prev_ts <= next_ts - ts_us) THEN prev_id ELSE next_id END AS cmd_id,
-      |  CASE WHEN next_ts IS NULL OR (prev_ts IS NOT NULL AND ts_us - prev_ts <= next_ts - ts_us) THEN 'before' ELSE 'after' END AS side,
-      |  CASE WHEN next_ts IS NULL OR (prev_ts IS NOT NULL AND ts_us - prev_ts <= next_ts - ts_us) THEN ts_us - prev_ts ELSE next_ts - ts_us END AS delta_us
-      |FROM w WHERE event_type IN ('click','view') AND (prev_ts IS NOT NULL OR next_ts IS NOT NULL))""".stripMargin
+  // Shared oracle CTEs: EventFunctions.NearestAssocSql (also used by
+  // FinetuneOps.q50).
 
   private def assoc(s: SparkSession, dir: String): DataFrame =
     NearestEvent.assoc(ev(s, dir), "instance_id", "ts_us", "event_id",
@@ -117,7 +96,7 @@ object EventOps extends QueryModule {
       .orderBy(col("msg_id"))
 
   private val q13Sql =
-    s"""WITH $NormSql, $NearestSql
+    s"""WITH $NormSql, $NearestAssocSql
        |SELECT msg_id, cmd_id, side, delta_us FROM assoc ORDER BY msg_id""".stripMargin
 
   // ---------------------------------------------------------------
@@ -136,7 +115,7 @@ object EventOps extends QueryModule {
       .orderBy(col("cmd_id"))
 
   private val q14Sql =
-    s"""WITH $NormSql, $NearestSql
+    s"""WITH $NormSql, $NearestAssocSql
        |SELECT cmd_id,
        |  COUNT(*) FILTER (WHERE side='before') AS n_before,
        |  COUNT(*) FILTER (WHERE side='after') AS n_after,

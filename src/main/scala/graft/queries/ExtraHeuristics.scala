@@ -3,10 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.EventFunctions._
+import graft.functions.Exact.sumD2
 
 /** Bonus §B-family heuristics beyond the 45-row checklist: the
   * remaining per-instance scores from the reference's heuristic
@@ -31,8 +31,7 @@ object ExtraHeuristics extends QueryModule {
       .agg(
         (count(when(col("prev_user").isNotNull && col("prev_user") =!= col("user_id"), lit(1))) + 1)
           .as("n_turns"),
-        coalesce(sum(when(isMsg, col("value").cast(DecimalType(12, 2)))).cast("double"), lit(0.0))
-          .as("msg_words"))
+        sumD2(when(isMsg, col("value"))).as("msg_words"))
       .withColumn("words_per_turn", col("msg_words") / col("n_turns"))
       .select(col("instance_id"), col("n_turns"), col("words_per_turn"))
       .orderBy(col("instance_id"))

@@ -32,19 +32,7 @@ object FinetuneOps extends QueryModule {
   }
 
   private val q50Sql =
-    s"""WITH $NormSql,
-       |w AS (SELECT *,
-       |  last_value(CASE WHEN event_type='purchase' THEN ts_us END IGNORE NULLS) OVER wp AS prev_ts,
-       |  last_value(CASE WHEN event_type='purchase' THEN event_id END IGNORE NULLS) OVER wp AS prev_id,
-       |  first_value(CASE WHEN event_type='purchase' THEN ts_us END IGNORE NULLS) OVER wn AS next_ts,
-       |  first_value(CASE WHEN event_type='purchase' THEN event_id END IGNORE NULLS) OVER wn AS next_id
-       |  FROM ev
-       |  WINDOW wp AS (PARTITION BY instance_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-       |         wn AS (PARTITION BY instance_id ORDER BY ts_us, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
-       |assoc AS (SELECT event_id AS msg_id, user_id, value, ts_us,
-       |  CASE WHEN next_ts IS NULL OR (prev_ts IS NOT NULL AND ts_us - prev_ts <= next_ts - ts_us) THEN prev_id ELSE next_id END AS cmd_id,
-       |  CASE WHEN next_ts IS NULL OR (prev_ts IS NOT NULL AND ts_us - prev_ts <= next_ts - ts_us) THEN 'before' ELSE 'after' END AS side
-       |FROM w WHERE event_type IN ('click','view') AND (prev_ts IS NOT NULL OR next_ts IS NOT NULL)),
+    s"""WITH $NormSql, $NearestAssocSql,
        |p AS (SELECT cmd_id,
        |  COALESCE(string_agg(CASE WHEN side='before' THEN 'u' || CAST(user_id AS VARCHAR) || '#' || CAST(msg_id AS VARCHAR) END, ' | ' ORDER BY ts_us, msg_id), '') AS prompt,
        |  COALESCE(string_agg(CASE WHEN side='after' THEN 'u' || CAST(user_id AS VARCHAR) || '#' || CAST(msg_id AS VARCHAR) END, ' | ' ORDER BY ts_us, msg_id), '') AS completion
