@@ -49,6 +49,37 @@ class EventOpsSpec extends SparkTestBase {
     assert(wrong.isEmpty)
   }
 
+  test("sessionize boundary: exactly-gap spacing stays in one session, gap+1 splits") {
+    import spark.implicits._
+    val gap = 1800L * 1000000L
+    val df = Seq(
+      (1L, 0L, 10L), (2L, gap, 10L),              // delta == gap -> same session
+      (3L, 2 * gap + 1, 10L),                     // delta == gap+1 -> new session
+      (4L, 2 * gap + 1, 11L))                     // other user -> own session
+      .toDF("event_id", "ts_us", "user_id")
+    val got = Sessionize(df, "user_id", "ts_us", "event_id", gap)
+      .select("event_id", "session_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1 && got(2L) == 1 && got(3L) == 2 && got(4L) == 1)
+  }
+
+  test("nearest association: exact tie in |delta| resolves to the earlier command") {
+    import spark.implicits._
+    // command at 0 and at 200; message at 100 is equidistant -> before
+    val df = Seq(
+      (1L, 0L, 1L, "purchase", 0.0, 7),
+      (2L, 100L, 1L, "click", 9.0, 7),
+      (3L, 200L, 1L, "purchase", 0.0, 7))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "instance_id")
+    val a = NearestEvent.assoc(df, "instance_id", "ts_us", "event_id",
+      EventFunctions.isMsg, EventFunctions.isCmd).collect()
+    assert(a.length == 1)
+    val r = a.head
+    assert(r.getAs[String]("side") == "before")
+    assert(r.getAs[Long]("cmd_id") == 1L)
+    assert(r.getAs[Long]("delta_us") == 100L)
+  }
+
   test("heuristic counts are consistent across queries") {
     val msgs = q("q16_message_count").agg(sum("n_messages")).first().getLong(0)
     val evs = q("q17_event_count").agg(sum("n_events")).first().getLong(0)
