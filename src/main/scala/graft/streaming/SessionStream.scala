@@ -113,6 +113,21 @@ object SessionStream {
       }
   }
 
+  /** Streaming exact-dedup: drops redelivered events (Kinesis-style
+    * at-least-once ingest) by id within the watermark horizon — state
+    * holds one key per event inside the horizon, aged out by the
+    * watermark instead of growing forever. The streaming counterpart
+    * of the batch exact-dedup (q34). */
+  def dedupedEvents(events: Dataset[StreamEvent], idCols: Seq[String],
+                    watermarkDelay: String = "10 seconds"): Dataset[StreamEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+      .as[StreamEvent]
+  }
+
   /** Tumbling-window event counts with a watermark (the reference's
     * heuristic explorer applied continuously; SURVEY §2 #43). */
   def windowedCounts(events: Dataset[StreamEvent], window: String,

@@ -119,6 +119,24 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming dedup drops redelivered events across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamEvent]
+    val query = SessionStream.dedupedEvents(input.toDS(), Seq("userId", "ts"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(ev(1, 100), ev(1, 100), ev(2, 100))   // in-batch duplicate
+      query.processAllAvailable()
+      input.addData(ev(1, 100), ev(1, 105))               // cross-batch redelivery
+      query.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select("userId", "ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).sorted.toSeq
+      assert(got == Seq((1L, 100000L), (1L, 105000L), (2L, 100000L)))
+    } finally query.stop()
+  }
+
   test("running heuristics accumulate across micro-batches per instance") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
