@@ -24,8 +24,19 @@ object TextFunctions {
   val MentionRe = "<(@[!&]?|#)\\d{17,20}>"
   /** Discord custom emoji → keep `:name:` (reference: distill4_normalize.py:343). */
   val EmojiRe = "<a?(:\\w+?:)\\d{17,20}>"
+  /** Whitespace spelled out as an explicit character set: Java's `\s`
+    * includes `\x0B` (vertical tab) but DuckDB's RE2 `\s` does not, so
+    * a bare `\s` silently diverges cross-engine on text containing
+    * `\x0B`. These characters are shared VERBATIM with every oracle
+    * SQL regex (both engines parse `\t`/`\n`/`\x0B`/`\f`/`\r`
+    * identically inside a class). */
+  val WsChars = " \\t\\n\\x0B\\f\\r"
+  /** One-or-more whitespace, cross-engine exact. */
+  val WsPlusRe = s"[$WsChars]+"
+  /** Non-alnum-non-whitespace (punctuation-ish), cross-engine exact. */
+  val PunctRe = s"[^a-z0-9$WsChars]"
   /** BPE-ish token pattern: letter runs, digit runs, single symbols. */
-  val BpeTokenRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  val BpeTokenRe = s"[a-z]+|[0-9]+|$PunctRe"
   /** English stopword sample for the language-ID / quality heuristics. */
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "is", "of", "to", "and", "in", "it", "on")
@@ -47,7 +58,7 @@ object TextFunctions {
 
   /** Whitespace-token count (BIGINT). */
   def wsTokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+")).cast("bigint")
+    size(split(trim(text), WsPlusRe)).cast("bigint")
 
   /** BPE-ish token count (BIGINT). */
   def bpeTokenCount(text: Column): Column =
@@ -64,7 +75,7 @@ object TextFunctions {
     * lowercased, trimmed text (reference: scripts/anonymize.py:24
     * hash-of-normalized-identity analog). */
   def fingerprint(text: Column): Column =
-    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+    md5(lower(trim(regexp_replace(text, WsPlusRe, " "))))
 
   /** Deterministic anonymous id: 16 hex chars of salted md5
     * (reference: scripts/anonymize.py:24-29 md5(id) → numeric id). */

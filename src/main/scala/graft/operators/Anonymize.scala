@@ -25,11 +25,15 @@ object Anonymize {
     * appearance in `orderCol` order. */
   def apply(df: DataFrame, idCol: String, authorCol: String,
             orderCol: String): DataFrame = {
+    // row_number with the author value as tie-break: two authors whose
+    // first appearances tie on orderCol still get DISTINCT player
+    // numbers in a deterministic order (dense_rank would alias them).
     val ranks = df.groupBy(col(authorCol).as("author_key"))
       .agg(min(col(orderCol)).as("first_seen"))
       .withColumn("player",
         concat(lit("Player "),
-          dense_rank().over(Window.orderBy(col("first_seen"))).cast("string")))
+          row_number().over(
+            Window.orderBy(col("first_seen"), col("author_key"))).cast("string")))
       .select(col("author_key"), col("player"))
     df.withColumn("anon_id", TextFunctions.anonId(col(idCol), "doc"))
       .withColumn(s"anon_$authorCol",

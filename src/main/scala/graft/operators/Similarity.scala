@@ -42,9 +42,14 @@ object Similarity {
       .transform(rankTopK(_, k))
   }
 
-  /** Deterministic pseudo-random hyperplane component (plane j, dim i). */
-  private def plane(j: Int, i: Int): Double =
-    ((j.toLong * 73856093L + i.toLong * 19349663L) % 1000003L).toDouble / 1000003.0 - 0.5
+  /** Deterministic pseudo-random hyperplane component (plane j, dim i)
+    * as an exact INTEGER in ±1000003: 2·(hash mod 1000003) − 1000003 is
+    * always odd, hence never zero. Projections are then exact int64
+    * sums of (quantized component × integer coefficient): the hash
+    * aggregate's partial-sum order can't flip a near-zero projection's
+    * sign, so bucket keys are bit-deterministic run to run. */
+  private def planeQ(j: Int, i: Int): Long =
+    2L * ((j.toLong * 73856093L + i.toLong * 19349663L) % 1000003L) - 1000003L
 
   val NumTables = 8
   val PlanesPerTable = 4
@@ -67,12 +72,14 @@ object Similarity {
     val planes = (for {
       j <- 0 until NumTables * PlanesPerTable
       i <- 0 until Dim
-    } yield (i, j, plane(j, i))).toDF("i", "j", "coef")
+    } yield (i, j, planeQ(j, i))).toDF("i", "j", "coef")
+    // |floor(x·1e7)| ≤ 1e7 and |coef| ≤ 1000003 → 64 products sum to
+    // < 2^50: exact int64, no overflow
     corpus
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
       .join(broadcast(planes), Seq("i"))
       .groupBy(col("vec_id"), col("j"))
-      .agg(sum(col("x").cast("double") * col("coef")).as("dot"))
+      .agg(sum(floor(col("x").cast("double") * QScale).cast("long") * col("coef")).as("dot"))
       .select(
         col("vec_id"),
         (col("j") / PlanesPerTable).cast("int").as("tbl"),

@@ -35,10 +35,10 @@ object DedupOps extends QueryModule {
   }
 
   private val q34Sql =
-    """WITH f AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents),
-      |c AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS canon_id FROM f)
-      |SELECT doc_id, canon_id, CAST(doc_id <> canon_id AS INT) AS is_dup
-      |FROM c ORDER BY doc_id""".stripMargin
+    s"""WITH f AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '${TextFunctions.WsPlusRe}', ' ', 'g')))) AS fp FROM documents),
+       |c AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS canon_id FROM f)
+       |SELECT doc_id, canon_id, CAST(doc_id <> canon_id AS INT) AS is_dup
+       |FROM c ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // q35: word-3-gram Jaccard pairs (correctness baseline for q36).
@@ -47,7 +47,10 @@ object DedupOps extends QueryModule {
   // be dropped (stop-shingles) before the join.
   private def q35(s: SparkSession, dir: String): DataFrame = {
     // cache: referenced three times (sizes + both join sides); the
-    // shingle pipeline dominates wall-clock if recomputed per use
+    // shingle pipeline dominates wall-clock if recomputed per use.
+    // Lifecycle: queries are lazy DataFrames, so the runner releases
+    // this after materializing (Verify/specs call catalog.clearCache
+    // per query) — it never outlives one query in a shared session.
     val e = Dedup.shingleRows(docs(s, dir)).cache()
     val sz = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val ea = e.select(col("doc_id").as("a"), col("g"))

@@ -68,10 +68,10 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
 
   private val q28Sql =
-    """SELECT doc_id,
-      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
-      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  CAST(len(string_split_regex(trim(text), '$WsPlusRe')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$BpeTokenRe')) AS BIGINT) AS n_bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // q29: stopword-ratio language ID.
   private def q29(s: SparkSession, dir: String): DataFrame = {
@@ -104,7 +104,7 @@ object TextOps extends QueryModule {
     docs(s, dir)
       .withColumn("n_chars_m", length(col("text")).cast("bigint"))
       .withColumn("n_words", size(split(trim(col("text")), " ")).cast("bigint"))
-      .withColumn("n_punct", regexp_count(col("text"), lit("[^a-z0-9\\s]")).cast("bigint"))
+      .withColumn("n_punct", regexp_count(col("text"), lit(PunctRe)).cast("bigint"))
       .withColumn("n_stop", stopwordCount(ws))
       .withColumn("avg_word_len", (col("n_chars_m") - col("n_words") + 1) / col("n_words"))
       .withColumn("punct_ratio", col("n_punct") / col("n_chars_m"))
@@ -122,7 +122,7 @@ object TextOps extends QueryModule {
     s"""WITH b AS (
        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words,
-       |    CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS BIGINT) AS n_punct,
+       |    CAST(len(regexp_extract_all(text, '$PunctRe')) AS BIGINT) AS n_punct,
        |    CAST(len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN $StopwordsSql)) AS BIGINT) AS n_stop
        |  FROM documents)
        |SELECT doc_id, n_words,
@@ -141,8 +141,8 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
 
   private val q31Sql =
-    """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, md5(lower(trim(regexp_replace(text, '$WsPlusRe', ' ', 'g')))) AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // q32: anonymization (reference: scripts/anonymize.py:24-29);
   // "Player N" numbered by first appearance (doc_id order), matching
@@ -153,13 +153,17 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
 
   private val q32Sql =
-    """WITH f AS (SELECT doc_id, source,
-      |  MIN(doc_id) OVER (PARTITION BY source) AS first_seen FROM documents)
-      |SELECT doc_id,
-      |  substr(md5('doc' || CAST(doc_id AS VARCHAR)), 1, 16) AS anon_id,
-      |  'src_' || substr(md5(source), 1, 8) AS anon_source,
-      |  'Player ' || CAST(dense_rank() OVER (ORDER BY first_seen) AS VARCHAR) AS player
-      |FROM f ORDER BY doc_id""".stripMargin
+    """WITH f AS (SELECT source, MIN(doc_id) AS first_seen FROM documents GROUP BY source),
+      |r AS (SELECT source,
+      |  'Player ' || CAST(row_number() OVER (
+      |    ORDER BY first_seen NULLS FIRST, source NULLS FIRST) AS VARCHAR) AS player
+      |  FROM f)
+      |SELECT d.doc_id,
+      |  substr(md5('doc' || CAST(d.doc_id AS VARCHAR)), 1, 16) AS anon_id,
+      |  'src_' || substr(md5(d.source), 1, 8) AS anon_source,
+      |  r.player
+      |FROM documents d LEFT JOIN r ON d.source IS NOT DISTINCT FROM r.source
+      |ORDER BY d.doc_id""".stripMargin
 
   // q33: deterministic hash-bucket split (reference: finetune_prep.py:172-176).
   private def q33(s: SparkSession, dir: String): DataFrame =

@@ -16,61 +16,62 @@ object SessionStream {
   /** One incoming stream event (event-time in `ts`). */
   case class StreamEvent(userId: Long, ts: Timestamp, eventType: String, value: Double)
 
-  /** Open-session state kept per user between micro-batches. */
+  /** One not-yet-final session span. */
   case class SessionState(startMs: Long, endMs: Long, nEvents: Long)
 
-  /** A completed (gap-closed or timed-out) session. */
+  /** Per-user state: every span an in-watermark event could still
+    * merge into, sorted by start. Normally one element (the open
+    * session); more only while late events build spans behind it. */
+  case class SessionBuf(spans: List[SessionState])
+
+  /** A completed (watermark-finalized) session. */
   case class SessionOut(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
 
   /** Gap-based streaming sessionization via flatMapGroupsWithState +
-    * event-time timeout. State is one tiny SessionState per active
-    * user — bounded by active users, not by throughput; the watermark
-    * both bounds state (timeouts close idle sessions) and bounds
-    * lateness. Mirrors the batch Sessionize operator's semantics.
+    * event-time timeout, EXACTLY equivalent to the batch Sessionize
+    * operator on the same (in-watermark) inputs. State per user is the
+    * list of open spans; an incoming event merges every span within
+    * `gapMs` of it (possibly bridging two), so late events that fall
+    * between existing sessions coalesce exactly as a batch sort-and-
+    * scan would. A span is emitted only once the watermark passes its
+    * end + gap — past that point no admissible event (ts ≥ watermark)
+    * can merge into it on either side, so emitted spans are final.
+    * State stays bounded: spans per user ≤ 1 + (watermark delay / gap),
+    * and timeouts retire idle users entirely.
     */
   def sessionize(events: Dataset[StreamEvent], gapMs: Long,
                  watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
 
+    // t merges every span with [start-gap, end+gap] ∋ t into one
+    // (bridging at most two); otherwise it opens a new span.
+    def merged(spans: List[SessionState], t: Long): List[SessionState] = {
+      val (touch, rest) = spans.partition(s => t >= s.startMs - gapMs && t <= s.endMs + gapMs)
+      val m = touch.foldLeft(SessionState(t, t, 1)) { (acc, s) =>
+        SessionState(math.min(acc.startMs, s.startMs),
+          math.max(acc.endMs, s.endMs), acc.nEvents + s.nEvents)
+      }
+      (m :: rest).sortBy(_.startMs)
+    }
+
     def update(userId: Long, batch: Iterator[StreamEvent],
-               state: GroupState[SessionState]): Iterator[SessionOut] = {
-      if (state.hasTimedOut) {
-        val out = state.getOption
-          .map(s => SessionOut(userId, s.startMs, s.endMs, s.nEvents)).toList
-        state.remove()
-        return out.iterator
+               state: GroupState[SessionBuf]): Iterator[SessionOut] = {
+      val wm = state.getCurrentWatermarkMs()
+      var spans = state.getOption.map(_.spans).getOrElse(Nil)
+      batch.toSeq.sortBy(_.ts.getTime).foreach(e => spans = merged(spans, e.ts.getTime))
+      // final once the watermark passed end+gap: any future event has
+      // ts ≥ wm > end+gap > start, so it can't touch the span
+      val (done, live) = spans.partition(_.endMs + gapMs <= wm)
+      if (live.isEmpty) state.remove()
+      else {
+        state.update(SessionBuf(live))
+        // wake when the earliest live span becomes final (> wm by the
+        // partition above, as setTimeoutTimestamp requires)
+        state.setTimeoutTimestamp(live.map(_.endMs + gapMs).min)
       }
-      val sorted = batch.toSeq.sortBy(_.ts.getTime)
-      var closed = List.empty[SessionOut]
-      var cur = state.getOption
-      for (e <- sorted) {
-        val t = e.ts.getTime
-        cur match {
-          // within gap of the open session on either side (an
-          // in-watermark late event may precede the session start)
-          case Some(s) if t >= s.startMs - gapMs && t <= s.endMs + gapMs =>
-            cur = Some(SessionState(
-              math.min(s.startMs, t), math.max(s.endMs, t), s.nEvents + 1))
-          // after the session's gap window: close it, start fresh
-          case Some(s) if t > s.endMs + gapMs =>
-            closed ::= SessionOut(userId, s.startMs, s.endMs, s.nEvents)
-            cur = Some(SessionState(t, t, 1))
-          // late event more than a gap BEFORE the open session: it
-          // belongs to an already-gap-closed span — emit it as its own
-          // session rather than corrupting the open one
-          case Some(_) =>
-            closed ::= SessionOut(userId, t, t, 1)
-          case None =>
-            cur = Some(SessionState(t, t, 1))
-        }
-      }
-      cur.foreach { s =>
-        state.update(s)
-        // close the open session once the watermark passes its end+gap
-        state.setTimeoutTimestamp(s.endMs + gapMs)
-      }
-      closed.reverse.iterator
+      done.sortBy(_.startMs)
+        .map(s => SessionOut(userId, s.startMs, s.endMs, s.nEvents)).iterator
     }
 
     events

@@ -47,32 +47,36 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
-  test("in-watermark late events merge backward or emit standalone, never corrupt the open session") {
+  test("in-watermark late events merge with each other exactly as batch would") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[StreamEvent]
-    val query = SessionStream.sessionize(input.toDS(), gapMs = 30000, watermarkDelay = "1 hour")
+    val query = SessionStream.sessionize(input.toDS(), gapMs = 30000, watermarkDelay = "5 minutes")
       .writeStream.format("memory").queryName("late_out").outputMode("append").start()
     try {
-      input.addData(ev(1, 100), ev(1, 105))
+      input.addData(ev(1, 1000), ev(1, 1005))
       query.processAllAvailable()
-      // late event within gap BEFORE the open session start -> merges,
-      // extending startMs backward
-      input.addData(ev(1, 80))
+      // late events >gap BEFORE the open session: they form a span of
+      // their own behind it (batch would merge them into one session)
+      input.addData(ev(1, 900), ev(1, 890))
       query.processAllAvailable()
-      // late event far before the session -> standalone emission
-      input.addData(ev(1, 10))
+      // a third late event within gap of that span joins it too
+      input.addData(ev(1, 870))
       query.processAllAvailable()
-      // close the open session via gap
-      input.addData(ev(1, 500))
+      // advance the watermark past both spans' end+gap -> finalize
+      input.addData(ev(2, 2000))
+      query.processAllAvailable()
+      input.addData(ev(2, 3000))
       query.processAllAvailable()
 
       val got = spark.table("late_out")
+        .filter(col("userId") === 1)
         .orderBy("startMs")
         .collect()
         .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSeq
-      assert(got == Seq((10000L, 10000L, 1L), (80000L, 105000L, 3L)))
+      // batch over {870,890,900,1000,1005} with gap 30s: two sessions
+      assert(got == Seq((870000L, 900000L, 3L), (1000000L, 1005000L, 2L)))
     } finally query.stop()
   }
 
