@@ -15,9 +15,9 @@ object ProfileQ36 {
     }
     val docs = Tables.documents(spark, dir)
     for (_ <- 1 to 2) {
-      time("shingle+explode")(Dedup.shingled(docs).select(explode(col("sh"))).count())
-      time("signature")(Dedup.withSignature(Dedup.shingled(docs)).count())
-      time("buckets")(Dedup.lshBuckets(Dedup.withSignature(Dedup.shingled(docs))).count())
+      time("shingleRows")(Dedup.shingleRows(docs).count())
+      time("signature")(Dedup.withSignature(Dedup.shingleRows(docs)).count())
+      time("buckets")(Dedup.lshBuckets(Dedup.withSignature(Dedup.shingleRows(docs))).count())
       time("full_q36")(SparkEntry.queries("q36_dedup_minhash")(spark, dir).count())
     }
     spark.stop()

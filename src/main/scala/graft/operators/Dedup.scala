@@ -42,8 +42,14 @@ object Dedup {
     * ROWS built from posexplode + window leads — everything stays in
     * whole-stage codegen (the per-row transform lambda above runs
     * interpreted and dominates MinHash wall-clock at scale). One
-    * shuffle on doc_id (sort for the leads) + one distinct. */
-  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
+    * shuffle on doc_id (sort for the leads) + one distinct.
+    *
+    * `dedup = false` skips the distinct (and its shuffle): correct for
+    * any consumer invariant under duplicate shingles — MIN aggregation
+    * (MinHash) sees the same minimum over a multiset as over its set.
+    * Jaccard's intersection COUNTS are not invariant: q35 keeps the
+    * set form. */
+  def shingleRows(docs: DataFrame, n: Int = 3, dedup: Boolean = true): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("i"))
     val leadCols = (1 until n).map(j => lead(col("w"), j).over(w).as(s"w$j"))
@@ -51,10 +57,10 @@ object Dedup {
       .select(col("doc_id"), posexplode(split(trim(col("text")), " ")).as(Seq("i", "w")))
       .select(col("doc_id") +: col("w") +: leadCols: _*)
     val complete = if (n > 1) exploded.filter(col(s"w${n - 1}").isNotNull) else exploded
-    complete
+    val rows = complete
       .select(col("doc_id"),
         concat_ws(" ", col("w") +: (1 until n).map(j => col(s"w$j")): _*).as("g"))
-      .distinct()
+    if (dedup) rows.distinct() else rows
   }
 
   /** k-wide MinHash signature: sig[i] = min over shingles of

@@ -84,17 +84,28 @@ object DedupOps extends QueryModule {
   // (band, band-key) bucket collisions; similarity estimated from the
   // signatures themselves (no second pass over text).
   private def q36(s: SparkSession, dir: String): DataFrame = {
-    // NOT cached: the self-join's two sides share the signature
-    // subtree via exchange reuse already, and materializing the
-    // signature arrays into the memory store measured 3x SLOWER than
-    // recomputing (serialization cost of array columns).
-    val buckets = Dedup.lshBuckets(Dedup.withSignature(Dedup.shingleRows(docs(s, dir))))
-      .select(col("doc_id"), col("sg"), col("b"), col("bkey"))
-    val l = buckets.select(col("doc_id").as("a"), col("sg").as("sa"), col("b"), col("bkey"))
-    val r = buckets.select(col("doc_id").as("b_id"), col("sg").as("sb"), col("b"), col("bkey"))
-    l.join(r, Seq("b", "bkey")).filter(col("a") < col("b_id"))
-      .groupBy(col("a"), col("b_id"))
-      .agg(first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+    // Shuffle-volume shape: the band self-join and the pair dedup move
+    // ONLY (id, band, bkey) rows — the 32-element signature arrays
+    // join back exactly once per deduped candidate pair. (The earlier
+    // shape carried both arrays through the join and a first() agg:
+    // strictly more shuffle bytes at scale.)
+    // The signature table (one slim row per doc, 250x smaller than the
+    // shingle stream feeding it) appears on four plan branches; AQE's
+    // broadcast conversion drops the exchanges reuse would need, so
+    // materialize it ONCE per query instead of computing it 4x.
+    // localCheckpoint (not cache) keeps the materialization scoped to
+    // this query's plan object; at cluster scale this is the classic
+    // "persist the signatures, they're tiny" step of every LSH corpus.
+    val sig = Dedup.withSignature(
+      Dedup.shingleRows(docs(s, dir), dedup = false)).localCheckpoint()
+    val buckets = Dedup.lshBuckets(sig).select(col("doc_id"), col("b"), col("bkey"))
+    val cand = buckets.select(col("doc_id").as("a"), col("b"), col("bkey"))
+      .join(buckets.select(col("doc_id").as("b_id"), col("b"), col("bkey")), Seq("b", "bkey"))
+      .filter(col("a") < col("b_id"))
+      .select(col("a"), col("b_id")).distinct()
+    cand
+      .join(sig.select(col("doc_id").as("a"), col("sg").as("sa")), Seq("a"))
+      .join(sig.select(col("doc_id").as("b_id"), col("sg").as("sb")), Seq("b_id"))
       .withColumn("sim_est", Dedup.signatureSimilarity(col("sa"), col("sb")))
       .filter(col("sim_est") >= 0.5)
       .select(col("a"), col("b_id").as("b"), col("sim_est"))
