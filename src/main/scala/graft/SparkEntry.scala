@@ -2,14 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupOps, EventOps, ExtraHeuristics, FinetuneOps, QueryDef, QueryModule, Relational, SimilarityOps, TextOps}
+import graft.queries.{DedupOps, EventOps, ExtraHeuristics, FinetuneOps, JoinOps, QueryDef, QueryModule, Relational, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** All implemented query modules (SURVEY.md §2 sections). */
   def modules: Seq[QueryModule] =
-    Seq(Relational, EventOps, TextOps, DedupOps, SimilarityOps, FinetuneOps, ExtraHeuristics)
+    Seq(Relational, EventOps, TextOps, DedupOps, SimilarityOps, FinetuneOps,
+      ExtraHeuristics, JoinOps)
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.all)
 

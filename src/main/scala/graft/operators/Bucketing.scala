@@ -1,0 +1,27 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-table plumbing: pay a table's shuffle ONCE at write time,
+  * then join/aggregate on the bucket key with zero exchanges forever
+  * after. At 100 TB this is the difference between re-shuffling the
+  * fact table on every pipeline run and a shuffle-free sort-merge join
+  * against any same-bucketed dimension — the batch analog of the
+  * reference's per-instance file layout (reference: dataset/utils.py
+  * combat_dir_iterator reads one instance's events co-located in one
+  * file; bucketing by instance key reproduces that locality inside
+  * Spark's catalog).
+  */
+object Bucketing {
+
+  /** Persist `df` as a parquet table bucketed AND sorted on `keyCol`.
+    * Joins between tables written with the same bucket count on their
+    * bucket keys plan with no ShuffleExchange on either side (see
+    * ScaleJoinSpec for the plan assertion). */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    keyCol: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .option("path", path)
+      .saveAsTable(table)
+}

@@ -138,6 +138,11 @@ object DedupOps extends QueryModule {
   // which run interpreted and are ~100x slower), then one bit-fold
   // projection.
   private def q37(s: SparkSession, dir: String): DataFrame = {
+    // NOTE a (doc, word) count pre-agg before hashing (cutting the
+    // md5 + 60 bit-tests to once per distinct word) measured ~30%
+    // SLOWER here: the extra shuffle outweighs the 2.3x dup factor.
+    // The single-shuffle shape below partially aggregates the 60
+    // counters map-side, so the shuffle moves only docs x 60 longs.
     val words = docs(s, dir)
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
       .withColumn("h", expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"))
