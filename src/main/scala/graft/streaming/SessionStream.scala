@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -127,6 +127,30 @@ object SessionStream {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
       .as[StreamEvent]
+  }
+
+  /** Stream-stream interval join: each command event paired with the
+    * same-user message events from the `lookbackSec` window ending at
+    * the command (the reference's distill1 message→command pairing
+    * run LIVE on two streams; reference: distill1_time_group.py:48-68).
+    * Both sides carry watermarks and the join condition bounds event
+    * time on both ends, so Spark ages buffered rows out of the join
+    * state once the watermark passes their reach — state stays
+    * proportional to (lookback + watermark delay) × rate, not to
+    * stream history. */
+  def msgCmdIntervalJoin(msgs: Dataset[StreamEvent], cmds: Dataset[StreamEvent],
+                         lookbackSec: Long,
+                         watermarkDelay: String = "10 seconds"): DataFrame = {
+    val m = msgs.select(col("userId").as("m_user"), col("ts").as("m_ts"),
+        col("value").as("m_value"))
+      .withWatermark("m_ts", watermarkDelay)
+    val c = cmds.select(col("userId").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+      .withWatermark("c_ts", watermarkDelay)
+    m.join(c, expr(
+      s"m_user = c_user AND m_ts <= c_ts AND m_ts >= c_ts - INTERVAL $lookbackSec SECONDS"))
+      .select(col("m_user").as("userId"), col("m_ts"), col("c_ts"),
+        col("m_value"), col("c_value"))
   }
 
   /** Tumbling-window event counts with a watermark (the reference's

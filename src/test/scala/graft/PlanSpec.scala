@@ -1,0 +1,52 @@
+package graft
+
+/** Plan-shape regression gate: the properties that make the query
+  * surface scale are asserted on the COMPILED plans of every
+  * registered query, so a refactor that silently degrades a join to a
+  * nested loop or un-pushes a scan filter fails CI, not the cluster.
+  */
+class PlanSpec extends SparkTestBase {
+
+  /** Documented quadratic/broadcast-bounded baselines, exempt from the
+    * no-nested-loop rule:
+    *  - q38/q39: brute-force all-pairs / top-k cosine CORRECTNESS
+    *    baselines (the scale paths are q36 LSH and q40/q41 ANN);
+    *  - q41: vectors × broadcast seed-centroid assignment — a cross
+    *    product against a small bounded set, the IVF assignment step.
+    */
+  private val quadraticBaselines =
+    Set("q38_dedup_embedding", "q39_knn_brute", "q41_ivf_centroids")
+
+  test("no nested-loop or cartesian join in any non-baseline query plan") {
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => quadraticBaselines(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))
+          Some(name)
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"nested-loop/cartesian joins planned in: ${offenders.mkString(", ")}")
+  }
+
+  test("selective filters are pushed down to the parquet scans") {
+    val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    for (name <- Seq("q02_top_revenue", "q04_semi_join", "q05_filter_agg")) {
+      val txt = SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(mode)
+      assert("PushedFilters: \\[[^\\]]".r.findFirstIn(txt).isDefined,
+        s"$name: no non-empty PushedFilters in any scan\n$txt")
+    }
+  }
+
+  test("scans prune columns: no query reads all event/document columns for a narrow projection") {
+    val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    // q17 counts events per instance: must not read `value`&co beyond
+    // what it uses; the events ReadSchema should stay narrow
+    val txt = SparkEntry.queries("q17_event_count")(spark, sfDir)
+      .queryExecution.explainString(mode)
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    assert(!read.contains("value"), s"q17 reads unused column `value`: $read")
+    assert(!read.contains("user_id"), s"q17 reads unused column `user_id`: $read")
+  }
+}

@@ -170,6 +170,30 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("stream-stream interval join pairs messages with later same-user commands") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    def v(user: Long, sec: Long, value: Double) =
+      StreamEvent(user, new Timestamp(sec * 1000), "x", value)
+    val msgs = MemoryStream[StreamEvent]
+    val cmds = MemoryStream[StreamEvent]
+    val query = SessionStream.msgCmdIntervalJoin(msgs.toDS(), cmds.toDS(), lookbackSec = 60)
+      .writeStream.format("memory").queryName("assoc_out").outputMode("append").start()
+    try {
+      // user 1: messages at 100/150 fall in the 60s window before the
+      // command at 160; the message at 50 does not; user 2's command
+      // must not see user 1's messages
+      msgs.addData(v(1, 50, 3), v(1, 100, 1), v(1, 150, 2), v(2, 155, 7))
+      cmds.addData(v(1, 160, 9), v(2, 170, 8))
+      query.processAllAvailable()
+
+      val got = spark.table("assoc_out")
+        .select("userId", "m_value", "c_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, 1.0, 9.0), (1L, 2.0, 9.0), (2L, 7.0, 8.0)))
+    } finally query.stop()
+  }
+
   test("tumbling-window aggregation finalizes windows behind the watermark") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
