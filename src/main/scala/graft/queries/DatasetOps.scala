@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.EventFunctions._
+import graft.functions.Exact.d2
+
+/** Dataset-level operations mirroring the reference's harness layer:
+  * the dataset checksum gating cached heuristic results (reference:
+  * dataset/utils.py:65-68 `dataset_checksum` via dirhash, validated in
+  * dataset/dataset.py:24-49), and the all-heuristics profile that
+  * heuristic_worker.py computes with one full corpus pass PER
+  * heuristic — here both are single-shuffle Spark aggregations.
+  */
+object DatasetOps extends QueryModule {
+
+  // q55: order-independent content checksum of the documents table.
+  // The reference hashes the .gz files' bytes (layout-dependent);
+  // the distributed analog hashes CONTENT: one md5 per canonical row
+  // string, folded with bit_xor — commutative, so partitioning and
+  // row order can't change the result, and any single-field change
+  // flips it. One scan, one 1-row aggregate, no shuffle of data rows.
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(concat_ws('|', CAST(doc_id AS STRING), text, lang, source, CAST(n_chars AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("checksum"))
+
+  private val q55Sql =
+    """SELECT COUNT(*) AS n_rows,
+      |  bit_xor(CAST(('0x' || substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR), text, lang, source, CAST(n_chars AS VARCHAR))), 1, 15)) AS BIGINT)) AS checksum
+      |FROM documents""".stripMargin
+
+  // q56: the whole per-instance heuristic profile in ONE aggregation —
+  // event/message/command counts, participant/actor cardinalities,
+  // ratio and average-length — where the reference harness
+  // (heuristic_worker.py) re-reads the raw corpus once per heuristic.
+  // Single shuffle on instance_id; at 100 TB this is the difference
+  // between 1 scan and |heuristics| scans.
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    norm(Tables.events(s, dir))
+      .groupBy(col("instance_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(isMsg, lit(1))).as("n_messages"),
+        count(when(isCmd, lit(1))).as("n_commands"),
+        countDistinct(col("user_id")).as("n_participants"),
+        countDistinct(when(isMsg || isCmd, col("user_id"))).as("n_actors"),
+        sum(when(isMsg, d2(col("value")))).cast("double").as("_sum_msg_len"))
+      .withColumn("msg_cmd_ratio",
+        col("n_messages") / when(col("n_commands") === 0, lit(null)).otherwise(col("n_commands")))
+      .withColumn("avg_msg_len",
+        col("_sum_msg_len") / when(col("n_messages") === 0, lit(null)).otherwise(col("n_messages")))
+      .drop("_sum_msg_len")
+      .orderBy(col("instance_id"))
+
+  private val q56Sql =
+    s"""WITH $NormSql
+       |SELECT instance_id,
+       |  COUNT(*) AS n_events,
+       |  COUNT(*) FILTER (WHERE event_type IN ('click','view')) AS n_messages,
+       |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_commands,
+       |  COUNT(DISTINCT user_id) AS n_participants,
+       |  COUNT(DISTINCT CASE WHEN event_type IN ('click','view','purchase') THEN user_id END) AS n_actors,
+       |  COUNT(*) FILTER (WHERE event_type IN ('click','view'))
+       |    / NULLIF(COUNT(*) FILTER (WHERE event_type = 'purchase'), 0) AS msg_cmd_ratio,
+       |  CAST(SUM(CASE WHEN event_type IN ('click','view') THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+       |    / NULLIF(COUNT(*) FILTER (WHERE event_type IN ('click','view')), 0) AS avg_msg_len
+       |FROM ev GROUP BY instance_id ORDER BY instance_id""".stripMargin
+
+  override val all: Seq[QueryDef] = Seq(
+    QueryDef("q55_dataset_checksum", q55, Some(q55Sql)),
+    QueryDef("q56_heuristic_profile", q56, Some(q56Sql)))
+}
