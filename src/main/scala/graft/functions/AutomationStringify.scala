@@ -40,9 +40,21 @@ object AutomationStringify {
     case JBool(b) => Some(b)
     case _ => None
   }
-  private def num(v: JValue): Option[BigInt] = v match {
-    case JInt(i) => Some(i)
-    case JLong(l) => Some(BigInt(l))
+  // JSON numbers may parse as int OR double ("12" vs "12.0"): accept
+  // both for the numeric value, and render doubles as the source
+  // would ("12.0"), so no node is silently dropped on a decimal point
+  private def numVal(v: JValue): Option[BigDecimal] = v match {
+    case JInt(i) => Some(BigDecimal(i))
+    case JLong(l) => Some(BigDecimal(l))
+    case JDouble(d) => Some(BigDecimal(d))
+    case JDecimal(d) => Some(d)
+    case _ => None
+  }
+  private def numShow(v: JValue): Option[String] = v match {
+    case JInt(i) => Some(i.toString)
+    case JLong(l) => Some(l.toString)
+    case JDouble(d) => Some(d.toString)
+    case JDecimal(d) => Some(d.toString)
     case _ => None
   }
 
@@ -66,8 +78,8 @@ object AutomationStringify {
       case Some("target_iteration") if str(node \ "target_type").contains("self") =>
         renderMany(node \ "results", caster, targets, Some(caster))
       case Some("target_iteration") =>
-        num(node \ "target_index") match {
-          case Some(i) if i >= 0 && i < targets.size =>
+        numVal(node \ "target_index") match {
+          case Some(i) if i.isWhole && i >= 0 && i < targets.size =>
             renderMany(node \ "results", caster, targets, Some(targets(i.toInt)))
           case _ => None
         }
@@ -90,12 +102,11 @@ object AutomationStringify {
           case _ => None
         }
       case Some("damage") =>
-        num(node \ "damage").map { amount =>
-          if (amount < 0) s"$tgt healed for $amount health."
-          else s"$tgt took $amount damage."
-        }
+        for (amount <- numVal(node \ "damage"); shown <- numShow(node \ "damage"))
+          yield if (amount < 0) s"$tgt healed for $shown health."
+          else s"$tgt took $shown damage."
       case Some("temphp") =>
-        num(node \ "amount").map(a => s"$tgt gained $a temp HP.")
+        numShow(node \ "amount").map(a => s"$tgt gained $a temp HP.")
       case Some("ieffect") =>
         str(node \ "effect" \ "name").map(n => s"$tgt gained $n.")
       case Some("remove_ieffect") =>

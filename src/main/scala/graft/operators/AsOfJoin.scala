@@ -35,9 +35,13 @@ object AsOfJoin {
   def lastAtOrBefore(left: DataFrame, right: DataFrame, keyCol: String,
                      tsCol: String, tieCol: String,
                      rightCols: Seq[String]): DataFrame = {
+    // ONE struct per right row (never null on right rows, null on
+    // left rows): last(ignoreNulls) then selects the whole as-of ROW
+    // atomically — per-column lasts would mix fields across right
+    // rows whenever the latest row carries a null in one column
     val rightSlim = right.select(
-      Seq(col(keyCol), col(tsCol), col(tieCol), lit(1).as("_r")) ++
-        rightCols.map(c => col(c).as(s"_rv_$c")): _*)
+      col(keyCol), col(tsCol), col(tieCol), lit(1).as("_r"),
+      struct(rightCols.map(c => col(c).as(c)): _*).as("_rv"))
     val u = left.withColumn("_r", lit(0))
       .unionByName(rightSlim, allowMissingColumns = true)
     // right rows (_r=1) sort BEFORE left rows at the same timestamp,
@@ -45,11 +49,11 @@ object AsOfJoin {
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol).asc, col("_r").desc, col(tieCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    rightCols.foldLeft(u) { (df, c) =>
-        df.withColumn(s"asof_$c", last(col(s"_rv_$c"), ignoreNulls = true).over(w))
+    val withRow = u.withColumn("_asof", last(col("_rv"), ignoreNulls = true).over(w))
+    rightCols.foldLeft(withRow) { (df, c) =>
+        df.withColumn(s"asof_$c", col("_asof").getField(c))
       }
       .filter(col("_r") === 0)
-      .drop("_r")
-      .drop(rightCols.map(c => s"_rv_$c"): _*)
+      .drop("_r", "_rv", "_asof")
   }
 }

@@ -96,8 +96,12 @@ object DedupOps extends QueryModule {
     // localCheckpoint (not cache) keeps the materialization scoped to
     // this query's plan object; at cluster scale this is the classic
     // "persist the signatures, they're tiny" step of every LSH corpus.
+    // eager=false: materializes at the query's first ACTION (then all
+    // four branches read the blocks) — eager would run the whole
+    // signature job at DataFrame-construction time, which e.g. the
+    // plan-shape spec does just to look at plan strings
     val sig = Dedup.withSignature(
-      Dedup.shingleRows(docs(s, dir), dedup = false)).localCheckpoint()
+      Dedup.shingleRows(docs(s, dir), dedup = false)).localCheckpoint(eager = false)
     val buckets = Dedup.lshBuckets(sig).select(col("doc_id"), col("b"), col("bkey"))
     val cand = buckets.select(col("doc_id").as("a"), col("b"), col("bkey"))
       .join(buckets.select(col("doc_id").as("b_id"), col("b"), col("bkey")), Seq("b", "bkey"))

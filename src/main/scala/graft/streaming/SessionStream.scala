@@ -60,8 +60,10 @@ object SessionStream {
       val wm = state.getCurrentWatermarkMs()
       var spans = state.getOption.map(_.spans).getOrElse(Nil)
       batch.toSeq.sortBy(_.ts.getTime).foreach(e => spans = merged(spans, e.ts.getTime))
-      // final once the watermark passed end+gap: any future event has
-      // ts ≥ wm > end+gap > start, so it can't touch the span
+      // final once end+gap ≤ wm: Spark's late filter admits only
+      // ts > wm (an event at EXACTLY the watermark is dropped —
+      // StreamingSpec pins this), and merging needs ts ≤ end+gap, so
+      // no admissible event can touch such a span on either side
       val (done, live) = spans.partition(_.endMs + gapMs <= wm)
       if (live.isEmpty) state.remove()
       else {

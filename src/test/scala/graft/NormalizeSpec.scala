@@ -77,6 +77,19 @@ class NormalizeSpec extends SparkTestBase {
         |Ara gained 3 temp HP.""".stripMargin)
   }
 
+  test("automation stringification accepts decimal-point numbers") {
+    val tree =
+      """{"type":"root","children":[
+        |  {"type":"target_iteration","target_index":0.0,"results":[
+        |    {"type":"damage","damage":7.5},
+        |    {"type":"temphp","amount":2.0}]}
+        |]}""".stripMargin
+    val got = AutomationStringify.stringify(tree, "Ara", Seq("Goblin"))
+    assert(got ==
+      """Goblin took 7.5 damage.
+        |Goblin gained 2.0 temp HP.""".stripMargin)
+  }
+
   test("automation stringification: saves, checks and contests") {
     val tree =
       """{"type":"root","children":[

@@ -29,6 +29,19 @@ class ScaleJoinSpec extends SparkTestBase {
       (103L, None, None)))              // key 2 has no right rows
   }
 
+  test("as-of join returns the latest right ROW atomically even when it carries nulls") {
+    import spark.implicits._
+    // latest right row (ts=10) has a NULL v: asof_v must be NULL (that
+    // row's value), never the older row's 'a' — and asof_ts/asof_v
+    // must come from the SAME row
+    val left = Seq((1L, 12L, 100L)).toDF("k", "ts", "id")
+    val right = Seq((1L, 5L, 900L, Some("a")), (1L, 10L, 901L, None))
+      .toDF("k", "ts", "id", "v")
+    val r = AsOfJoin.lastAtOrBefore(left, right, "k", "ts", "id", Seq("v", "ts"))
+      .select(col("asof_ts"), col("asof_v")).collect().head
+    assert(r.getLong(0) == 10L && r.isNullAt(1))
+  }
+
   test("banded range join equals the naive inequality join on real events") {
     import graft.functions.EventFunctions
     val ev = EventFunctions.norm(Tables.events(spark, sfDir))

@@ -170,6 +170,41 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("boundary semantics: exact-gap late event bridges two spans; ts == watermark is dropped") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamEvent]
+    // gap 30s, delay 60s: spans {100} and {140} stay live (wm=80);
+    // the late event at 130 sits EXACTLY end+gap from {100} (inclusive
+    // merge, matching batch) and within gap of {140} -> bridges both.
+    // The second user pins the drop side: an event at exactly the
+    // current watermark must NOT appear in any session.
+    val query = SessionStream.sessionize(input.toDS(), gapMs = 30000, watermarkDelay = "60 seconds")
+      .writeStream.format("memory").queryName("boundary_out").outputMode("append").start()
+    try {
+      input.addData(ev(1, 100), ev(1, 140))
+      query.processAllAvailable()
+      input.addData(ev(1, 130))
+      query.processAllAvailable()
+      // wm is now 80s: this event sits exactly ON it -> dropped late
+      input.addData(ev(2, 80))
+      query.processAllAvailable()
+      input.addData(ev(2, 1000))
+      query.processAllAvailable()
+      input.addData(ev(2, 2000))
+      query.processAllAvailable()
+
+      val u1 = spark.table("boundary_out")
+        .filter(col("userId") === 1)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(u1 == Seq((100000L, 140000L, 3L)))
+      val u2 = spark.table("boundary_out")
+        .filter(col("userId") === 2 && col("startMs") === 80000L)
+        .count()
+      assert(u2 == 0, "event at ts == watermark must be dropped, not sessionized")
+    } finally query.stop()
+  }
+
   test("stream-stream interval join pairs messages with later same-user commands") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
