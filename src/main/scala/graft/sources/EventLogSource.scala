@@ -40,6 +40,25 @@ object EventLogSource {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(root)
 
+  /** Streaming counterpart of [[read]]: tails the firehose tree as a
+    * file stream — the Spark-native stand-in for the reference's
+    * Kinesis consumer (the Firehose delivery stream lands exactly
+    * these files; tailing the landing tree gives the same event flow
+    * without a Kinesis SDK). New .gz files are picked up per
+    * micro-batch, `maxFilesPerTrigger` bounds batch size, and the
+    * explicit schema avoids an inference pass. Compose with
+    * graft.streaming.SessionStream for stateful processing. */
+  def readStream(spark: SparkSession, root: String,
+                 maxFilesPerTrigger: Int = 64): DataFrame =
+    spark.readStream
+      .schema(schema.add(StructField("_corrupt_record", StringType)))
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.json*.gz")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(root)
+
   /** Gzipped-JSONL sink — the reference's stage-output format (every
     * distill stage writes .jsonl.gz; reference: distill1_time_group.py
     * et al. write gzip JSON lines). One file per partition; callers

@@ -50,6 +50,51 @@ class SourceSpec extends SparkTestBase {
       Seq("event_id", "ts_us", "user_id", "event_type", "value", "props"))
   }
 
+  test("streaming source tails the firehose tree and picks up new files") {
+    val root = Files.createTempDirectory("firehose_stream")
+    writeGz(root.resolve("2024/01/01/00/part-0.jsonl.gz"), Seq(
+      rec(1, "2024-01-01T00:00:01Z", 10, "message", 1.0),
+      rec(2, "2024-01-01T00:00:02Z", 10, "command", 2.0)))
+    val query = EventLogSource.readStream(spark, root.toString)
+      .filter(col("_corrupt_record").isNull)
+      .select("event_id", "event_type")
+      .writeStream.format("memory").queryName("firehose_out").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("firehose_out").count() == 2)
+      // a NEW hour-partition file lands mid-stream -> next micro-batch
+      writeGz(root.resolve("2024/01/01/01/part-0.jsonl.gz"), Seq(
+        rec(3, "2024-01-01T01:00:00Z", 11, "message", 3.0)))
+      query.processAllAvailable()
+      val ids = spark.table("firehose_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
+  test("heuristic cache recomputes only when the dataset content changes") {
+    import graft.operators.HeuristicCache
+    import spark.implicits._
+    val dir = Files.createTempDirectory("hcache").toString
+    val v1 = Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "k", "v")
+    var computes = 0
+    def profile(df: org.apache.spark.sql.DataFrame) = {
+      computes += 1
+      df.groupBy(col("k")).agg(sum(col("v")).as("sum_v"))
+    }
+    val r1 = HeuristicCache.computeOrLoad(v1, dir)(profile)
+    assert(r1.count() == 2 && computes == 1)
+    // identical content (different row order) -> cache hit, no recompute
+    val v1b = Seq((2L, "b", 3.0), (1L, "a", 2.0)).toDF("id", "k", "v")
+    val r2 = HeuristicCache.computeOrLoad(v1b, dir)(profile)
+    assert(r2.count() == 2 && computes == 1, "cache must hit on identical content")
+    // changed content -> recompute
+    val v2 = Seq((1L, "a", 99.0), (2L, "b", 3.0)).toDF("id", "k", "v")
+    val r3 = HeuristicCache.computeOrLoad(v2, dir)(profile)
+    assert(computes == 2, "cache must miss on changed content")
+    assert(r3.filter(col("k") === "a").collect().head.getDouble(1) == 99.0)
+  }
+
   test("gzipped-JSONL sink round-trips through the reader") {
     import spark.implicits._
     val out = Files.createTempDirectory("sink").resolve("stage_out")
