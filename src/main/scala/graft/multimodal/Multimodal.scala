@@ -59,6 +59,39 @@ object Multimodal {
     }
   }
 
+  /** One sampled video frame: parent id + frame index + timestamp +
+    * frame payload. */
+  case class FrameRecord(mediaId: Long, frameIdx: Int, tsMs: Long, frame: Array[Byte])
+
+  /** ===================== STUB (decode) =====================
+    * Frame sampling for video rows: emits up to `maxFrames` evenly
+    * time-spaced frames per video (1 per second of duration, capped).
+    * The STUB "decode" slices the payload into even windows standing
+    * in for decoded frames; a real implementation feeds the payload
+    * through a per-partition codec session. The Spark-side contract
+    * is real and tested: typed flatMap explosion, per-row OUTPUT
+    * BOUNDED by maxFrames (an exploding column must never be
+    * unbounded per input row at 100 TB), deterministic frame
+    * timestamps, non-video rows contribute nothing.
+    * ========================================================= */
+  def sampleFrames(media: Dataset[MediaRecord], maxFrames: Int): Dataset[FrameRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(maxFrames > 0, "maxFrames must be positive")
+    media.flatMap { r =>
+      if (r.kind != "video" || r.durationMs <= 0 || r.payload.isEmpty) Iterator.empty
+      else {
+        val n = math.min(maxFrames.toLong, math.max(1L, r.durationMs / 1000L)).toInt
+        (0 until n).iterator.map { i =>
+          val start = (r.payload.length.toLong * i / n).toInt
+          val end = (r.payload.length.toLong * (i + 1) / n).toInt
+          FrameRecord(r.mediaId, i, r.durationMs * i / n,
+            java.util.Arrays.copyOfRange(r.payload, start, end))
+        }
+      }
+    }
+  }
+
   /** Loads a parquet/DataFrame of media rows into the typed Dataset,
     * validating the expected physical schema. */
   def asMedia(df: DataFrame): Dataset[MediaRecord] = {

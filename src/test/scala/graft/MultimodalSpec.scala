@@ -29,6 +29,25 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats.zip(one).forall { case (a, b) => a.features.sameElements(b.features) })
   }
 
+  test("frame sampling bounds output per row and skips non-video") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRecord(1L, "video", Array.tabulate(100)(_.toByte), 0, 0, durationMs = 5000L),
+      MediaRecord(2L, "video", Array.tabulate(40)(_.toByte), 0, 0, durationMs = 60000L),
+      MediaRecord(3L, "image", Array.tabulate(10)(_.toByte), 8, 8, durationMs = 0L))
+    val frames = Multimodal.sampleFrames(spark.createDataset(rows), maxFrames = 8)
+      .collect().groupBy(_.mediaId)
+    // 5s video -> 5 frames; 60s video capped at 8; image -> none
+    assert(frames(1L).length == 5)
+    assert(frames(2L).length == 8)
+    assert(!frames.contains(3L))
+    // frames tile the payload exactly, in order, with monotone ts
+    val f1 = frames(1L).sortBy(_.frameIdx)
+    assert(f1.map(_.frame.length).sum == 100)
+    assert(f1.flatMap(_.frame).toSeq == rows.head.payload.toSeq)
+    assert(f1.map(_.tsMs).toSeq == f1.map(_.tsMs).sorted.toSeq)
+  }
+
   test("asMedia validates the physical schema") {
     import spark.implicits._
     val df = spark.createDataset(media(3)).toDF()
