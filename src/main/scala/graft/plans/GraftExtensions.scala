@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions with the session function registry so SQL text can use
-  * them (`SELECT quantized_dot(a, b)`), not just the DataFrame API.
+  * them (`SELECT quantized_dot(a, b)`), not just the DataFrame API,
+  * and graft's optimizer rules (banded rewrite of keyless
+  * time-proximity joins).
   *
   * Activate with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
@@ -23,5 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"quantized_dot expects 2 arguments, got ${children.length}")
         QuantizedDotProduct(children.head, children(1))
       }))
+    ext.injectOptimizerRule(_ => BandedRangeJoinRule)
   }
 }

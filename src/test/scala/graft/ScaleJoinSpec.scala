@@ -75,6 +75,33 @@ class ScaleJoinSpec extends SparkTestBase {
     assert(salted.count() == plain.count(), "row multiplicity differs")
   }
 
+  test("optimizer auto-bands a keyless time-proximity join: no nested loop, same rows") {
+    import spark.implicits._
+    val l = (0L to 200L by 10).map(t => (t, s"l$t")).toDF("ts", "lv")
+    val r = (0L to 200L by 7).map(t => (t, s"r$t")).toDF("ts2", "rv")
+    // no equi condition: un-rewritten this can only be a nested loop
+    val joined = l.join(r, abs(col("ts") - col("ts2")) <= 10)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"rule did not fire:\n$plan")
+    val got = joined.select(col("ts"), col("ts2")).collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    val expect = (for {
+      a <- 0L to 200L by 10; b <- 0L to 200L by 7 if math.abs(a - b) <= 10
+    } yield (a, b)).toSet
+    assert(got == expect, "banded rewrite changed the result set")
+  }
+
+  test("optimizer leaves equi-keyed range joins alone") {
+    import spark.implicits._
+    val l = Seq((1L, 5L), (1L, 50L), (2L, 5L)).toDF("k", "ts")
+    val r = Seq((1L, 7L), (2L, 100L)).toDF("k2", "ts2")
+    val joined = l.join(r, col("k") === col("k2") && abs(col("ts") - col("ts2")) <= 10)
+    assert(!joined.queryExecution.optimizedPlan.toString.contains("_graft_band"),
+      "rule must not fire when an equality conjunct exists")
+    assert(joined.count() == 1)
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_buckets").toString
