@@ -147,12 +147,18 @@ object DedupOps extends QueryModule {
     // SLOWER here: the extra shuffle outweighs the 2.3x dup factor.
     // The single-shuffle shape below partially aggregates the 60
     // counters map-side, so the shuffle moves only docs x 60 longs.
-    // Hash: xxhash64 (codegen'd, no hex round-trip) — q37 is
-    // rows-checked, not oracle-matched, so the hash needs no DuckDB
-    // twin; md5 here measured ~25% of the query's wall-clock.
+    // Hash: xxhash64 (codegen'd, no hex round-trip; wall-clock parity
+    // with md5+conv here — the 60 bit-tests dominate — but no string
+    // allocation per word). q37 is rows-checked, not oracle-matched,
+    // so the hash needs no DuckDB twin.
+    // MASK to the low 60 bits: xxhash64 is SIGNED, and on a negative
+    // long `shiftright(h,b) % 2` is -1/0 (never 1) — unmasked, half
+    // the words read as all-zero bits, skewing every simhash toward
+    // zero and collapsing the prefix buckets into one giant bucket
+    // (measured 4x slower from the bucket blowup, and biased hashes).
     val words = docs(s, dir)
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", xxhash64(col("w")).bitwiseAND(lit((1L << 60) - 1)))
     val bitSums = (0 until 60).map(b =>
       sum(when(expr(s"(shiftright(h, $b) % 2) = 1"), 1L).otherwise(-1L)).as(s"bit$b"))
     val simhash = (0 until 60)
