@@ -35,6 +35,37 @@ class PropertySpec extends SparkTestBase {
     assert(got == pairs.map { case (a, b) => model(a, b) })
   }
 
+  test("AsOfJoin matches a scalar model on random key/time data (incl. ties)") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    // small domains force key collisions and timestamp TIES, the
+    // interesting cases for the at-or-before + max-tie semantics
+    val rowGen = for {
+      k <- Gen.chooseNum(1L, 4L)
+      ts <- Gen.chooseNum(0L, 20L)
+    } yield (k, ts)
+    val leftRows = (1 to 120).map(i => sample(rowGen, 1000L + i))
+      .zipWithIndex.map { case ((k, ts), i) => (k, ts, 10000L + i) }
+    val rightRows = (1 to 80).map(i => sample(rowGen, 9000L + i))
+      .zipWithIndex.map { case ((k, ts), i) => (k, ts, 20000L + i) }
+
+    val got = AsOfJoin.lastAtOrBefore(
+        leftRows.toDF("k", "ts", "id"), rightRows.toDF("k", "ts", "id"),
+        "k", "ts", "id", Seq("id"))
+      .select(col("id"), col("asof_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+
+    // scalar model: latest right at-or-before; ties -> greatest id
+    val byKey = rightRows.groupBy(_._1)
+    for ((k, lts, lid) <- leftRows) {
+      val expect = byKey.getOrElse(k, Nil)
+        .filter(_._2 <= lts)
+        .sortBy(r => (r._2, r._3))
+        .lastOption.map(_._3)
+      assert(got(lid) == expect, s"left row ($k,$lts,$lid): got ${got(lid)}, want $expect")
+    }
+  }
+
   test("hashBucket is always in range and stable across evaluations") {
     import spark.implicits._
     val ids = (1 to 500).map(i =>
