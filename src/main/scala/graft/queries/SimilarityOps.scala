@@ -7,10 +7,12 @@ import graft.Tables
 import graft.operators.Similarity
 
 /** §2.E — similarity search over `embeddings`. q39 is the exact
-  * baseline with a DuckDB oracle (integer-quantized cosine, identical
-  * float64 both engines); q40/q41 are the bucketed ANN scale paths
-  * (rows-only check — their candidate sets are implementation-defined,
-  * the spec pins recall against the q39 baseline instead).
+  * baseline; q40/q41 are the bucketed ANN scale paths. ALL THREE are
+  * DuckDB-oracle-checked: every similarity/projection is exact int64
+  * arithmetic surfaced as a double both engines compute bit-
+  * identically, so even the ANN candidate sets are reproducible SQL.
+  * The spec additionally pins q40/q41 recall against the q39
+  * baseline.
   */
 object SimilarityOps extends QueryModule {
 
@@ -38,17 +40,73 @@ object SimilarityOps extends QueryModule {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
        |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
-  // q40: random-hyperplane LSH bucketed ANN + exact rerank.
+  // q40: random-hyperplane LSH bucketed ANN + exact rerank. Oracle-
+  // checkable since the projections became exact int64 (quantized
+  // components × integer plane coefficients — the whole index is
+  // deterministic arithmetic both engines reproduce bit-for-bit).
   private def q40(s: SparkSession, dir: String): DataFrame =
     Similarity.annLsh(Tables.embeddings(s, dir), col("vec_id") < NumQueries, K)
 
+  private val q40Sql =
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, qv,
+       |    sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+       |  FROM q),
+       |proj AS (SELECT v.vec_id, t.j,
+       |    list_sum(list_transform(range(1, 65), i ->
+       |      v.qv[i] * (2*((CAST(t.j AS BIGINT)*73856093 + CAST(i-1 AS BIGINT)*19349663) % 1000003) - 1000003))) AS dot
+       |  FROM q v, range(0, ${Similarity.NumTables * Similarity.PlanesPerTable}) t(j)),
+       |ent AS (SELECT vec_id, j // ${Similarity.PlanesPerTable} AS tbl,
+       |    sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << CAST(j % ${Similarity.PlanesPerTable} AS INT) ELSE 0 END) AS bkey
+       |  FROM proj GROUP BY vec_id, j // ${Similarity.PlanesPerTable}),
+       |cand AS (SELECT DISTINCT qe.vec_id AS query_id, e.vec_id AS neighbor_id
+       |  FROM ent qe JOIN ent e ON qe.tbl = e.tbl AND qe.bkey = e.bkey AND e.vec_id <> qe.vec_id
+       |  WHERE qe.vec_id < $NumQueries),
+       |p AS (SELECT c.query_id, c.neighbor_id,
+       |    CAST(list_sum(list_transform(range(1,65), i -> nq.qv[i] * nn.qv[i])) AS DOUBLE)
+       |      / (nq.nrm * nn.nrm) AS sim
+       |  FROM cand c JOIN n nq ON nq.vec_id = c.query_id JOIN n nn ON nn.vec_id = c.neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+       |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   // q41: IVF-style seeded centroids, home-cell assignment, 2-probe.
+  // Same determinism argument as q40: every similarity is a double
+  // computed from exact int64 quantized sums, so cell assignment and
+  // ranking reproduce identically in DuckDB.
   private def q41(s: SparkSession, dir: String): DataFrame =
     Similarity.ivf(Tables.embeddings(s, dir),
       col("vec_id") < NumCents, col("vec_id") < NumQueries, K)
 
+  private val q41Sql =
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, qv,
+       |    sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+       |  FROM q),
+       |cents AS (SELECT vec_id AS cent_id, qv AS cv, nrm AS cn FROM n WHERE vec_id < $NumCents),
+       |asg AS (SELECT n.vec_id, c.cent_id,
+       |    CAST(list_sum(list_transform(range(1,65), i -> n.qv[i] * c.cv[i])) AS DOUBLE)
+       |      / (n.nrm * c.cn) AS csim
+       |  FROM n, cents c),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crank FROM asg),
+       |members AS (SELECT cent_id AS cell, vec_id FROM ranked WHERE crank = 1),
+       |qs AS (SELECT vec_id AS query_id, cent_id AS cell FROM ranked
+       |  WHERE vec_id < $NumQueries AND crank <= 2),
+       |p AS (SELECT qs.query_id, m.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1,65), i -> nq.qv[i] * nn.qv[i])) AS DOUBLE)
+       |      / (nq.nrm * nn.nrm) AS sim
+       |  FROM qs JOIN members m ON m.cell = qs.cell AND m.vec_id <> qs.query_id
+       |  JOIN n nq ON nq.vec_id = qs.query_id JOIN n nn ON nn.vec_id = m.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+       |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q39_knn_brute", q39, Some(q39Sql)),
-    QueryDef("q40_ann_lsh", q40, None),
-    QueryDef("q41_ivf_centroids", q41, None))
+    QueryDef("q40_ann_lsh", q40, Some(q40Sql)),
+    QueryDef("q41_ivf_centroids", q41, Some(q41Sql)))
 }
