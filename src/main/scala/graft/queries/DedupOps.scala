@@ -147,18 +147,16 @@ object DedupOps extends QueryModule {
     // SLOWER here: the extra shuffle outweighs the 2.3x dup factor.
     // The single-shuffle shape below partially aggregates the 60
     // counters map-side, so the shuffle moves only docs x 60 longs.
-    // Hash: xxhash64 (codegen'd, no hex round-trip; wall-clock parity
-    // with md5+conv here — the 60 bit-tests dominate — but no string
-    // allocation per word). q37 is rows-checked, not oracle-matched,
-    // so the hash needs no DuckDB twin.
-    // MASK to the low 60 bits: xxhash64 is SIGNED, and on a negative
-    // long `shiftright(h,b) % 2` is -1/0 (never 1) — unmasked, half
-    // the words read as all-zero bits, skewing every simhash toward
-    // zero and collapsing the prefix buckets into one giant bucket
-    // (measured 4x slower from the bucket blowup, and biased hashes).
+    // Hash: 60-bit md5 prefix — PORTABLE (DuckDB computes the same
+    // value), which is what lets q37 carry a full value-hash oracle.
+    // xxhash64 measured wall-clock parity here (the 60 bit-tests
+    // dominate, not the hash) so portability costs nothing. NB a
+    // signed hash would silently break the bit tests: shiftright(h,b)
+    // % 2 on a negative long is -1/0, never 1 — md5-prefix is
+    // non-negative by construction.
     val words = docs(s, dir)
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
-      .withColumn("h", xxhash64(col("w")).bitwiseAND(lit((1L << 60) - 1)))
+      .withColumn("h", expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"))
     val bitSums = (0 until 60).map(b =>
       sum(when(expr(s"(shiftright(h, $b) % 2) = 1"), 1L).otherwise(-1L)).as(s"bit$b"))
     val simhash = (0 until 60)
@@ -178,6 +176,25 @@ object DedupOps extends QueryModule {
       .select(col("a"), col("b"), col("hamming"))
       .orderBy(col("a"), col("b"))
   }
+
+  // Oracle mirror of the whole simhash pipeline: per-word 60-bit md5
+  // hash → 60 signed bit-votes per doc → bit-fold → 16-bit-prefix
+  // buckets → in-bucket hamming pairs. Every step is integer-exact
+  // in both engines.
+  private val q37Sql =
+    """WITH w AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+      |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM w),
+      |bits AS (SELECT doc_id, t.b,
+      |    sum(CASE WHEN (h >> CAST(t.b AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h, range(0, 60) t(b) GROUP BY doc_id, t.b),
+      |sh AS (SELECT doc_id,
+      |    sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END) AS simhash
+      |  FROM bits GROUP BY doc_id),
+      |bk AS (SELECT doc_id, simhash, simhash >> 44 AS bucket FROM sh),
+      |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+      |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      |SELECT a, b, hamming FROM p WHERE hamming <= 12 ORDER BY a, b""".stripMargin
 
   // ---------------------------------------------------------------
   // q38: embedding-cosine near-dup pairs — top-100 all-pairs baseline
@@ -212,7 +229,7 @@ object DedupOps extends QueryModule {
     QueryDef("q34_dedup_exact", q34, Some(q34Sql)),
     QueryDef("q35_dedup_jaccard", q35, Some(q35Sql)),
     QueryDef("q36_dedup_minhash", q36, Some(q36Sql)),
-    QueryDef("q37_dedup_simhash", q37, None),
+    QueryDef("q37_dedup_simhash", q37, Some(q37Sql)),
     QueryDef("q38_dedup_embedding", q38, Some(q38Sql)))
 
   /** q35/q38 are the quadratic correctness baselines — the headline
