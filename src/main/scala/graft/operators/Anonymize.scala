@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -9,14 +8,19 @@ import graft.functions.TextFunctions
 /** Dataset anonymization (reference: scripts/anonymize.py — md5-hash
   * every id, rename authors to "Player N" in order of appearance).
   *
-  * Scale design: the "Player N" numbering needs a global rank over the
-  * DISTINCT author values — computed on the per-author aggregate
-  * (small: the author universe, not the row count) ordered by each
-  * author's FIRST appearance (min of orderCol), then broadcast-joined
-  * back, so the big table is never pulled through a single-partition
-  * window. The join is null-safe: a NULL author value is kept and
-  * ranked like any other (an inner equi-join would silently drop those
-  * rows).
+  * Scale design: the "Player N" numbering is a global rank over the
+  * DISTINCT author values, ordered by each author's FIRST appearance
+  * (min of orderCol) with the author value as tie-break — two authors
+  * whose first appearances tie still get distinct player numbers in a
+  * deterministic order. The author universe is unbounded on real data
+  * (10⁶–10⁸ distinct authors), so the rank is computed by
+  * [[GlobalRank]] (range-partitioned two-phase numbering — no
+  * single-partition window) and joined back UN-hinted: AQE broadcasts
+  * it while it is small and falls back to a shuffled hash join once
+  * it outgrows the broadcast threshold, instead of a forced broadcast
+  * OOMing the driver. The join is null-safe: a NULL author value is
+  * kept and ranked like any other (an inner equi-join would silently
+  * drop those rows).
   */
 object Anonymize {
 
@@ -25,20 +29,16 @@ object Anonymize {
     * appearance in `orderCol` order. */
   def apply(df: DataFrame, idCol: String, authorCol: String,
             orderCol: String): DataFrame = {
-    // row_number with the author value as tie-break: two authors whose
-    // first appearances tie on orderCol still get DISTINCT player
-    // numbers in a deterministic order (dense_rank would alias them).
-    val ranks = df.groupBy(col(authorCol).as("author_key"))
+    val authors = df.groupBy(col(authorCol).as("author_key"))
       .agg(min(col(orderCol)).as("first_seen"))
-      .withColumn("player",
-        concat(lit("Player "),
-          row_number().over(
-            Window.orderBy(col("first_seen"), col("author_key"))).cast("string")))
+    val ranks = GlobalRank
+      .withRowNumber(authors, Seq(col("first_seen"), col("author_key")), "rn")
+      .withColumn("player", concat(lit("Player "), col("rn").cast("string")))
       .select(col("author_key"), col("player"))
     df.withColumn("anon_id", TextFunctions.anonId(col(idCol), "doc"))
       .withColumn(s"anon_$authorCol",
         concat(lit("src_"), substring(md5(col(authorCol)), 1, 8)))
-      .join(broadcast(ranks), col(authorCol) <=> col("author_key"), "left")
+      .join(ranks, col(authorCol) <=> col("author_key"), "left")
       .drop("author_key")
   }
 }

@@ -30,6 +30,25 @@ class PlanSpec extends SparkTestBase {
       s"nested-loop/cartesian joins planned in: ${offenders.mkString(", ")}")
   }
 
+  /** Queries whose FINAL result is a single row (global aggregate) —
+    * a SinglePartition exchange over one row is the correct plan. */
+  private val onePartByDesign = Set("q05_filter_agg", "q55_dataset_checksum")
+
+  test("no SinglePartition exchange in any multi-row query's executed plan") {
+    // The scale-killer this guards: a global (no-partition) window or
+    // un-keyed repartition(1) pulls the whole table through ONE task.
+    // Global sorts plan rangepartitioning and global limits plan
+    // TakeOrdered — neither trips this.
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => onePartByDesign(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("SinglePartition")) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"SinglePartition exchange planned in: ${offenders.mkString(", ")}")
+  }
+
   test("selective filters are pushed down to the parquet scans") {
     val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     for (name <- Seq("q02_top_revenue", "q04_semi_join", "q05_filter_agg")) {

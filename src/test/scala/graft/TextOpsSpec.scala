@@ -79,6 +79,25 @@ class TextOpsSpec extends SparkTestBase {
     assert(got == Seq("!atk longsword", "a!b$c", "no prefix here", "!cast"))
   }
 
+  test("anonymize numbers authors densely in appearance order, ties split deterministically") {
+    import spark.implicits._
+    // authors cd tie on first_seen=5: numbered by author value; a NULL
+    // author is ranked first (NULLS FIRST) and its rows are kept
+    val df = Seq(
+      (5L, Some("cc")), (5L, Some("bd")), (6L, Some("aa")),
+      (2L, Some("zz")), (7L, Option.empty[String]), (1L, Option.empty[String]),
+      (8L, Some("cc")))
+      .toDF("doc_id", "source")
+    val got = operators.Anonymize(df, "doc_id", "source", orderCol = "doc_id")
+      .select("source", "player").distinct()
+      .collect().map(r => Option(r.getString(0)) -> r.getString(1)).toMap
+    assert(got == Map(
+      None -> "Player 1", Some("zz") -> "Player 2", Some("bd") -> "Player 3",
+      Some("cc") -> "Player 4", Some("aa") -> "Player 5"))
+    // dense: K distinct authors -> players exactly 1..K
+    assert(got.values.toSet == (1 to 5).map(n => s"Player $n").toSet)
+  }
+
   test("all text queries execute and key by doc_id uniquely") {
     for (q <- TextOps.all) {
       val df = q.run(spark, sfDir)
