@@ -97,4 +97,48 @@ object Dedup {
   def signatureSimilarity(sa: Column, sb: Column): Column =
     size(filter(zip_with(sa, sb, (x, y) => x === y), v => v))
       .cast("double") / NumHashes
+
+  /** SimHash banding: 6 bands × 10 bits over the 60-bit hash. */
+  val SimBands = 6
+  val SimBandBits = 10
+
+  /** Near-dup pairs from a (doc_id, simhash) table via multi-band
+    * bucketing: candidates share ANY of the [[SimBands]] bands; the
+    * full hamming distance is computed only for deduped candidates.
+    * Pigeonhole guarantee: a pair with hamming < [[SimBands]] differs
+    * in at most SimBands-1 bands, so at least one band matches — 100%
+    * recall for hamming ≤ 5 at 6 bands. Beyond that, recall is the
+    * probability some band escapes all flips. A single prefix band,
+    * by contrast, misses ~half of all hamming-2 pairs: any flip
+    * inside the prefix hides the pair.
+    *
+    * Band width is the standard Manku-et-al selectivity/recall dial:
+    * fewer, wider bands (4×15) give 32x more bucket values per band
+    * (smaller buckets at huge corpus sizes) but only guarantee
+    * hamming ≤ 3; more, narrower bands raise the guarantee but
+    * concentrate buckets. 6×10 fits this corpus (votes over short
+    * docs are noisy, so true near-dups reach hamming ~9); a 10⁹-doc
+    * deployment would widen bands (or key tables on block PAIRS,
+    * Manku §3) and lower `maxHamming` to match its doc lengths.
+    *
+    * Scale shape: bands are slim (doc_id, b, bkey) rows; the
+    * self-join is hash-keyed on (band, bkey), never all-pairs; the
+    * 8-byte hashes join back once per deduped pair.
+    */
+  def simhashPairs(base: DataFrame, maxHamming: Int = 12): DataFrame = {
+    val bands = base
+      .withColumn("b", explode(sequence(lit(0), lit(SimBands - 1))))
+      .withColumn("bkey", expr(s"shiftright(simhash, b * $SimBandBits) % ${1 << SimBandBits}"))
+      .select(col("doc_id"), col("b"), col("bkey"))
+    val cand = bands.select(col("doc_id").as("a"), col("b"), col("bkey"))
+      .join(bands.select(col("doc_id").as("b_id"), col("b"), col("bkey")), Seq("b", "bkey"))
+      .filter(col("a") < col("b_id"))
+      .select(col("a"), col("b_id")).distinct()
+    cand
+      .join(base.select(col("doc_id").as("a"), col("simhash").as("ha")), Seq("a"))
+      .join(base.select(col("doc_id").as("b_id"), col("simhash").as("hb")), Seq("b_id"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b_id").as("b"), col("hamming"))
+  }
 }

@@ -134,13 +134,14 @@ object DedupOps extends QueryModule {
        |ORDER BY a, b""".stripMargin
 
   // ---------------------------------------------------------------
-  // q37: 60-bit SimHash over the word multiset + 16-bit-prefix
-  // hamming buckets (rows-only check: bit-fold order isn't
-  // SQL-portable to the oracle, but the operator is deterministic).
+  // q37: 60-bit SimHash over the word multiset + multi-band hamming
+  // buckets (6 bands × 10 bits — pigeonhole: hamming ≤ 5 pairs ALWAYS
+  // share a band; the old single 16-bit-prefix bucket missed any pair
+  // whose flips touched the prefix, ~half of all hamming-2 pairs).
   // Distributed shape: explode words → 60 codegen'd conditional SUMs
   // with map-side partial aggregation (NOT per-row lambda aggregates,
   // which run interpreted and are ~100x slower), then one bit-fold
-  // projection.
+  // projection; pairing in Dedup.simhashPairs.
   private def q37(s: SparkSession, dir: String): DataFrame = {
     // NOTE a (doc, word) count pre-agg before hashing (cutting the
     // hash + 60 bit-tests to once per distinct word) measured ~30%
@@ -166,35 +167,36 @@ object DedupOps extends QueryModule {
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash", simhash)
-      .withColumn("bucket", expr("shiftright(simhash, 44)"))
-      .select(col("doc_id"), col("simhash"), col("bucket"))
-    val l = base.select(col("doc_id").as("a"), col("simhash").as("ha"), col("bucket"))
-    val r = base.select(col("doc_id").as("b"), col("simhash").as("hb"), col("bucket"))
-    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
-      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
-      .filter(col("hamming") <= 12)
-      .select(col("a"), col("b"), col("hamming"))
+      .select(col("doc_id"), col("simhash"))
+      // the simhash table feeds three plan branches (bands + two pair
+      // join-backs); materialize once, same rationale as q36's sig
+      .localCheckpoint(eager = false)
+    Dedup.simhashPairs(base, maxHamming = 12)
       .orderBy(col("a"), col("b"))
   }
 
   // Oracle mirror of the whole simhash pipeline: per-word 60-bit md5
-  // hash → 60 signed bit-votes per doc → bit-fold → 16-bit-prefix
-  // buckets → in-bucket hamming pairs. Every step is integer-exact
-  // in both engines.
+  // hash → 60 signed bit-votes per doc → bit-fold → 4×15-bit band
+  // buckets → any-band candidate pairs → hamming filter. Every step
+  // is integer-exact in both engines.
   private val q37Sql =
-    """WITH w AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
-      |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM w),
-      |bits AS (SELECT doc_id, t.b,
-      |    sum(CASE WHEN (h >> CAST(t.b AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
-      |  FROM h, range(0, 60) t(b) GROUP BY doc_id, t.b),
-      |sh AS (SELECT doc_id,
-      |    sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END) AS simhash
-      |  FROM bits GROUP BY doc_id),
-      |bk AS (SELECT doc_id, simhash, simhash >> 44 AS bucket FROM sh),
-      |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
-      |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-      |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
-      |SELECT a, b, hamming FROM p WHERE hamming <= 12 ORDER BY a, b""".stripMargin
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+       |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM w),
+       |bits AS (SELECT doc_id, t.b,
+       |    sum(CASE WHEN (h >> CAST(t.b AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM h, range(0, 60) t(b) GROUP BY doc_id, t.b),
+       |sh AS (SELECT doc_id,
+       |    sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END) AS simhash
+       |  FROM bits GROUP BY doc_id),
+       |bands AS (SELECT doc_id, t.b,
+       |    (simhash >> CAST(t.b * ${Dedup.SimBandBits} AS INT)) % ${1 << Dedup.SimBandBits} AS bkey
+       |  FROM sh, range(0, ${Dedup.SimBands}) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |p AS (SELECT c.a, c.b,
+       |    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+       |  FROM cand c JOIN sh sa ON c.a = sa.doc_id JOIN sh sb ON c.b = sb.doc_id)
+       |SELECT a, b, hamming FROM p WHERE hamming <= 12 ORDER BY a, b""".stripMargin
 
   // ---------------------------------------------------------------
   // q38: embedding-cosine near-dup pairs — top-100 all-pairs baseline

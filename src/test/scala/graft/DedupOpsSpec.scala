@@ -30,12 +30,47 @@ class DedupOpsSpec extends SparkTestBase {
     assert(mh.filter(col("sim_est") < 0 || col("sim_est") > 1).isEmpty)
   }
 
-  test("simhash near-pairs have small hamming distance and include planted dups") {
-    val sh = q("q37_dedup_simhash")
+  test("simhash multi-band finds EVERY planted near-dup pair (sf0.01, the oracle scale)") {
+    // strict recall at the DRIVER GATE's scale: the single-prefix-band
+    // predecessor missed ~half of low-hamming pairs (any flip inside
+    // the prefix hid the pair); 6x10-bit banding finds all 25 planted
+    // pairs (max hamming 9, and every pair leaves >=1 band untouched).
+    // sf0.001 is NOT used here: its doc texts are so short that one
+    // planted pair's vote margins degrade to hamming 11 touching all
+    // six bands — no practical banding catches that (13 bands of <5
+    // bits would collapse bucket selectivity); the maxHamming=12
+    // reporting window is documented as probabilistic past hamming 5.
+    val dir = "/root/testdata/sf0.01"
+    def run(name: String) = DedupOps.all.find(_.name == name).get.run(spark, dir)
+    val sh = run("q37_dedup_simhash")
     assert(sh.filter(col("hamming") > 12).isEmpty)
-    val jacc = q("q35_dedup_jaccard").select(col("a"), col("b"))
-    val missed = jacc.except(sh.select(col("a"), col("b"))).count()
-    assert(missed <= jacc.count() / 2, "simhash missed most planted dups")
+    val jacc = run("q35_dedup_jaccard").select(col("a"), col("b"))
+    assert(jacc.except(sh.select(col("a"), col("b"))).isEmpty,
+      "multi-band simhash missed a planted near-dup pair")
+  }
+
+  test("simhash banding guarantees hamming<=5 recall, incl. pairs straddling the old prefix") {
+    import spark.implicits._
+    val h0 = 0x0ABCDEF123456789L & ((1L << 60) - 1)
+    // adversarial for the retired single-band scheme: both flips land
+    // in the former top-16-bit prefix bucket (bits 44..59), so
+    // prefix-bucketing put the pair in different buckets and NEVER
+    // compared it; bands 0-3 are untouched → multi-band must find it
+    val adversarial = h0 ^ (1L << 58) ^ (1L << 45)
+    // pigeonhole cases: <=5 flips can touch at most 5 of 6 bands, so
+    // some band always survives — even one flip per band for 5 bands
+    val spread5 = h0 ^ (1L << 3) ^ (1L << 14) ^ (1L << 27) ^ (1L << 33) ^ (1L << 48)
+    val spread2 = h0 ^ (1L << 16) ^ (1L << 59)
+    // boundary: 6 flips, one per band — every band touched, missed BY
+    // DESIGN (the documented guarantee limit)
+    val allBands = h0 ^ (1L << 1) ^ (1L << 11) ^ (1L << 21) ^ (1L << 31) ^ (1L << 41) ^ (1L << 51)
+    val base = Seq(1L -> h0, 2L -> adversarial, 3L -> spread5, 4L -> spread2, 5L -> allBands)
+      .toDF("doc_id", "simhash")
+    val got = Dedup.simhashPairs(base).select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.contains(1L -> 2L), "hamming-2 pair straddling the old prefix was missed")
+    assert(got.contains(1L -> 3L), "hamming-5 pair spread over 5 bands was missed")
+    assert(got.contains(1L -> 4L), "hamming-2 pair spread over 2 bands was missed")
+    assert(!got.contains(1L -> 5L), "pair touching all 6 bands should be outside the guarantee")
   }
 
   test("embedding top-pairs are ordered by similarity and well-formed") {
