@@ -128,15 +128,27 @@ object EventOps extends QueryModule {
   // distill2_authors.py:40-62 — DM set from combat_state_update.data.dm,
   // keep author/DM utterances, exactly one distinct caster).
   private def q15(s: SparkSession, dir: String): DataFrame = {
-    val wu = Window.partitionBy(col("instance_id"), col("user_id"))
-    ev(s, dir)
-      .withColumn("is_dm", max(when(isState, 1).otherwise(0)).over(wu))
-      .withColumn("is_author", max(when(isCmd, 1).otherwise(0)).over(wu))
+    // Two-level aggregation, NOT a (instance,user) window: the flags
+    // only need per-user maxima, so level 1 collapses to one row per
+    // (instance, user) — with map-side partial agg and no sort — and
+    // level 2 folds users into the instance row. The window form
+    // carried a full sort + two Window operators for the same answer.
+    // n_casters: count of per-user rows with the command flag == the
+    // old COUNT(DISTINCT user_id) FILTER (user_id already unique at
+    // level 2; the isNotNull guard mirrors DISTINCT's null-skipping).
+    val perUser = ev(s, dir)
+      .groupBy(col("instance_id"), col("user_id"))
+      .agg(
+        max(when(isState, 1).otherwise(0)).as("is_dm"),
+        max(when(isCmd, 1).otherwise(0)).as("is_author"),
+        count(when(isMsg, lit(1))).as("u_msgs"))
+    perUser
       .groupBy(col("instance_id"))
       .agg(
-        count(when(isMsg, lit(1))).as("n_msgs"),
-        count(when(isMsg && (col("is_dm") === 1 || col("is_author") === 1), lit(1))).as("n_kept"),
-        countDistinct(when(isCmd, col("user_id"))).as("n_casters"))
+        sum(col("u_msgs")).as("n_msgs"),
+        sum(when(col("is_dm") === 1 || col("is_author") === 1, col("u_msgs"))
+          .otherwise(0L)).as("n_kept"),
+        count(when(col("is_author") === 1 && col("user_id").isNotNull, lit(1))).as("n_casters"))
       .withColumn("single_caster", (col("n_casters") === 1).cast("int"))
       .orderBy(col("instance_id"))
   }

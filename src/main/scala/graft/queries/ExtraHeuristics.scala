@@ -50,15 +50,22 @@ object ExtraHeuristics extends QueryModule {
   // player_to_monster_ratio): players = users with >=1 command in the
   // instance; monsters = users appearing only in state updates.
   private def q52(s: SparkSession, dir: String): DataFrame = {
-    val wu = Window.partitionBy(col("instance_id"), col("user_id"))
-    ev(s, dir)
-      .withColumn("has_cmd", max(when(isCmd, 1).otherwise(0)).over(wu))
-      .withColumn("has_state", max(when(isState, 1).otherwise(0)).over(wu))
+    // Two-level aggregation instead of a (instance,user) window + agg:
+    // level 1 is one flag row per (instance, user) — partial-agg'd
+    // map-side, no sort — and level 2 counts flagged users directly
+    // (per-user rows are already distinct; the isNotNull guards mirror
+    // COUNT(DISTINCT)'s null-skipping).
+    val perUser = ev(s, dir)
+      .groupBy(col("instance_id"), col("user_id"))
+      .agg(
+        max(when(isCmd, 1).otherwise(0)).as("has_cmd"),
+        max(when(isState, 1).otherwise(0)).as("has_state"))
+    perUser
       .groupBy(col("instance_id"))
       .agg(
-        countDistinct(when(col("has_cmd") === 1, col("user_id"))).as("n_players"),
-        countDistinct(when(col("has_cmd") === 0 && col("has_state") === 1, col("user_id")))
-          .as("n_monsters"))
+        count(when(col("has_cmd") === 1 && col("user_id").isNotNull, lit(1))).as("n_players"),
+        count(when(col("has_cmd") === 0 && col("has_state") === 1 && col("user_id").isNotNull,
+          lit(1))).as("n_monsters"))
       .withColumn("player_monster_ratio",
         col("n_players") / when(col("n_monsters") === 0, lit(null)).otherwise(col("n_monsters")))
       .orderBy(col("instance_id"))

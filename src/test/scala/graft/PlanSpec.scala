@@ -49,6 +49,15 @@ class PlanSpec extends SparkTestBase {
       s"SinglePartition exchange planned in: ${offenders.mkString(", ")}")
   }
 
+  test("per-user flag aggregations plan as two-level aggregates, not windows") {
+    // q15/q52 need only per-(instance,user) maxima: a Window form
+    // computes the same answer but drags a full sort through the plan
+    for (name <- Seq("q15_author_filter", "q52_actor_mix")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name plans a Window operator:\n$plan")
+    }
+  }
+
   test("selective filters are pushed down to the parquet scans") {
     val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     for (name <- Seq("q02_top_revenue", "q04_semi_join", "q05_filter_agg")) {
