@@ -48,8 +48,18 @@ object Dedup {
     * any consumer invariant under duplicate shingles — MIN aggregation
     * (MinHash) sees the same minimum over a multiset as over its set.
     * Jaccard's intersection COUNTS are not invariant: q35 keeps the
-    * set form. */
-  def shingleRows(docs: DataFrame, n: Int = 3, dedup: Boolean = true): DataFrame = {
+    * set form.
+    *
+    * `maxDocFreq`: stop-shingle guard. A shingle present in more than
+    * this many DISTINCT documents is dropped entirely — at corpus
+    * scale one boilerplate phrase shared by 10⁶ docs otherwise turns
+    * its LSH/Jaccard bucket into a 10¹²-pair quadratic hot spot. The
+    * hot set is tiny by construction (only shingles above the bound),
+    * so the anti-join broadcasts; hot shingles carry no dedup signal
+    * (they don't discriminate between documents), which is why
+    * dropping them is the standard guard rather than a recall loss. */
+  def shingleRows(docs: DataFrame, n: Int = 3, dedup: Boolean = true,
+                  maxDocFreq: Option[Long] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("i"))
     val leadCols = (1 until n).map(j => lead(col("w"), j).over(w).as(s"w$j"))
@@ -60,7 +70,14 @@ object Dedup {
     val rows = complete
       .select(col("doc_id"),
         concat_ws(" ", col("w") +: (1 until n).map(j => col(s"w$j")): _*).as("g"))
-    if (dedup) rows.distinct() else rows
+    val out = if (dedup) rows.distinct() else rows
+    maxDocFreq.fold(out) { t =>
+      val hot = out.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("df_"))
+        .filter(col("df_") > t)
+        .select(col("g"))
+      out.join(hot, Seq("g"), "left_anti")
+    }
   }
 
   /** k-wide MinHash signature: sig[i] = min over shingles of

@@ -42,9 +42,9 @@ object DedupOps extends QueryModule {
 
   // ---------------------------------------------------------------
   // q35: word-3-gram Jaccard pairs (correctness baseline for q36).
-  // The join is keyed per shingle — bounded buckets, not all-pairs;
-  // at 100 TB the high-document-frequency shingles would additionally
-  // be dropped (stop-shingles) before the join.
+  // The join is keyed per shingle — bounded buckets, not all-pairs.
+  // Deliberately UNcapped: this is the exact-Jaccard baseline; the
+  // scale path (q36) applies the stop-shingle maxDocFreq guard.
   private def q35(s: SparkSession, dir: String): DataFrame = {
     // cache: referenced three times (sizes + both join sides); the
     // shingle pipeline dominates wall-clock if recomputed per use.
@@ -100,8 +100,16 @@ object DedupOps extends QueryModule {
     // four branches read the blocks) — eager would run the whole
     // signature job at DataFrame-construction time, which e.g. the
     // plan-shape spec does just to look at plan strings
+    // Stop-shingle guard: a shingle in >10% of documents carries no
+    // dedup signal but turns its bucket quadratic at corpus scale.
+    // The doc count is a parquet metadata-only action; nothing in the
+    // synthetic corpus reaches the bound (max DF is ~0.5%), so the
+    // guard exists purely for the 100-TB shape (skew-planted spec
+    // proves it bounds candidates).
+    val nDocs = docs(s, dir).count()
     val sig = Dedup.withSignature(
-      Dedup.shingleRows(docs(s, dir), dedup = false)).localCheckpoint(eager = false)
+      Dedup.shingleRows(docs(s, dir), dedup = false,
+        maxDocFreq = Some((nDocs / 10).max(1L)))).localCheckpoint(eager = false)
     val buckets = Dedup.lshBuckets(sig).select(col("doc_id"), col("b"), col("bkey"))
     val cand = buckets.select(col("doc_id").as("a"), col("b"), col("bkey"))
       .join(buckets.select(col("doc_id").as("b_id"), col("b"), col("bkey")), Seq("b", "bkey"))
@@ -120,7 +128,11 @@ object DedupOps extends QueryModule {
     s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sh
        |      FROM d WHERE len(ws) >= 3),
-       |hs AS (SELECT doc_id, list_transform(sh, g -> CAST(('0x'||substr(md5(g),1,12)) AS BIGINT) % ${Dedup.P}) AS hv FROM s),
+       |e0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       |keep AS (SELECT g FROM e0 GROUP BY g
+       |         HAVING count(DISTINCT doc_id) <= greatest(1, (SELECT count(*) // 10 FROM documents))),
+       |hs AS (SELECT doc_id, list(CAST(('0x'||substr(md5(g),1,12)) AS BIGINT) % ${Dedup.P}) AS hv
+       |       FROM e0 JOIN keep USING (g) GROUP BY doc_id),
        |sig AS (SELECT doc_id, list_transform(range(0, ${Dedup.NumHashes}), i -> list_min(list_transform(hv, h -> ((2*i+3)*h + (5*i+7)) % ${Dedup.P}))) AS sg FROM hs),
        |bands AS (SELECT doc_id, sg, b, md5(array_to_string(sg[b*${Dedup.RowsPerBand}+1 : b*${Dedup.RowsPerBand}+${Dedup.RowsPerBand}], ',')) AS bkey
        |          FROM sig, range(0, ${Dedup.Bands}) t(b)),

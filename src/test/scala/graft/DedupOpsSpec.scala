@@ -81,6 +81,28 @@ class DedupOpsSpec extends SparkTestBase {
     assert(p.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("stop-shingle cap drops corpus-wide hot shingles and bounds candidate joins") {
+    import spark.implicits._
+    // every doc opens with the same 3-gram (one shingle in every doc —
+    // the boilerplate-header skew case); tails are unique per doc
+    val docs = (0 until 40)
+      .map(i => (i.toLong, s"hot hot hot u${i}a u${i}b u${i}c u${i}d"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.shingleRows(docs)
+    val capped = Dedup.shingleRows(docs, maxDocFreq = Some(4))
+    assert(uncapped.filter(col("g") === "hot hot hot").count() == 40)
+    assert(capped.filter(col("g") === "hot hot hot").isEmpty,
+      "hot shingle survived the DF cap")
+    // a shingle-keyed candidate join is all-pairs without the cap
+    // (the hot bucket alone is n^2/2) and empty with it
+    def candPairs(e: org.apache.spark.sql.DataFrame) =
+      e.select(col("doc_id").as("a"), col("g"))
+        .join(e.select(col("doc_id").as("b"), col("g")), Seq("g"))
+        .filter(col("a") < col("b")).count()
+    assert(candPairs(uncapped) == 40L * 39 / 2)
+    assert(candPairs(capped) == 0)
+  }
+
   test("shingled drops sub-n docs and emits distinct shingles") {
     import spark.implicits._
     val df = Seq((1L, "a b"), (2L, "a b c d"), (3L, "x x x x x")).toDF("doc_id", "text")
