@@ -1,7 +1,8 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -35,20 +36,45 @@ object HeuristicCache {
 
   /** Returns `compute(input)`'s result from `cacheDir` when the
     * stored checksum matches `input`'s current content; otherwise
-    * recomputes, overwrites the cache, and stamps the new checksum. */
+    * recomputes, overwrites the cache, and stamps the new checksum.
+    *
+    * All marker I/O goes through the Hadoop FileSystem API resolved
+    * from `cacheDir`'s scheme — the cache works identically on
+    * local fs, HDFS, or s3a://; a java.nio marker would silently
+    * never match on an object store and recompute forever. */
   def computeOrLoad(input: DataFrame, cacheDir: String)
                    (compute: DataFrame => DataFrame): DataFrame = {
     val spark = input.sparkSession
     val sum = checksumOf(input)
-    val marker = Paths.get(cacheDir, "_checksum")
-    val data = s"$cacheDir/data"
-    val fresh = Files.exists(marker) && Files.readString(marker).trim == sum &&
-      Files.exists(Paths.get(data))
+    val dir = new Path(cacheDir)
+    val fs: FileSystem =
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(dir, "_checksum")
+    val data = new Path(dir, "data")
+    val fresh = fs.exists(marker) && readUtf8(fs, marker).trim == sum &&
+      fs.exists(data)
     if (!fresh) {
-      compute(input).write.mode("overwrite").parquet(data)
-      Files.createDirectories(Paths.get(cacheDir))
-      Files.writeString(marker, sum)
+      compute(input).write.mode("overwrite").parquet(data.toString)
+      fs.mkdirs(dir)
+      writeUtf8(fs, marker, sum)
     }
-    spark.read.parquet(data)
+    spark.read.parquet(data.toString)
+  }
+
+  private def readUtf8(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+        .foreach(n => out.write(buf, 0, n))
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private def writeUtf8(fs: FileSystem, p: Path, s: String): Unit = {
+    // overwrite=true: a torn previous marker must not wedge the cache
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 }
