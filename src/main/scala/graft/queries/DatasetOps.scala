@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.EventFunctions._
 import graft.functions.Exact.d2
+import graft.functions.TextFunctions
 
 /** Dataset-level operations mirroring the reference's harness layer:
   * the dataset checksum gating cached heuristic results (reference:
@@ -41,7 +42,7 @@ object DatasetOps extends QueryModule {
   // (heuristic_worker.py) re-reads the raw corpus once per heuristic.
   // Single shuffle on instance_id; at 100 TB this is the difference
   // between 1 scan and |heuristics| scans.
-  private def q56(s: SparkSession, dir: String): DataFrame =
+  private def profile(s: SparkSession, dir: String): DataFrame =
     norm(Tables.events(s, dir))
       .groupBy(col("instance_id"))
       .agg(
@@ -56,7 +57,9 @@ object DatasetOps extends QueryModule {
       .withColumn("avg_msg_len",
         col("_sum_msg_len") / when(col("n_messages") === 0, lit(null)).otherwise(col("n_messages")))
       .drop("_sum_msg_len")
-      .orderBy(col("instance_id"))
+
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    profile(s, dir).orderBy(col("instance_id"))
 
   private val q56Sql =
     s"""WITH $NormSql
@@ -72,7 +75,53 @@ object DatasetOps extends QueryModule {
        |    / NULLIF(COUNT(*) FILTER (WHERE event_type IN ('click','view')), 0) AS avg_msg_len
        |FROM ev GROUP BY instance_id ORDER BY instance_id""".stripMargin
 
+  // q57: label merge — the reference's regression surface joins the
+  // human-annotated label CSV (instance_id, label) INNER onto the
+  // per-instance heuristic feature table (reference: merge_labels.py:22-29
+  // loads the CSV; regression/load_data.py:19 does
+  // features.join(labels, how="inner", on="instance_id")). The label
+  // table here is the CSV's stand-in: a deterministic ~30% "annotated"
+  // sample of instances via the same salted-md5 bucket primitive as the
+  // train/test split, labeled pos/neg. Scale shape: labels are one slim
+  // row per labeled instance — tiny vs the corpus — so the un-hinted
+  // equi-join broadcasts; the profile side is the q56 single-shuffle agg.
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val labels = norm(Tables.events(s, dir))
+      .select(col("instance_id")).distinct()
+      .withColumn("bucket", TextFunctions.hashBucket(col("instance_id"), "label", 10))
+      .filter(col("bucket") < 3)
+      .withColumn("label", when(col("bucket") % 2 === 0, "pos").otherwise("neg"))
+      .select(col("instance_id"), col("label"))
+    profile(s, dir)
+      .join(labels, Seq("instance_id"))
+      .orderBy(col("instance_id"))
+  }
+
+  private val q57Sql =
+    s"""WITH $NormSql,
+       |prof AS (SELECT instance_id,
+       |  COUNT(*) AS n_events,
+       |  COUNT(*) FILTER (WHERE event_type IN ('click','view')) AS n_messages,
+       |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_commands,
+       |  COUNT(DISTINCT user_id) AS n_participants,
+       |  COUNT(DISTINCT CASE WHEN event_type IN ('click','view','purchase') THEN user_id END) AS n_actors,
+       |  COUNT(*) FILTER (WHERE event_type IN ('click','view'))
+       |    / NULLIF(COUNT(*) FILTER (WHERE event_type = 'purchase'), 0) AS msg_cmd_ratio,
+       |  CAST(SUM(CASE WHEN event_type IN ('click','view') THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+       |    / NULLIF(COUNT(*) FILTER (WHERE event_type IN ('click','view')), 0) AS avg_msg_len
+       |FROM ev GROUP BY instance_id),
+       |lab AS (SELECT instance_id,
+       |    CASE WHEN bucket % 2 = 0 THEN 'pos' ELSE 'neg' END AS label
+       |  FROM (SELECT DISTINCT instance_id,
+       |          CAST(('0x' || substr(md5('label' || CAST(instance_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 AS bucket
+       |        FROM ev)
+       |  WHERE bucket < 3)
+       |SELECT prof.*, lab.label
+       |FROM prof JOIN lab USING (instance_id)
+       |ORDER BY instance_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q55_dataset_checksum", q55, Some(q55Sql)),
-    QueryDef("q56_heuristic_profile", q56, Some(q56Sql)))
+    QueryDef("q56_heuristic_profile", q56, Some(q56Sql)),
+    QueryDef("q57_label_join", q57, Some(q57Sql)))
 }
