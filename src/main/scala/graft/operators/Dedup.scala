@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *  - MinHash/LSH: candidate pairs exist only inside (band, band-key)
   *    buckets — the join key is the banded signature hash, so the
   *    shuffle is keyed and bounded, never quadratic.
-  *  - SimHash: pairs only inside a 16-bit prefix bucket.
+  *  - SimHash: pairs only inside 15-16-bit block-pair buckets.
   * The per-shingle md5 hash is computed ONCE per shingle, then k=32
   * affine permutations fold over the cached hash array — all inside
   * whole-stage codegen (transform/aggregate, no UDFs).
@@ -72,11 +72,16 @@ object Dedup {
         concat_ws(" ", col("w") +: (1 until n).map(j => col(s"w$j")): _*).as("g"))
     val out = if (dedup) rows.distinct() else rows
     maxDocFreq.fold(out) { t =>
-      val hot = out.groupBy(col("g"))
+      // the shingle stream feeds BOTH the document-frequency aggregate
+      // and the anti-join probe side; materialize it once or the
+      // posexplode + window-lead pipeline runs twice (measured ~2x on
+      // the q36 wall-clock). Lazy: materializes at the first action.
+      val mat = out.localCheckpoint(eager = false)
+      val hot = mat.groupBy(col("g"))
         .agg(countDistinct(col("doc_id")).as("df_"))
         .filter(col("df_") > t)
         .select(col("g"))
-      out.join(hot, Seq("g"), "left_anti")
+      mat.join(hot, Seq("g"), "left_anti")
     }
   }
 
@@ -115,47 +120,72 @@ object Dedup {
     size(filter(zip_with(sa, sb, (x, y) => x === y), v => v))
       .cast("double") / NumHashes
 
-  /** SimHash banding: 6 bands × 10 bits over the 60-bit hash. */
-  val SimBands = 6
-  val SimBandBits = 10
+  /** SimHash block layout: 8 blocks of the 60-bit hash (widths
+    * 8,8,8,8,7,7,7,7), keyed in C(8,2)=28 block-PAIR tables. */
+  val SimBlockWidths: Seq[Int] = Seq(8, 8, 8, 8, 7, 7, 7, 7)
+  val SimBlockShifts: Seq[Int] = SimBlockWidths.scanLeft(0)(_ + _).init
+  val SimPairCombos: Seq[(Int, Int)] =
+    for { i <- SimBlockWidths.indices; j <- i + 1 until SimBlockWidths.size }
+      yield (i, j)
+  /** Pigeonhole recall guarantee: blocks − 2 flipped bits. */
+  val SimGuarantee: Int = SimBlockWidths.size - 2
 
-  /** Near-dup pairs from a (doc_id, simhash) table via multi-band
-    * bucketing: candidates share ANY of the [[SimBands]] bands; the
-    * full hamming distance is computed only for deduped candidates.
-    * Pigeonhole guarantee: a pair with hamming < [[SimBands]] differs
-    * in at most SimBands-1 bands, so at least one band matches — 100%
-    * recall for hamming ≤ 5 at 6 bands. Beyond that, recall is the
-    * probability some band escapes all flips. A single prefix band,
-    * by contrast, misses ~half of all hamming-2 pairs: any flip
-    * inside the prefix hides the pair.
+  /** Near-dup pairs from a (doc_id, simhash) table via block-PAIR
+    * bucketing (the block-combination scheme of Manku et al. §3):
+    * the 60-bit hash splits into 8 blocks, and each of the 28
+    * unordered block pairs forms a table keyed by the 15-16 bits of
+    * its two blocks. Candidates share ANY pair table's key; the full
+    * hamming distance is computed only for deduped candidates.
     *
-    * Band width is the standard Manku-et-al selectivity/recall dial:
-    * fewer, wider bands (4×15) give 32x more bucket values per band
-    * (smaller buckets at huge corpus sizes) but only guarantee
-    * hamming ≤ 3; more, narrower bands raise the guarantee but
-    * concentrate buckets. 6×10 fits this corpus (votes over short
-    * docs are noisy, so true near-dups reach hamming ~9); a 10⁹-doc
-    * deployment would widen bands (or key tables on block PAIRS,
-    * Manku §3) and lower `maxHamming` to match its doc lengths.
+    * Pigeonhole guarantee: hamming ≤ [[SimGuarantee]] (= 6) dirties
+    * at most 6 of the 8 blocks, so at least one CLEAN PAIR of blocks
+    * survives and that table catches the pair — 100% recall to
+    * hamming 6, probabilistic beyond (e.g. 7 flips in 7 distinct
+    * blocks leave only one clean block: missed by design).
     *
-    * Scale shape: bands are slim (doc_id, b, bkey) rows; the
-    * self-join is hash-keyed on (band, bkey), never all-pairs; the
-    * 8-byte hashes join back once per deduped pair.
+    * Why pairs instead of single-block bands: bucket-key cardinality
+    * is the scale dial. Single 10-bit bands have 2^10 key values —
+    * bucket population grows LINEARLY with corpus size, so junk
+    * candidate pairs grow quadratically (measured: 10x docs → 100x
+    * candidates on the synthetic corpus). Pair keys carry 15-16 bits
+    * (32-64x the cardinality) at the same guarantee-per-table-count
+    * budget, cutting the random-collision rate per pair ~10x
+    * (28/2^15.5 vs 6/2^10). The residual ceiling is inherent to
+    * simhash banding — key bits scale as hashBits/blocks while the
+    * guarantee needs blocks−2 ≥ maxHamming — so a 10⁹⁺-doc corpus
+    * tightens `maxHamming` (web-scale dedup uses 3) and re-derives
+    * the layout rather than widening this one.
+    *
+    * Scale shape: band rows are (doc_id, table, bkey, simhash) — the
+    * hash is ONE long, so carrying it through the band join is
+    * cheaper than the q36-style slim-row + join-back shape (which
+    * pays two extra shuffle joins to recover wide signature ARRAYS;
+    * with an 8-byte payload the join-backs cost more than they
+    * save). The self-join is hash-keyed on (table, bkey), never
+    * all-pairs, and the hamming filter runs BEFORE the pair-dedup so
+    * the distinct only shuffles true near-pairs. Output is
+    * inherently quadratic INSIDE a near-dup clique (every pair is
+    * reported) — that is the operator's contract, same as any
+    * pair-listing dedup.
     */
   def simhashPairs(base: DataFrame, maxHamming: Int = 12): DataFrame = {
+    val combos = SimPairCombos.zipWithIndex.map { case ((i, j), c) =>
+      val (s1, w1) = (SimBlockShifts(i), SimBlockWidths(i))
+      val (s2, w2) = (SimBlockShifts(j), SimBlockWidths(j))
+      struct(lit(c).as("b"), expr(
+        s"(shiftright(simhash, $s1) % ${1L << w1}) * ${1L << w2}" +
+          s" + (shiftright(simhash, $s2) % ${1L << w2})").as("bkey"))
+    }
     val bands = base
-      .withColumn("b", explode(sequence(lit(0), lit(SimBands - 1))))
-      .withColumn("bkey", expr(s"shiftright(simhash, b * $SimBandBits) % ${1 << SimBandBits}"))
-      .select(col("doc_id"), col("b"), col("bkey"))
-    val cand = bands.select(col("doc_id").as("a"), col("b"), col("bkey"))
-      .join(bands.select(col("doc_id").as("b_id"), col("b"), col("bkey")), Seq("b", "bkey"))
+      .select(col("doc_id"), col("simhash"), explode(array(combos: _*)).as("pc"))
+      .select(col("doc_id"), col("simhash"), col("pc.b").as("b"), col("pc.bkey").as("bkey"))
+    bands.select(col("doc_id").as("a"), col("simhash").as("ha"), col("b"), col("bkey"))
+      .join(bands.select(col("doc_id").as("b_id"), col("simhash").as("hb"),
+        col("b"), col("bkey")), Seq("b", "bkey"))
       .filter(col("a") < col("b_id"))
-      .select(col("a"), col("b_id")).distinct()
-    cand
-      .join(base.select(col("doc_id").as("a"), col("simhash").as("ha")), Seq("a"))
-      .join(base.select(col("doc_id").as("b_id"), col("simhash").as("hb")), Seq("b_id"))
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b_id").as("b"), col("hamming"))
+      .distinct()
   }
 }

@@ -146,10 +146,10 @@ object DedupOps extends QueryModule {
        |ORDER BY a, b""".stripMargin
 
   // ---------------------------------------------------------------
-  // q37: 60-bit SimHash over the word multiset + multi-band hamming
-  // buckets (6 bands × 10 bits — pigeonhole: hamming ≤ 5 pairs ALWAYS
-  // share a band; the old single 16-bit-prefix bucket missed any pair
-  // whose flips touched the prefix, ~half of all hamming-2 pairs).
+  // q37: 60-bit SimHash over the word multiset + block-PAIR hamming
+  // buckets (8 blocks, C(8,2)=28 pair tables — pigeonhole: hamming
+  // ≤ 6 pairs ALWAYS share a clean block pair; see Dedup.simhashPairs
+  // for why pair keys beat single-block bands at corpus scale).
   // Distributed shape: explode words → 60 codegen'd conditional SUMs
   // with map-side partial aggregation (NOT per-row lambda aggregates,
   // which run interpreted and are ~100x slower), then one bit-fold
@@ -180,17 +180,23 @@ object DedupOps extends QueryModule {
       .agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash", simhash)
       .select(col("doc_id"), col("simhash"))
-      // the simhash table feeds three plan branches (bands + two pair
-      // join-backs); materialize once, same rationale as q36's sig
-      .localCheckpoint(eager = false)
+    // no checkpoint: since the hash rides along the band rows, the
+    // simhash table feeds exactly ONE plan branch
     Dedup.simhashPairs(base, maxHamming = 12)
       .orderBy(col("a"), col("b"))
   }
 
   // Oracle mirror of the whole simhash pipeline: per-word 60-bit md5
-  // hash → 60 signed bit-votes per doc → bit-fold → 4×15-bit band
-  // buckets → any-band candidate pairs → hamming filter. Every step
-  // is integer-exact in both engines.
+  // hash → 60 signed bit-votes per doc → bit-fold → 28 block-pair
+  // buckets → any-table candidate pairs → hamming filter. Every step
+  // is integer-exact in both engines; the combos VALUES list is
+  // generated from the same Dedup constants the Spark side uses.
+  private val simCombosSql = Dedup.SimPairCombos.zipWithIndex.map {
+    case ((i, j), c) =>
+      s"($c,${Dedup.SimBlockShifts(i)},${Dedup.SimBlockWidths(i)}," +
+        s"${Dedup.SimBlockShifts(j)},${Dedup.SimBlockWidths(j)})"
+  }.mkString(",")
+
   private val q37Sql =
     s"""WITH w AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM w),
@@ -200,9 +206,11 @@ object DedupOps extends QueryModule {
        |sh AS (SELECT doc_id,
        |    sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END) AS simhash
        |  FROM bits GROUP BY doc_id),
-       |bands AS (SELECT doc_id, t.b,
-       |    (simhash >> CAST(t.b * ${Dedup.SimBandBits} AS INT)) % ${1 << Dedup.SimBandBits} AS bkey
-       |  FROM sh, range(0, ${Dedup.SimBands}) t(b)),
+       |combos(c, s1, w1, s2, w2) AS (VALUES $simCombosSql),
+       |bands AS (SELECT doc_id, c AS b,
+       |    ((simhash >> s1) % (CAST(1 AS BIGINT) << w1)) * (CAST(1 AS BIGINT) << w2)
+       |      + ((simhash >> s2) % (CAST(1 AS BIGINT) << w2)) AS bkey
+       |  FROM sh, combos),
        |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |p AS (SELECT c.a, c.b,

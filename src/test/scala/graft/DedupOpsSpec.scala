@@ -33,13 +33,14 @@ class DedupOpsSpec extends SparkTestBase {
   test("simhash multi-band finds EVERY planted near-dup pair (sf0.01, the oracle scale)") {
     // strict recall at the DRIVER GATE's scale: the single-prefix-band
     // predecessor missed ~half of low-hamming pairs (any flip inside
-    // the prefix hid the pair); 6x10-bit banding finds all 25 planted
-    // pairs (max hamming 9, and every pair leaves >=1 band untouched).
-    // sf0.001 is NOT used here: its doc texts are so short that one
-    // planted pair's vote margins degrade to hamming 11 touching all
-    // six bands — no practical banding catches that (13 bands of <5
-    // bits would collapse bucket selectivity); the maxHamming=12
-    // reporting window is documented as probabilistic past hamming 5.
+    // the prefix hid the pair); block-pair banding finds all 25
+    // planted pairs (max hamming 9 — beyond the hamming-6 pigeonhole
+    // guarantee, but every planted pair still leaves >=1 clean block
+    // pair). sf0.001 is NOT used here: its doc texts are so short that
+    // one planted pair's vote margins degrade to hamming 11 touching
+    // nearly every block — no practical banding catches that; the
+    // maxHamming=12 reporting window is documented as probabilistic
+    // past hamming 6.
     val dir = "/root/testdata/sf0.01"
     def run(name: String) = DedupOps.all.find(_.name == name).get.run(spark, dir)
     val sh = run("q37_dedup_simhash")
@@ -49,28 +50,31 @@ class DedupOpsSpec extends SparkTestBase {
       "multi-band simhash missed a planted near-dup pair")
   }
 
-  test("simhash banding guarantees hamming<=5 recall, incl. pairs straddling the old prefix") {
+  test("simhash block-pair banding guarantees hamming<=6 recall, incl. old-prefix straddlers") {
     import spark.implicits._
+    // block layout: widths 8,8,8,8,7,7,7,7 → shifts 0,8,16,24,32,39,46,53
     val h0 = 0x0ABCDEF123456789L & ((1L << 60) - 1)
-    // adversarial for the retired single-band scheme: both flips land
-    // in the former top-16-bit prefix bucket (bits 44..59), so
-    // prefix-bucketing put the pair in different buckets and NEVER
-    // compared it; bands 0-3 are untouched → multi-band must find it
+    // adversarial for the retired single-prefix scheme: both flips land
+    // in the former top-16-bit prefix (bits 44..59 → blocks 5 and 7
+    // here), so prefix-bucketing NEVER compared the pair; blocks
+    // 0-4 and 6 stay clean → many clean pairs remain
     val adversarial = h0 ^ (1L << 58) ^ (1L << 45)
-    // pigeonhole cases: <=5 flips can touch at most 5 of 6 bands, so
-    // some band always survives — even one flip per band for 5 bands
-    val spread5 = h0 ^ (1L << 3) ^ (1L << 14) ^ (1L << 27) ^ (1L << 33) ^ (1L << 48)
+    // pigeonhole cases: <=6 flips dirty at most 6 of 8 blocks, so a
+    // clean PAIR of blocks always survives — here blocks {2,7} stay
+    // clean with 6 flips spread over blocks 0,1,3,4,5,6
+    val spread6 = h0 ^ (1L << 3) ^ (1L << 14) ^ (1L << 27) ^ (1L << 33) ^ (1L << 41) ^ (1L << 48)
     val spread2 = h0 ^ (1L << 16) ^ (1L << 59)
-    // boundary: 6 flips, one per band — every band touched, missed BY
-    // DESIGN (the documented guarantee limit)
-    val allBands = h0 ^ (1L << 1) ^ (1L << 11) ^ (1L << 21) ^ (1L << 31) ^ (1L << 41) ^ (1L << 51)
-    val base = Seq(1L -> h0, 2L -> adversarial, 3L -> spread5, 4L -> spread2, 5L -> allBands)
+    // boundary: 7 flips in 7 distinct blocks — only ONE clean block
+    // left, no clean pair, missed BY DESIGN (the guarantee limit)
+    val sevenBlocks = h0 ^ (1L << 1) ^ (1L << 11) ^ (1L << 21) ^ (1L << 31) ^
+      (1L << 33) ^ (1L << 41) ^ (1L << 48)
+    val base = Seq(1L -> h0, 2L -> adversarial, 3L -> spread6, 4L -> spread2, 5L -> sevenBlocks)
       .toDF("doc_id", "simhash")
     val got = Dedup.simhashPairs(base).select("a", "b").as[(Long, Long)].collect().toSet
     assert(got.contains(1L -> 2L), "hamming-2 pair straddling the old prefix was missed")
-    assert(got.contains(1L -> 3L), "hamming-5 pair spread over 5 bands was missed")
-    assert(got.contains(1L -> 4L), "hamming-2 pair spread over 2 bands was missed")
-    assert(!got.contains(1L -> 5L), "pair touching all 6 bands should be outside the guarantee")
+    assert(got.contains(1L -> 3L), "hamming-6 pair spread over 6 blocks was missed")
+    assert(got.contains(1L -> 4L), "hamming-2 pair spread over 2 blocks was missed")
+    assert(!got.contains(1L -> 5L), "pair dirtying 7 blocks should be outside the guarantee")
   }
 
   test("embedding top-pairs are ordered by similarity and well-formed") {
