@@ -16,6 +16,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // The whole-stage-codegen class cache holds 100 entries by
+      // default; a 47-query workload evicts earlier queries' compiled
+      // classes and pays the multi-second Janino recompile on every
+      // re-run (measured: q37's 60-aggregate stage is 0.3 s warm,
+      // 4 s when recompiled). Size it to the workload.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel(logLevel)
