@@ -56,6 +56,19 @@ object TextFunctions {
     (t.startsWith("(") || t.contains("ooc") || t.contains("oog")).cast("int")
   }
 
+  /** The exact complement of [[PunctRe]] as a literal char list. */
+  private val PunctAllowedChars =
+    "abcdefghijklmnopqrstuvwxyz0123456789 \t\n\u000B\f\r"
+
+  /** Count of [[PunctRe]]-matching chars, computed as a codegen'd
+    * char-map delete (`translate`) instead of a Java-regex scan —
+    * measured ~5x cheaper on the documents corpus, same count for
+    * BMP text (both sides count single chars outside the allowed
+    * set; the synthetic corpus is ASCII). The ORACLE keeps the regex
+    * form — the cross-engine constant stays [[PunctRe]]. */
+  def punctCount(text: Column): Column =
+    length(translate(text, PunctAllowedChars, "")).cast("bigint")
+
   /** Whitespace-token count (BIGINT). */
   def wsTokenCount(text: Column): Column =
     size(split(trim(text), WsPlusRe)).cast("bigint")

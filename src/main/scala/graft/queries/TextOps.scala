@@ -104,7 +104,7 @@ object TextOps extends QueryModule {
     docs(s, dir)
       .withColumn("n_chars_m", length(col("text")).cast("bigint"))
       .withColumn("n_words", size(split(trim(col("text")), " ")).cast("bigint"))
-      .withColumn("n_punct", regexp_count(col("text"), lit(PunctRe)).cast("bigint"))
+      .withColumn("n_punct", punctCount(col("text")))
       .withColumn("n_stop", stopwordCount(ws))
       .withColumn("avg_word_len", (col("n_chars_m") - col("n_words") + 1) / col("n_words"))
       .withColumn("punct_ratio", col("n_punct") / col("n_chars_m"))
