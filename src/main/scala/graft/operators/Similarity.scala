@@ -112,27 +112,49 @@ object Similarity {
       .transform(rankTopK(_, k))
   }
 
-  /** IVF-style ANN: fixed seed centroids (broadcast), every vector
-    * assigned to its nearest cell in one scan; queries probe their
-    * `probes` nearest cells and rerank only those cells' members. */
+  /** IVF-style ANN. The centroid set is small and bounded by
+    * construction (IVF probes a handful of cells), so it is collected
+    * ONCE and inlined as plan literals: every vector then ranks the
+    * cells in a single codegen'd projection (array_sort over |cents|
+    * (negsim, cent_id) structs) — NO shuffle, no corpus×centroids
+    * row blowup, no sort window. The earlier broadcast-join +
+    * row_number shape paid a corpus×|cents| intermediate AND a
+    * corpus-sized sort-window shuffle for the same assignment; with
+    * a large learned codebook (10⁴⁺ cells) that general shape — or a
+    * two-level coarse quantizer — becomes the right tool again.
+    * Queries probe their `probes` nearest cells; candidates live in
+    * their home cell only. */
   def ivf(corpus: DataFrame, centroidPred: Column, queryPred: Column,
           k: Int, probes: Int = 2): DataFrame = {
     val n = withNorm(corpus)
     val cents = n.filter(centroidPred)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
-    val simToCent = cosineWithNorms(col("embedding"), col("nrm"), col("ce"), col("cn"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
-    val assigned = n.join(broadcast(cents))
-      .withColumn("csim", simToCent)
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") <= probes)
-    // crank = 1 is the vector's home cell; a query probes its `probes`
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivf: centroidPred matched no vectors")
+    // centroid norms driver-side with the IDENTICAL quantized
+    // arithmetic (every term and the Dim-term sum stay < 2^53: the
+    // double math is exact, bit-equal to the engine's)
+    val simStructs = cents.map { case (cid, ce) =>
+      val cn = math.sqrt(
+        ce.map { x => val q = math.floor(x.toDouble * QScale); q * q }.sum)
+      struct(
+        (-(dotQ(col("embedding"), typedLit(ce)) / (col("nrm") * lit(cn))))
+          .as("negsim"),
+        lit(cid).as("cent_id"))
+    }
+    // ascending struct sort on (negsim, cent_id) == (csim DESC, cent_id)
+    val assigned = n.withColumn("cells",
+      array_sort(array(simStructs.toIndexedSeq: _*)))
+    // cells(0) is the vector's home cell; a query probes its `probes`
     // nearest cells, candidates live in their home cell only.
-    val members = assigned.filter(col("crank") === 1)
-      .select(col("cent_id").as("cell"), col("vec_id"), col("embedding"), col("nrm"))
+    val members = assigned.select(
+      col("cells").getItem(0).getField("cent_id").as("cell"),
+      col("vec_id"), col("embedding"), col("nrm"))
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("cent_id").as("cell"))
+        col("nrm").as("qn"), explode(slice(col("cells"), 1, probes)).as("pc"))
+      .select(col("query_id"), col("qe"), col("qn"), col("pc.cent_id").as("cell"))
     broadcast(q).join(members, Seq("cell")).filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", cosineWithNorms(col("qe"), col("qn"), col("embedding"), col("nrm")))
       // no dedup needed: every member has exactly one home cell, so a
