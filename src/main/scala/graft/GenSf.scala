@@ -48,7 +48,7 @@ object GenSf {
       df.agg(max(col(idCol))).collect().head.getLong(0) + 1L
 
     def replicate(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until copies).map(k => shift(df, k)).reduce(_ unionAll _)
+      (0 until copies).map(k => shift(df, k)).reduce(_ union _)
 
     val orders = Tables.orders(spark, srcDir)
     val lineitem = Tables.lineitem(spark, srcDir)

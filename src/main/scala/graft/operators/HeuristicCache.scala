@@ -26,7 +26,8 @@ object HeuristicCache {
   /** Order-independent content checksum of `df` over all columns
     * (count ^ bit_xor of per-row md5). Driver receives one row. */
   def checksumOf(df: DataFrame): String = {
-    val canon = md5(concat_ws("|", df.columns.map(c => col(c).cast("string")): _*))
+    val canon = md5(concat_ws("|",
+      df.columns.toIndexedSeq.map(c => col(c).cast("string")): _*))
     val row = df
       .select(conv(substring(canon, 1, 15), 16, 10).cast("long").as("h"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
@@ -66,7 +67,7 @@ object HeuristicCache {
     try {
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
-      Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+      Iterator.continually(in.read(buf)).takeWhile(_ > 0)
         .foreach(n => out.write(buf, 0, n))
       new String(out.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
