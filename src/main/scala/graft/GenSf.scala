@@ -64,6 +64,10 @@ object GenSf {
     val instStride = events
       .agg(max(regexp_extract(col("props"), "(\\d+)", 1).cast("long")))
       .collect().head.getLong(0) + 1L
+    // EventFunctions.norm casts the extracted instance key to INT; a
+    // shifted key past Int.MaxValue would silently become null there.
+    require(copies.toLong * instStride - 1L <= Int.MaxValue.toLong,
+      s"instance keys overflow INT after shifting: copies=$copies x stride=$instStride")
     write(replicate(events)((d, k) =>
       d.withColumn("event_id", col("event_id") + k * evStride)
         .withColumn("user_id", col("user_id") + k * userStride)

@@ -176,7 +176,14 @@ object Dedup {
         s"(shiftright(simhash, $s1) % ${1L << w1}) * ${1L << w2}" +
           s" + (shiftright(simhash, $s2) % ${1L << w2})").as("bkey"))
     }
-    val bands = base
+    // The bands table is SELF-joined below, so `base`'s upstream (in
+    // q37: the exploded-words 60-aggregate) appears on both plan
+    // branches; exchange reuse usually dedups it, but AQE's broadcast
+    // conversion can drop the very exchanges reuse needs (measured on
+    // q36). base is 16 bytes/doc — localCheckpoint pins one
+    // computation for negligible cost instead of trusting reuse.
+    val pinned = base.localCheckpoint(eager = false)
+    val bands = pinned
       .select(col("doc_id"), col("simhash"), explode(array(combos: _*)).as("pc"))
       .select(col("doc_id"), col("simhash"), col("pc.b").as("b"), col("pc.bkey").as("bkey"))
     bands.select(col("doc_id").as("a"), col("simhash").as("ha"), col("b"), col("bkey"))

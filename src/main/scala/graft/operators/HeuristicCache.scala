@@ -55,6 +55,11 @@ object HeuristicCache {
     val fresh = fs.exists(marker) && readUtf8(fs, marker).trim == sum &&
       fs.exists(data)
     if (!fresh) {
+      // Invalidate BEFORE touching the data: a crash mid-overwrite must
+      // leave a missing marker (next run recomputes), never the old
+      // marker next to new/partial data (false-fresh hit on an input
+      // that reverts to the old checksum).
+      if (fs.exists(marker)) fs.delete(marker, false)
       compute(input).write.mode("overwrite").parquet(data.toString)
       fs.mkdirs(dir)
       writeUtf8(fs, marker, sum)

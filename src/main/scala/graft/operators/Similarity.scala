@@ -138,10 +138,15 @@ object Similarity {
     val simStructs = cents.map { case (cid, ce) =>
       val cn = math.sqrt(
         ce.map { x => val q = math.floor(x.toDouble * QScale); q * q }.sum)
-      struct(
-        (-(dotQ(col("embedding"), typedLit(ce)) / (col("nrm") * lit(cn))))
-          .as("negsim"),
-        lit(cid).as("cent_id"))
+      // Zero-norm degenerate vectors/centroids: 0/0 would be NaN, and
+      // NaN's sort position differs between array_sort (last) and the
+      // old row_number-over-DESC shape (first) — pin sim to a defined
+      // 0.0 instead so assignment is deterministic for any input.
+      val negsim =
+        if (cn == 0.0) lit(0.0)
+        else when(col("nrm") === 0.0, lit(0.0))
+          .otherwise(-(dotQ(col("embedding"), typedLit(ce)) / (col("nrm") * lit(cn))))
+      struct(negsim.as("negsim"), lit(cid).as("cent_id"))
     }
     // ascending struct sort on (negsim, cent_id) == (csim DESC, cent_id)
     val assigned = n.withColumn("cells",

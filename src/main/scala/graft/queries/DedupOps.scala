@@ -180,8 +180,9 @@ object DedupOps extends QueryModule {
       .agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash", simhash)
       .select(col("doc_id"), col("simhash"))
-    // no checkpoint: since the hash rides along the band rows, the
-    // simhash table feeds exactly ONE plan branch
+    // simhashPairs localCheckpoints the (doc_id, simhash) table: its
+    // band self-join would otherwise put this 60-aggregate stage on
+    // BOTH join branches whenever exchange reuse fails to fire.
     Dedup.simhashPairs(base, maxHamming = 12)
       .orderBy(col("a"), col("b"))
   }
