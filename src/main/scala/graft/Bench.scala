@@ -2,16 +2,39 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Runs the headline query set twice — an untimed
-  * warm-up pass (JVM JIT, parquet footer cache, catalog init) and then
-  * the timed pass — so the reported seconds measure the query plans,
-  * not Spark session startup. Any query failure aborts with exit 1:
-  * a broken query must never contribute a fake timing.
+/** Benchmark main. Runs the headline query set once untimed (JVM JIT,
+  * parquet footer cache, catalog init) and then TWO timed passes,
+  * reporting each query's MINIMUM — the standard guard against
+  * transient interference: this host exhibits multi-x CPU-contention
+  * windows from outside the guest (round-5 bench measured 25x on
+  * queries that re-run at 1x minutes later), and min-of-passes keeps a
+  * spike in one pass from being read as a plan regression. Any query
+  * failure aborts with exit 1: a broken query must never contribute a
+  * fake timing.
+  *
+  * The JSON line also carries `probe_sec_*`: wall seconds for a fixed
+  * single-threaded arithmetic loop run before warm-up and after the
+  * timed passes. Healthy-host baseline is ~0.6 s; a multiple of that
+  * means the numbers were taken under external contention and measure
+  * the host, not the plans.
   *
   * Emits exactly one JSON line on stdout (also written to
   * bench_out.json in the cwd for log-noise-proof parsing).
   */
 object Bench {
+  /** Fixed-work host-health probe: 500M-step LCG, single thread. */
+  private def probeSec(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0L
+    var i = 0
+    while (i < 500000000) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      i += 1
+    }
+    if (x == 42L) System.err.println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -20,21 +43,26 @@ object Bench {
     val names = SparkEntry.headline
     val queries = SparkEntry.queries
 
-    // Warm-up: run every headline query once, untimed.
-    names.foreach { name =>
+    def runOne(name: String, phase: String): Double = {
+      val t0 = System.nanoTime()
       try queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
-          System.err.println(s"[bench] FATAL: warm-up of $name failed: $e")
+          System.err.println(s"[bench] FATAL: $phase of $name failed: $e")
           spark.stop()
           sys.exit(1)
       }
+      (System.nanoTime() - t0) / 1e9
     }
 
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      name -> (System.nanoTime() - t0) / 1e9
+    val probeBefore = probeSec()
+    names.foreach(runOne(_, "warm-up"))
+    val passes = Seq.fill(2)(names.map(n => n -> runOne(n, "timed")))
+    val probeAfter = probeSec()
+
+    // per-query minimum across the timed passes
+    val results = names.map { n =>
+      n -> passes.map(_.toMap.apply(n)).min
     }
 
     // String.format with an explicit ROOT locale: the f-interpolator
@@ -47,7 +75,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
+        s""""timed_passes":2,"probe_sec_before":${num(probeBefore)},""" +
+        s""""probe_sec_after":${num(probeAfter)},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
     println(line)
     spark.stop()
