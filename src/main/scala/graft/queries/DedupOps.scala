@@ -83,7 +83,10 @@ object DedupOps extends QueryModule {
   // q36: MinHash + LSH banding — the scale path. Candidates only from
   // (band, band-key) bucket collisions; similarity estimated from the
   // signatures themselves (no second pass over text).
-  private def q36(s: SparkSession, dir: String): DataFrame = {
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir).orderBy(col("a"), col("b"))
+
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // Shuffle-volume shape: the band self-join and the pair dedup move
     // ONLY (id, band, bkey) rows — the 32-element signature arrays
     // join back exactly once per deduped candidate pair. (The earlier
