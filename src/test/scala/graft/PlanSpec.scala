@@ -67,6 +67,22 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("every WholeStageCodegen subtree of every query actually compiles (no Janino fallback)") {
+    // A Janino syntax error in generated code does NOT fail the query —
+    // Spark logs an ERROR and silently falls back to the interpreted
+    // path, so only this gate (and a slow bench) would ever notice.
+    // Caught live: BpeTokenCount's first codegen emitted a `||` at a
+    // line start, which Spark's `code` interpolator trimming ate.
+    import org.apache.spark.sql.execution.debug._
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      codegenStringSeq(fn(spark, sfDir).queryExecution.executedPlan)
+        .filter { case (_, _, stats) => stats.maxMethodCodeSize < 0 }
+        .map { case (subtree, _, _) => s"$name: ${subtree.linesIterator.next()}" }
+    }
+    assert(offenders.isEmpty,
+      s"codegen compile failures (interpreted fallback) in:\n${offenders.mkString("\n")}")
+  }
+
   test("scans prune columns: no query reads all event/document columns for a narrow projection") {
     val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     // q17 counts events per instance: must not read `value`&co beyond

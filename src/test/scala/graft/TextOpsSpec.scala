@@ -98,6 +98,52 @@ class TextOpsSpec extends SparkTestBase {
     assert(got.values.toSet == (1 to 5).map(n => s"Player $n").toSet)
   }
 
+  test("byte-scan bpe_token_count == regexp_count(BpeTokenRe) on adversarial and random text") {
+    import spark.implicits._
+    // Adversarial: class boundaries, uppercase (symbol class!), all six
+    // whitespace chars incl \x0B, multi-byte code points (2/3/4-byte
+    // UTF-8 — each must count as ONE symbol), empty, runs at ends.
+    val crafted = Seq(
+      "", " ", "abc", "ABC", "abc123", "a1b2c3", "  ab  12  ",
+      "hello, world! 42", "a\tb\ncd\fe\rf", "!!!", "a!a!a",
+      "café touché", "日本語 abc", "a😀b",
+      "😀😀", "Mixed CASE and 007 bond",
+      "trailing letters abc", "123 leading digits", "", "z9z9z9")
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab z09AZ!.\t\n\f\ré日😀"
+    val random = (1 to 300).map { _ =>
+      val len = rnd.nextInt(40)
+      // nextInt over a fixed alphabet keeps surrogate PAIRS intact only
+      // by luck; filter lone surrogates so the string is valid UTF-8
+      val raw = Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      raw.filter(c => !Character.isSurrogate(c)) + (if (rnd.nextBoolean()) "😀" else "")
+    }
+    // ws-split edge cases: space-trim vs non-space ws at the ends
+    // (split keeps the empty edge fields), all-ws, single ws char
+    val wsCrafted = Seq("\ta b\n", "  \ta b\n  ", "\t", "\t\t", "a\t", "\ta", " \t ")
+    val df = (crafted ++ wsCrafted ++ random).toDF("text")
+      .select(bpeTokenCount(col("text")).as("fast"),
+        bpeTokenCountRegex(col("text")).as("ref"),
+        wsTokenCount(col("text")).as("wfast"),
+        wsTokenCountRegex(col("text")).as("wref"), col("text"))
+    val bad = df.filter(col("fast") =!= col("ref") || col("wfast") =!= col("wref")).collect()
+    assert(bad.isEmpty, s"mismatch on: ${bad.map(_.getString(4)).take(5).toSeq}")
+    // null in -> null out, matching regexp_count's null semantics
+    val nulls = Seq(Option.empty[String]).toDF("text")
+      .select(bpeTokenCount(col("text")).as("c"), wsTokenCount(col("text")).as("w")).collect()
+    assert(nulls.head.isNullAt(0) && nulls.head.isNullAt(1))
+  }
+
+  test("byte-scan bpe_token_count == regex on the full documents corpus") {
+    val d = Tables.documents(spark, sfDir)
+    val bad = d.select(bpeTokenCount(col("text")).as("fast"),
+        bpeTokenCountRegex(col("text")).as("ref"),
+        wsTokenCount(col("text")).as("wfast"),
+        wsTokenCountRegex(col("text")).as("wref"))
+      .filter(col("fast") =!= col("ref") || col("wfast") =!= col("wref")).count()
+    assert(bad == 0)
+  }
+
   test("all text queries execute and key by doc_id uniquely") {
     for (q <- TextOps.all) {
       val df = q.run(spark, sfDir)
