@@ -52,9 +52,17 @@ object VectorFunctions {
   def normQ(a: Column): Column = sqrt(dotQ(a, a))
 
   /** Cosine similarity given precomputed norms (double ops only on
-    * bit-identical inputs → bit-identical result both engines). */
+    * bit-identical inputs → bit-identical result both engines).
+    * Zero-norm guard: ANSI mode (Spark 4 default) makes even DOUBLE
+    * division by zero THROW, so one degenerate all-zero embedding in a
+    * candidate set would kill the whole query — pin its similarity to
+    * a defined 0.0 instead (the same convention as IVF assignment;
+    * caught by SimilarityOpsSpec's zero-norm regression test). The
+    * guard is a codegen'd branch around the dot product — free next to
+    * the Dim-term loop — and unreachable on oracle data (the planted
+    * corpus has no zero vectors), so cross-engine hashes are untouched. */
   def cosineWithNorms(a: Column, na: Column, b: Column, nb: Column): Column =
-    dotQ(a, b) / (na * nb)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dotQ(a, b) / (na * nb))
 
   /** Plain double dot product (for rows-only checked paths where
     * cross-engine bit-exactness is not required — ~4x cheaper). */

@@ -138,12 +138,17 @@ object Similarity {
     val simStructs = cents.map { case (cid, ce) =>
       val cn = math.sqrt(
         ce.map { x => val q = math.floor(x.toDouble * QScale); q * q }.sum)
-      // Zero-norm degenerate vectors/centroids: 0/0 would be NaN, and
-      // NaN's sort position differs between array_sort (last) and the
-      // old row_number-over-DESC shape (first) — pin sim to a defined
-      // 0.0 instead so assignment is deterministic for any input.
+      // Zero-norm degenerate inputs: 0/0 would be NaN (and ANSI makes
+      // the division THROW), and NaN's sort position differs between
+      // array_sort (last) and the old row_number-over-DESC shape
+      // (first). A zero-norm VECTOR gets a pinned 0.0 against every
+      // centroid (deterministic min-cent_id home); a zero-norm
+      // CENTROID gets a +MaxValue sentinel so it sorts LAST and can
+      // never capture vectors whose true similarities are all
+      // negative (it would otherwise outrank any negative-cosine
+      // centroid from its pinned 0.0).
       val negsim =
-        if (cn == 0.0) lit(0.0)
+        if (cn == 0.0) lit(Double.MaxValue)
         else when(col("nrm") === 0.0, lit(0.0))
           .otherwise(-(dotQ(col("embedding"), typedLit(ce)) / (col("nrm") * lit(cn))))
       struct(negsim.as("negsim"), lit(cid).as("cent_id"))

@@ -83,6 +83,26 @@ class PlanSpec extends SparkTestBase {
       s"codegen compile failures (interpreted fallback) in:\n${offenders.mkString("\n")}")
   }
 
+  test("q37 pins the simhash base: both self-join branches read ONE checkpointed RDD") {
+    // Regression pin for the localCheckpoint at Dedup.simhashPairs: the
+    // 60-aggregate base feeds BOTH branches of the band self-join, and
+    // AQE's broadcast conversion can drop the exchanges that reuse
+    // needs — without the pin the heaviest aggregate in the suite runs
+    // twice. Locked here as a plan shape: exactly two ExistingRDD scans
+    // of the SAME checkpointed RDD, and no direct documents scan.
+    val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    val txt = SparkEntry.queries("q37_dedup_simhash")(spark, sfDir)
+      .queryExecution.explainString(mode)
+    val rddIds = "MapPartitionsRDD\\[(\\d+)\\] at localCheckpoint".r
+      .findAllMatchIn(txt).map(_.group(1)).toSeq
+    assert(rddIds.size == 2,
+      s"expected 2 pinned-RDD scans (one per self-join branch), got ${rddIds.size}:\n$txt")
+    assert(rddIds.distinct.size == 1,
+      s"self-join branches read DIFFERENT RDDs — the base is computed twice:\n$txt")
+    assert(!txt.contains("documents.parquet"),
+      s"q37 plan scans documents directly — the checkpoint pin is gone:\n$txt")
+  }
+
   test("scans prune columns: no query reads all event/document columns for a narrow projection") {
     val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     // q17 counts events per instance: must not read `value`&co beyond

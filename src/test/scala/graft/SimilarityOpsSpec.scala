@@ -48,4 +48,41 @@ class SimilarityOpsSpec extends SparkTestBase {
         s"$name duplicated a neighbor")
     }
   }
+
+  test("ivf stays deterministic with zero-norm vectors and a zero-norm centroid") {
+    // Regression pin for the NaN-safe assignment (Similarity.ivf's
+    // negsim is pinned to 0.0 when either norm is zero): a 0/0 NaN
+    // would sort differently between array_sort (NaN last) and the old
+    // row_number shape (NaN first), making home cells run-dependent.
+    import spark.implicits._
+    import graft.operators.Similarity
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      // all-positive components → positive cosine with centroid 1, so
+      // every normal vector's home is PROVABLY cell 1, not the zero cell
+      Seq.fill(graft.functions.VectorFunctions.Dim)(r.nextFloat() * 0.5f + 0.1f)
+    }
+    val zero = Seq.fill(graft.functions.VectorFunctions.Dim)(0.0f)
+    val corpus = ((1L to 8L).map(i => (i, vec(i.toInt))) :+ (100L, zero) :+ (101L, zero))
+      .toDF("vec_id", "embedding")
+    def run(): Seq[(Long, Long, Long, Double)] =
+      Similarity.ivf(corpus, col("vec_id").isin(1L, 101L), col("vec_id") === 2L,
+          k = 8, probes = 2)
+        .select("query_id", "neighbor_id", "rank", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val first = run()
+    assert(first == run(), "ivf with zero-norm inputs must be run-to-run deterministic")
+    // the rerank's zero-norm guard: defined 0.0 sims, no NaN, no
+    // ANSI DIVIDE_BY_ZERO crash (which is what an unguarded
+    // cosineWithNorms raises here)
+    assert(first.forall(r => !r._4.isNaN), s"NaN sims in: $first")
+    // the zero-norm corpus vector gets the pinned 0.0 against every
+    // centroid → deterministic min-cent_id home (cell 1, which the
+    // query probes): it must surface as a candidate with sim 0.0 and,
+    // with only positive-cosine real candidates, rank LAST, not first
+    val zeroRow = first.find(_._2 == 100L)
+    assert(zeroRow.isDefined, "zero-norm vector lost its deterministic home cell")
+    assert(zeroRow.get._4 == 0.0 && zeroRow.get._3 == first.map(_._3).max,
+      s"zero-norm candidate should rank last at sim 0.0: $zeroRow")
+  }
 }

@@ -95,6 +95,40 @@ class SourceSpec extends SparkTestBase {
     assert(r3.filter(col("k") === "a").collect().head.getDouble(1) == 99.0)
   }
 
+  test("heuristic cache deletes the marker BEFORE recompute: a crash mid-recompute never serves stale") {
+    // Regression pin for the crash-ordering fix: if the OLD marker
+    // survived into the recompute window, a crash would leave
+    // (old marker, old data) — and an input that reverts to the old
+    // checksum would then false-fresh hit against data it never wrote.
+    import graft.operators.HeuristicCache
+    import spark.implicits._
+    val dirPath = Files.createTempDirectory("hcache_crash")
+    val dir = dirPath.toString
+    val v1 = Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "k", "v")
+    var computes = 0
+    def profile(df: org.apache.spark.sql.DataFrame) = {
+      computes += 1
+      df.groupBy(col("k")).agg(sum(col("v")).as("sum_v"))
+    }
+    HeuristicCache.computeOrLoad(v1, dir)(profile)
+    assert(computes == 1)
+    val marker = dirPath.resolve("_checksum")
+    assert(Files.exists(marker))
+    // changed input arrives, and the recompute CRASHES before writing
+    val v2 = Seq((1L, "a", 99.0), (2L, "b", 3.0)).toDF("id", "k", "v")
+    val boom = intercept[RuntimeException] {
+      HeuristicCache.computeOrLoad(v2, dir)(_ => throw new RuntimeException("simulated crash"))
+    }
+    assert(boom.getMessage == "simulated crash")
+    assert(!Files.exists(marker),
+      "stale marker must be deleted before compute starts, not after")
+    // the original input returns while the OLD data still sits on disk:
+    // with no marker this must RECOMPUTE, never serve the stale parquet
+    val r = HeuristicCache.computeOrLoad(v1, dir)(profile)
+    assert(computes == 2, "post-crash run must recompute")
+    assert(r.filter(col("k") === "a").collect().head.getDouble(1) == 2.0)
+  }
+
   test("gzipped-JSONL sink round-trips through the reader") {
     import spark.implicits._
     val out = Files.createTempDirectory("sink").resolve("stage_out")
