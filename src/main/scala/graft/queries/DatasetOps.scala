@@ -120,8 +120,28 @@ object DatasetOps extends QueryModule {
        |FROM prof JOIN lab USING (instance_id)
        |ORDER BY instance_id""".stripMargin
 
+  // q58: the regression head fitted on q57's features+labels — the
+  // reference's regression stage (regression/log_reg.py:35-60), the
+  // last in-scope capability of its workflow. An iterative LBFGS fit
+  // is not DuckDB-expressible, so there is no oracle row (the driver
+  // records rows-only); the semantic gate is RegressionHeadSpec:
+  // deterministic coefficients and >90% accuracy on a planted linear
+  // boundary, balanced-weight behavior under class skew.
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RegressionHead
+      .fit(q57(s, dir), graft.operators.RegressionHead.ProfileFeatures, "instance_id")
+      .predictions
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q55_dataset_checksum", q55, Some(q55Sql)),
     QueryDef("q56_heuristic_profile", q56, Some(q56Sql)),
-    QueryDef("q57_label_join", q57, Some(q57Sql)))
+    QueryDef("q57_label_join", q57, Some(q57Sql)),
+    QueryDef("q58_regression_head", q58, None))
+
+  /** q58 is excluded from the bench headline: an LBFGS fit's wall time
+    * at bench scale is iteration-count × job-launch overhead, not a
+    * plan property — it would only add scheduler noise to the suite
+    * total. Its gates are RegressionHeadSpec + the driver's rows check. */
+  override def headline: Seq[String] =
+    all.map(_.name).filterNot(_ == "q58_regression_head")
 }
