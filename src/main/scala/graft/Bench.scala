@@ -70,13 +70,19 @@ object Bench {
     // JSON) on non-English JVMs.
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results
+    def obj(kvs: Seq[(String, Double)]): String = kvs
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
+    val qs = obj(results)
+    // every pass's raw numbers alongside the min: a pass-1 ≫ pass-2
+    // spread tells the reader a number was taken under external
+    // contention (this host's known failure mode) without re-running
+    val passesJson = passes.map(obj).mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
-        s""""timed_passes":2,"probe_sec_before":${num(probeBefore)},""" +
+        s""""timed_passes":2,"passes":$passesJson,""" +
+        s""""probe_sec_before":${num(probeBefore)},""" +
         s""""probe_sec_after":${num(probeAfter)},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
     println(line)
