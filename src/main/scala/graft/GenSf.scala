@@ -40,24 +40,17 @@ object GenSf {
     def write(df: DataFrame, name: String): Unit =
       df.coalesce(8).write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
 
-    // dims: copy through
-    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
-      write(Tables.load(spark, srcDir, t), t)
-
     def strideOf(df: DataFrame, idCol: String): Long =
       df.agg(max(col(idCol))).collect().head.getLong(0) + 1L
 
     def replicate(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until copies).map(k => shift(df, k)).reduce(_ union _)
 
+    // All strides and the overflow guard run BEFORE the first write:
+    // a tripped require must fail fast with no partial output dir.
     val orders = Tables.orders(spark, srcDir)
     val lineitem = Tables.lineitem(spark, srcDir)
     val okStride = strideOf(orders, "o_orderkey")
-    write(replicate(orders)((d, k) =>
-      d.withColumn("o_orderkey", col("o_orderkey") + k * okStride)), "orders")
-    write(replicate(lineitem)((d, k) =>
-      d.withColumn("l_orderkey", col("l_orderkey") + k * okStride)), "lineitem")
-
     val events = Tables.events(spark, srcDir)
     val evStride = strideOf(events, "event_id")
     val userStride = strideOf(events, "user_id")
@@ -68,6 +61,16 @@ object GenSf {
     // shifted key past Int.MaxValue would silently become null there.
     require(copies.toLong * instStride - 1L <= Int.MaxValue.toLong,
       s"instance keys overflow INT after shifting: copies=$copies x stride=$instStride")
+
+    // dims: copy through
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      write(Tables.load(spark, srcDir, t), t)
+
+    write(replicate(orders)((d, k) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + k * okStride)), "orders")
+    write(replicate(lineitem)((d, k) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + k * okStride)), "lineitem")
+
     write(replicate(events)((d, k) =>
       d.withColumn("event_id", col("event_id") + k * evStride)
         .withColumn("user_id", col("user_id") + k * userStride)

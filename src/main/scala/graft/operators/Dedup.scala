@@ -182,6 +182,12 @@ object Dedup {
     // conversion can drop the very exchanges reuse needs (measured on
     // q36). base is 16 bytes/doc — localCheckpoint pins one
     // computation for negligible cost instead of trusting reuse.
+    // CLUSTER CAVEAT: localCheckpoint truncates lineage into executor
+    // block storage — an executor loss (or dynamic-allocation decommission)
+    // makes the job unrecoverable. On a real cluster configure a
+    // checkpoint dir and use reliable checkpoint / persist(DISK_ONLY_2)
+    // here; local[...] has no executor loss, so the cheap form is right
+    // for this build's bench target.
     val pinned = base.localCheckpoint(eager = false)
     val bands = pinned
       .select(col("doc_id"), col("simhash"), explode(array(combos: _*)).as("pc"))

@@ -124,7 +124,6 @@ object DedupOps extends QueryModule {
       .withColumn("sim_est", Dedup.signatureSimilarity(col("sa"), col("sb")))
       .filter(col("sim_est") >= 0.5)
       .select(col("a"), col("b_id").as("b"), col("sim_est"))
-      .orderBy(col("a"), col("b"))
   }
 
   private val q36Sql =
