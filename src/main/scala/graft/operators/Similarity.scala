@@ -54,19 +54,35 @@ object Similarity {
   val NumTables = 8
   val PlanesPerTable = 4
 
+  /** The integer hyperplane matrix, row-major: planes(j)(i) = coef of
+    * dim i in plane j. */
+  private lazy val planeMatrix: Seq[Seq[Long]] =
+    (0 until NumTables * PlanesPerTable).map(j => (0 until Dim).map(i => planeQ(j, i)))
+
   /** Multi-table sign-bit LSH index: one slim (vec_id, tbl, bkey) row
     * per table per vector. A single sign-bucket table has poor recall
     * on low-cosine neighbors; L tables of r planes give recall
     * 1-(1-p^r)^L — the standard amplification.
     *
-    * The 32 plane projections are computed as explode(components) ⋈
-    * broadcast(plane matrix) → hash-aggregate — a distributed
-    * matrix-vector product that stays fully inside whole-stage
-    * codegen. (Inlining 32 64-term expression chains into one
-    * projection blows the generated-method size limit, silently falls
-    * back to interpreted evaluation, and runs ~50x slower.)
+    * All 32 plane projections are one native-expression pass per row
+    * ([[graft.plans.LshBucketKeys]]: constant-size codegen loop over
+    * the inlined integer plane matrix) followed by a posexplode of the
+    * 8 bucket keys — a pure map stage, NO shuffle. The previous shape
+    * (explode(components) ⋈ broadcast(plane matrix) → two hash
+    * aggregations) paid Dim·planes intermediate rows per vector and
+    * two shuffles just to build the index; it survives as
+    * [[lshEntriesJoin]], the property-test reference.
     */
-  def lshEntries(corpus: DataFrame): DataFrame = {
+  def lshEntries(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"),
+      posexplode(graft.plans.LshBucketKeys(col("embedding"), planeMatrix, PlanesPerTable)))
+      .select(col("vec_id"), col("pos").cast("int").as("tbl"), col("col").as("bkey"))
+
+  /** Built-ins-only reference implementation of [[lshEntries]] (the
+    * original distributed matrix-product shape) — kept for the
+    * equality property test; also the shape to fall back on if the
+    * plane matrix ever outgrows a broadcastable literal. */
+  def lshEntriesJoin(corpus: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val planes = (for {

@@ -49,6 +49,16 @@ class SimilarityOpsSpec extends SparkTestBase {
     }
   }
 
+  test("native lsh_bucket_keys index == the join/aggregate reference on the full corpus") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val fast = Similarity.lshEntries(emb)
+    val ref = Similarity.lshEntriesJoin(emb)
+    assert(fast.count() == ref.count())
+    assert(fast.except(ref).isEmpty && ref.except(fast).isEmpty,
+      "native LSH index diverges from the matrix-product reference")
+  }
+
   test("ivf stays deterministic with zero-norm vectors and a zero-norm centroid") {
     // Regression pin for the NaN-safe assignment (Similarity.ivf's
     // negsim is pinned to 0.0 when either norm is zero): a 0/0 NaN
