@@ -76,7 +76,7 @@ object Dedup {
       // and the anti-join probe side; materialize it once or the
       // posexplode + window-lead pipeline runs twice (measured ~2x on
       // the q36 wall-clock). Lazy: materializes at the first action.
-      val mat = out.localCheckpoint(eager = false)
+      val mat = Pin(out)
       val hot = mat.groupBy(col("g"))
         .agg(countDistinct(col("doc_id")).as("df_"))
         .filter(col("df_") > t)
@@ -188,7 +188,7 @@ object Dedup {
     // checkpoint dir and use reliable checkpoint / persist(DISK_ONLY_2)
     // here; local[...] has no executor loss, so the cheap form is right
     // for this build's bench target.
-    val pinned = base.localCheckpoint(eager = false)
+    val pinned = Pin(base)
     val bands = pinned
       .select(col("doc_id"), col("simhash"), explode(array(combos: _*)).as("pc"))
       .select(col("doc_id"), col("simhash"), col("pc.b").as("b"), col("pc.bkey").as("bkey"))

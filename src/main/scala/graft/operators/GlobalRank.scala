@@ -46,7 +46,7 @@ object GlobalRank {
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
       .withColumn("__local", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
-      .localCheckpoint() // eager: one upstream pass feeds counts + result
+      .transform(Pin(_, eager = true)) // one upstream pass feeds counts + result
     val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     // prefix-sum: offset(p) = rows in partitions before p

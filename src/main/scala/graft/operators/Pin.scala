@@ -1,0 +1,25 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage pin: materialize a DataFrame once so a plan that references
+  * it on multiple branches (self-joins, agg + probe) cannot recompute
+  * the upstream pipeline — AQE's broadcast conversion drops the very
+  * exchanges that reuse would need (measured on q36), so exchange
+  * reuse cannot be trusted for this.
+  *
+  * Storage tier is chosen by deployment, not hard-coded:
+  *  - a configured `sparkContext.setCheckpointDir` (any cluster that
+  *    cares about executor loss sets one) → RELIABLE checkpoint: the
+  *    blocks land on the shared filesystem and survive executor loss
+  *    and dynamic-allocation decommission;
+  *  - no checkpoint dir (local mode, this build's bench) →
+  *    `localCheckpoint`: executor-local blocks, no filesystem
+  *    round-trip, with the documented no-recovery trade-off — which
+  *    local[*] cannot hit.
+  */
+object Pin {
+  def apply(df: DataFrame, eager: Boolean = false): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+}

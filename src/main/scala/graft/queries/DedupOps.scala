@@ -112,7 +112,7 @@ object DedupOps extends QueryModule {
     val nDocs = docs(s, dir).count()
     val sig = Dedup.withSignature(
       Dedup.shingleRows(docs(s, dir), dedup = false,
-        maxDocFreq = Some((nDocs / 10).max(1L)))).localCheckpoint(eager = false)
+        maxDocFreq = Some((nDocs / 10).max(1L)))).transform(graft.operators.Pin(_))
     val buckets = Dedup.lshBuckets(sig).select(col("doc_id"), col("b"), col("bkey"))
     val cand = buckets.select(col("doc_id").as("a"), col("b"), col("bkey"))
       .join(buckets.select(col("doc_id").as("b_id"), col("b"), col("bkey")), Seq("b", "bkey"))

@@ -102,6 +102,34 @@ class ScaleJoinSpec extends SparkTestBase {
     assert(joined.count() == 1)
   }
 
+  test("Pin upgrades to reliable checkpoint when a checkpoint dir is configured") {
+    import spark.implicits._
+    val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    def plan(d: org.apache.spark.sql.DataFrame): String =
+      d.queryExecution.explainString(mode)
+    val df = (1L to 100L).toDF("id")
+    // no checkpoint dir (this build's default): executor-local pin
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    assert(plan(graft.operators.Pin(df)).contains("at localCheckpoint"))
+    val dir = java.nio.file.Files.createTempDirectory("ckpt")
+    try {
+      spark.sparkContext.setCheckpointDir(dir.toString)
+      val pinned = graft.operators.Pin(df)
+      assert(plan(pinned).contains("at checkpoint"))
+      assert(!plan(pinned).contains("at localCheckpoint"))
+      // materializing actually lands blocks on the (shared) filesystem
+      assert(pinned.count() == 100)
+      def nonEmpty(p: java.nio.file.Path): Boolean = {
+        val s = java.nio.file.Files.walk(p)
+        try s.anyMatch(f => java.nio.file.Files.isRegularFile(f)) finally s.close()
+      }
+      assert(nonEmpty(dir), "reliable checkpoint wrote nothing to the checkpoint dir")
+    } finally {
+      // Option(null) => None: restores the no-checkpoint-dir default
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_buckets").toString

@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""DuckDB proxy timing for the sf1 bench comparison (BENCH_SF1.md).
+
+Usage: python3 tools/bench_duck.py <sfDir> <oracle_sql.json> [out.json]
+
+Runs every oracle SQL over <sfDir>'s parquet tables with threads=32,
+timing each query, after rewriting `epoch_us(ts)` to `(ts // 1000)`
+(GenSf replication rewrites events.ts as BIGINT nanos; the Spark side
+reads it identically). Compare against graft.Bench's bench_out.json on
+the SAME query set — the bench headline excludes the deliberately
+quadratic correctness baselines (q35/q38), so drop them here too when
+computing a whole-suite ratio.
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sfdir, oracle_path = sys.argv[1], sys.argv[2]
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "duck_out.json"
+    sql = json.load(open(oracle_path))
+    con = duckdb.connect()
+    con.execute("SET threads=32")
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet/*.parquet')")
+    res, total = {}, 0.0
+    for name in sorted(sql):
+        q = sql[name].replace("epoch_us(ts)", "(ts // 1000)")
+        t0 = time.time()
+        try:
+            con.execute(q).fetchall()
+            dt = time.time() - t0
+        except Exception as e:
+            dt = -1.0
+            print(f"ERR {name}: {str(e)[:120]}")
+        res[name] = round(dt, 3)
+        total += max(dt, 0.0)
+    json.dump({"total": round(total, 3), "queries": res}, open(out_path, "w"))
+    print(f"duckdb total {total:.2f} s over {len(res)} queries -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()
