@@ -21,16 +21,24 @@ object FinetunePrep {
     * rows (columns: cmd_id, side, plus caller-provided utterance and
     * order columns). Prompt = chronological "before" utterances;
     * completion = chronological "after" utterances; pairs with an
-    * empty side are dropped (reference: finetune_prep.py:33-34). */
+    * empty side are dropped (reference: finetune_prep.py:33-34).
+    *
+    * `coKeys`: columns that functionally determine no finer grouping
+    * than cmd_id (each cmd_id lives inside one coKey partition, e.g.
+    * the instance the command belongs to). They ride along in the
+    * grouping key solely so an upstream HashPartitioning on them
+    * satisfies the aggregation's distribution — no re-shuffle on
+    * cmd_id — and are then dropped. */
   def pairs(assoc: DataFrame, utterance: Column, orderKey1: Column,
-            orderKey2: Column, sep: String = " | "): DataFrame = {
+            orderKey2: Column, sep: String = " | ",
+            coKeys: Seq[Column] = Nil): DataFrame = {
     def joined(listCol: String): Column =
       concat_ws(sep, expr(s"transform(array_sort($listCol), s -> s.utt)"))
     assoc
       .withColumn("o1", orderKey1)
       .withColumn("o2", orderKey2)
       .withColumn("utt", utterance)
-      .groupBy(col("cmd_id"))
+      .groupBy(coKeys :+ col("cmd_id"): _*)
       .agg(
         collect_list(when(col("side") === "before",
           struct(col("o1"), col("o2"), col("utt")))).as("before_list"),

@@ -37,10 +37,16 @@ object NearestEvent {
       .rowsBetween(Window.unboundedPreceding, -1)
     val desc = Window.partitionBy(partitionCol).orderBy(col(tsCol).desc, col(tieCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    ev.withColumn("prev_ts", last(when(targetPred, col(tsCol)), ignoreNulls = true).over(asc))
-      .withColumn("prev_id", last(when(targetPred, col(tieCol)), ignoreNulls = true).over(asc))
-      .withColumn("next_ts", last(when(targetPred, col(tsCol)), ignoreNulls = true).over(desc))
-      .withColumn("next_id", last(when(targetPred, col(tieCol)), ignoreNulls = true).over(desc))
+    // One select, not chained withColumn: same-spec window functions
+    // land in ONE Window operator per sort order (two data passes, not
+    // four — chained withColumn interleaves Projects that block
+    // CollapseWindow).
+    ev.select(
+      col("*"),
+      last(when(targetPred, col(tsCol)), ignoreNulls = true).over(asc).as("prev_ts"),
+      last(when(targetPred, col(tieCol)), ignoreNulls = true).over(asc).as("prev_id"),
+      last(when(targetPred, col(tsCol)), ignoreNulls = true).over(desc).as("next_ts"),
+      last(when(targetPred, col(tieCol)), ignoreNulls = true).over(desc).as("next_id"))
   }
 
   /** Nearest-association for rows matching `sourcePred`: picks the

@@ -63,11 +63,17 @@ object EventOps extends QueryModule {
       .withColumn("msg_id",
         last(when(isMsg, col("event_id")), ignoreNulls = true).over(w))
       .filter(col("msg_id").isNotNull)
-      .groupBy(col("msg_id"), col("user_id"))
+      // instance_id in the grouping key is redundant (msg_id is a
+      // globally unique event_id, so each group lives inside one
+      // instance) but lets the existing HashPartitioning(instance_id,
+      // user_id) from the window satisfy the aggregation's required
+      // distribution: no second exchange.
+      .groupBy(col("instance_id"), col("msg_id"), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
         count(when(isCmd, lit(1))).as("n_cmds"),
         count(when(isState, lit(1))).as("n_state"))
+      .drop("instance_id")
       .orderBy(col("msg_id"))
   }
 
@@ -106,12 +112,16 @@ object EventOps extends QueryModule {
   private def q14(s: SparkSession, dir: String): DataFrame =
     assoc(s, dir)
       .filter(col("value") >= 5)
-      .groupBy(col("cmd_id"))
+      // instance_id rides along (cmd_id is globally unique) so the
+      // window's HashPartitioning(instance_id) already satisfies the
+      // grouping — no re-shuffle on cmd_id.
+      .groupBy(col("instance_id"), col("cmd_id"))
       .agg(
         count(when(col("side") === "before", lit(1))).as("n_before"),
         count(when(col("side") === "after", lit(1))).as("n_after"),
         sumD2(when(col("side") === "before", col("value"))).as("words_before"),
         sumD2(when(col("side") === "after", col("value"))).as("words_after"))
+      .drop("instance_id")
       .orderBy(col("cmd_id"))
 
   private val q14Sql =

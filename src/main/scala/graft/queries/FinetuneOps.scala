@@ -25,7 +25,8 @@ object FinetuneOps extends QueryModule {
     val utt = concat(lit("u"), col("user_id").cast("string"),
       lit("#"), col("event_id").cast("string"))
     TrainTestSplit(
-      FinetunePrep.pairs(assoc, utt, col("ts_us"), col("event_id")),
+      FinetunePrep.pairs(assoc, utt, col("ts_us"), col("event_id"),
+        coKeys = Seq(col("instance_id"))),
       idCol = "cmd_id")
       .select(col("cmd_id"), col("prompt"), col("completion"), col("split"))
       .orderBy(col("cmd_id"))
