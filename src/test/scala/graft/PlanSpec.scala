@@ -103,6 +103,30 @@ class PlanSpec extends SparkTestBase {
       s"q37 plan scans documents directly — the checkpoint pin is gone:\n$txt")
   }
 
+  test("distill-chain aggregations reuse the window's partitioning: one data shuffle end-to-end") {
+    // q12/q14/q50 aggregate on ids (msg_id/cmd_id) functionally
+    // contained in the upstream window's partition key; the grouping
+    // carries that key so the window's HashPartitioning satisfies the
+    // aggregation and no second hash exchange may appear. The only
+    // other exchange is the final ORDER BY's rangepartitioning.
+    for (name <- Seq("q12_message_groups", "q14_triples", "q50_finetune_pairs")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(hashEx == 1, s"$name: expected exactly 1 hash exchange, got $hashEx:\n$plan")
+    }
+  }
+
+  test("prev/next columns collapse to one Window operator per sort order") {
+    // NearestEvent emits all four prev/next columns in one select so
+    // same-spec functions share a Window operator: 2 passes (asc+desc),
+    // not 4. Chained withColumn would interleave Projects that block
+    // CollapseWindow.
+    val plan = SparkEntry.queries("q13_nearest_assoc")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windows = "Window \\[".r.findAllIn(plan).size
+    assert(windows == 2, s"q13: expected 2 Window operators, got $windows:\n$plan")
+  }
+
   test("scans prune columns: no query reads all event/document columns for a narrow projection") {
     val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     // q17 counts events per instance: must not read `value`&co beyond
