@@ -30,10 +30,24 @@ object ProfileQ37 {
     }
     for (_ <- 1 to 2) {
       time("simhash_base")(base.count())
-      time("pairs_nodistinct") {
-        val b = base.localCheckpoint(eager = false)
-        Dedup.simhashPairs(b).count()
+      val pinned = base.localCheckpoint(eager = true)
+      val combos = Dedup.SimPairCombos.zipWithIndex.map { case ((i, j), c) =>
+        val (s1, w1) = (Dedup.SimBlockShifts(i), Dedup.SimBlockWidths(i))
+        val (s2, w2) = (Dedup.SimBlockShifts(j), Dedup.SimBlockWidths(j))
+        struct(lit(c).as("b"), expr(
+          s"(shiftright(simhash, $s1) % ${1L << w1}) * ${1L << w2}" +
+            s" + (shiftright(simhash, $s2) % ${1L << w2})").as("bkey"))
       }
+      val bands = pinned
+        .select(col("doc_id"), col("simhash"), explode(array(combos: _*)).as("pc"))
+        .select(col("doc_id"), col("simhash"), col("pc.b").as("b"), col("pc.bkey").as("bkey"))
+      val joined = bands.select(col("doc_id").as("a"), col("simhash").as("ha"), col("b"), col("bkey"))
+        .join(bands.select(col("doc_id").as("b_id"), col("simhash").as("hb"),
+          col("b"), col("bkey")), Seq("b", "bkey"))
+        .filter(col("a") < col("b_id"))
+      val nCand = time("join_candidates")(joined.count())
+      println(s"N candidates = $nCand")
+      time("pairs_full")(Dedup.simhashPairs(pinned).count())
       time("full_q37")(SparkEntry.queries("q37_dedup_simhash")(spark, dir).count())
     }
     spark.stop()

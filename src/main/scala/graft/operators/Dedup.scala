@@ -192,13 +192,28 @@ object Dedup {
     val bands = pinned
       .select(col("doc_id"), col("simhash"), explode(array(combos: _*)).as("pc"))
       .select(col("doc_id"), col("simhash"), col("pc.b").as("b"), col("pc.bkey").as("bkey"))
+    // First-match ownership instead of a pair-dedup shuffle: a
+    // candidate pair collides in EVERY table whose two blocks are
+    // clean (identical on both sides) — up to all 28 for near-identical
+    // docs — so emitting from each table and .distinct()-ing shuffles
+    // the pair set with up to 28x duplication (measured: the distinct,
+    // not the join, dominated q37). Instead each table keeps a pair
+    // only if it IS the first clean-pair table for the two hashes —
+    // plans/FirstCleanPair, a native expression (the same rule as a
+    // SQL chain gets inlined 12x into the join condition and falls out
+    // of codegen). Every qualifying pair survives in exactly one
+    // table: same set as the distinct, zero extra exchange.
     bands.select(col("doc_id").as("a"), col("simhash").as("ha"), col("b"), col("bkey"))
       .join(bands.select(col("doc_id").as("b_id"), col("simhash").as("hb"),
         col("b"), col("bkey")), Seq("b", "bkey"))
       .filter(col("a") < col("b_id"))
+      // hamming BEFORE the ownership test: bit_count is ~2 ops and
+      // kills the junk-collision bulk; first_clean_pair (~40 ops)
+      // then runs only on true near-pairs
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= maxHamming)
+      .filter(col("b") === graft.plans.FirstCleanPair(
+        col("ha"), col("hb"), SimBlockShifts, SimBlockWidths))
       .select(col("a"), col("b_id").as("b"), col("hamming"))
-      .distinct()
   }
 }

@@ -77,6 +77,36 @@ class DedupOpsSpec extends SparkTestBase {
     assert(!got.contains(1L -> 5L), "pair dirtying 7 blocks should be outside the guarantee")
   }
 
+  test("first-match ownership emits each pair exactly once == emit-everywhere + distinct") {
+    import spark.implicits._
+    // random near-ish corpus: clusters around a few base hashes so
+    // pairs collide in MANY tables (the duplication the ownership rule
+    // exists to kill), plus unrelated hashes
+    val rnd = new scala.util.Random(42)
+    val bases = Seq.fill(5)(rnd.nextLong() & ((1L << 60) - 1))
+    val rows = (1L to 120L).map { id =>
+      val h =
+        if (id <= 100) {
+          val b = bases((id % 5).toInt)
+          (0 until rnd.nextInt(8)).foldLeft(b)((x, _) => x ^ (1L << rnd.nextInt(60)))
+        } else rnd.nextLong() & ((1L << 60) - 1)
+      id -> h
+    }
+    val base = rows.toDF("doc_id", "simhash")
+    val got = Dedup.simhashPairs(base).as[(Long, Long, Int)].collect()
+    assert(got.length == got.toSet.size, "a pair was emitted from more than one table")
+    // reference: emit from every colliding table, then distinct
+    val hs = rows.toMap
+    val expect = (for {
+      (a, ha) <- rows; (b, hb) <- rows if a < b
+      m = ha ^ hb
+      clean = Dedup.SimBlockWidths.indices.count(k =>
+        (m >>> Dedup.SimBlockShifts(k)) % (1L << Dedup.SimBlockWidths(k)) == 0L)
+      if clean >= 2 && java.lang.Long.bitCount(m) <= 12
+    } yield (a, b, java.lang.Long.bitCount(m))).toSet
+    assert(got.toSet == expect, "ownership pair set differs from the distinct reference")
+  }
+
   test("embedding top-pairs are ordered by similarity and well-formed") {
     val p = q("q38_dedup_embedding").collect()
     assert(p.length > 0 && p.length <= 100)

@@ -66,6 +66,30 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("FirstCleanPair matches the combo-enumeration model on random hash pairs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // mix of near pairs (few planted bit flips — the operator's real
+    // input) and unrelated hashes (mostly no clean pair -> -1)
+    val hashGen = Gen.chooseNum(0L, (1L << 60) - 1)
+    val flipsGen = Gen.containerOfN[Seq, Int](6, Gen.chooseNum(0, 59))
+    val pairs = (1 to 300).map { i =>
+      val h = sample(hashGen, i * 31L)
+      if (i % 2 == 0) (h, sample(hashGen, i * 31L + 7))
+      else (h, sample(flipsGen, i * 31L + 7).foldLeft(h)((x, b) => x ^ (1L << b)))
+    }
+    def model(ha: Long, hb: Long): Int =
+      Dedup.SimPairCombos.zipWithIndex.collectFirst { case ((i, j), c)
+        if Seq(i, j).forall { k =>
+          ((ha ^ hb) >>> Dedup.SimBlockShifts(k)) % (1L << Dedup.SimBlockWidths(k)) == 0L
+        } => c }.getOrElse(-1)
+    val got = pairs.toDF("ha", "hb")
+      .select(graft.plans.FirstCleanPair(col("ha"), col("hb"),
+        Dedup.SimBlockShifts, Dedup.SimBlockWidths).as("c"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == pairs.map { case (a, b) => model(a, b) })
+  }
+
   test("hashBucket is always in range and stable across evaluations") {
     import spark.implicits._
     val ids = (1 to 500).map(i =>
