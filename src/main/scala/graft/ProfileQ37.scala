@@ -28,9 +28,12 @@ object ProfileQ37 {
         .withColumn("simhash", simhash)
         .select(col("doc_id"), col("simhash"))
     }
+    val nativeBase = docs.select(col("doc_id"),
+      graft.plans.SimHash60(trim(col("text"))).as("simhash"))
     for (_ <- 1 to 2) {
-      time("simhash_base")(base.count())
-      val pinned = base.localCheckpoint(eager = true)
+      time("explode_base")(base.count())
+      time("native_base")(nativeBase.count())
+      val pinned = time("pin_native")(nativeBase.localCheckpoint(eager = true))
       val combos = Dedup.SimPairCombos.zipWithIndex.map { case ((i, j), c) =>
         val (s1, w1) = (Dedup.SimBlockShifts(i), Dedup.SimBlockWidths(i))
         val (s2, w2) = (Dedup.SimBlockShifts(j), Dedup.SimBlockWidths(j))

@@ -157,31 +157,19 @@ object DedupOps extends QueryModule {
   // which run interpreted and are ~100x slower), then one bit-fold
   // projection; pairing in Dedup.simhashPairs.
   private def q37(s: SparkSession, dir: String): DataFrame = {
-    // NOTE a (doc, word) count pre-agg before hashing (cutting the
-    // hash + 60 bit-tests to once per distinct word) measured ~30%
-    // SLOWER here: the extra shuffle outweighs the 2.3x dup factor.
-    // The single-shuffle shape below partially aggregates the 60
-    // counters map-side, so the shuffle moves only docs x 60 longs.
-    // Hash: 60-bit md5 prefix — PORTABLE (DuckDB computes the same
-    // value), which is what lets q37 carry a full value-hash oracle.
-    // xxhash64 measured wall-clock parity here (the 60 bit-tests
-    // dominate, not the hash) so portability costs nothing. NB a
+    // Signature = plans/SimHash60, a native one-pass expression: the
+    // base is a pure map-stage projection with NO explode, aggregation
+    // or exchange (the earlier explode → 60-conditional-sum shape
+    // shuffled docs×60 partial counters; a (doc, word) count pre-agg
+    // measured ~30% slower still). Hash inside: 60-bit md5 prefix —
+    // PORTABLE (DuckDB computes the same value), which is what lets
+    // q37 carry a full value-hash oracle; the oracle SQL still runs
+    // the explode pipeline and PropertySpec pins the equality. NB a
     // signed hash would silently break the bit tests: shiftright(h,b)
     // % 2 on a negative long is -1/0, never 1 — md5-prefix is
     // non-negative by construction.
-    val words = docs(s, dir)
-      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
-      .withColumn("h", expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"))
-    val bitSums = (0 until 60).map(b =>
-      sum(when(expr(s"(shiftright(h, $b) % 2) = 1"), 1L).otherwise(-1L)).as(s"bit$b"))
-    val simhash = (0 until 60)
-      .map(b => when(col(s"bit$b") > 0, lit(1L << b)).otherwise(0L))
-      .reduceLeft(_ + _)
-    val base = words
-      .groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash", simhash)
-      .select(col("doc_id"), col("simhash"))
+    val base = docs(s, dir)
+      .select(col("doc_id"), graft.plans.SimHash60(trim(col("text"))).as("simhash"))
     // simhashPairs localCheckpoints the (doc_id, simhash) table: its
     // band self-join would otherwise put this 60-aggregate stage on
     // BOTH join branches whenever exchange reuse fails to fire.

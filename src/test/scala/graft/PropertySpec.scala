@@ -90,6 +90,35 @@ class PropertySpec extends SparkTestBase {
     assert(got == pairs.map { case (a, b) => model(a, b) })
   }
 
+  test("SimHash60 equals the explode + 60-vote SQL pipeline on adversarial texts") {
+    import spark.implicits._
+    // word-char soup with spaces forced in: double spaces produce
+    // EMPTY segments (which the split pipeline hashes too), plus
+    // unicode, and the degenerate all-space / empty cases
+    val wordChar = Gen.frequency(6 -> Gen.alphaNumChar, 1 -> Gen.const(' '),
+      1 -> Gen.oneOf('é', 'ß', '中', '!', '('))
+    val textGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.containerOfN[Seq, Char](n, wordChar).map(_.mkString))
+    val texts = (1 to 150).map(i => sample(textGen, 500L + i)) ++
+      Seq("", " ", "  ", "a  b", " leading", "trailing ", "één 中文 mixé")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = df
+      .select(col("doc_id"), graft.plans.SimHash60(trim(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bitSums = (0 until 60).map(b =>
+      sum(when(expr(s"(shiftright(h, $b) % 2) = 1"), 1L).otherwise(-1L)).as(s"bit$b"))
+    val fold = (0 until 60)
+      .map(b => when(col(s"bit$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduceLeft(_ + _)
+    val sql = df
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+      .withColumn("h", expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("sh", fold)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("sh")).toMap
+    assert(native == sql)
+  }
+
   test("hashBucket is always in range and stable across evaluations") {
     import spark.implicits._
     val ids = (1 to 500).map(i =>
