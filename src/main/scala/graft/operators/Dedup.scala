@@ -120,6 +120,13 @@ object Dedup {
     size(filter(zip_with(sa, sb, (x, y) => x === y), v => v))
       .cast("double") / NumHashes
 
+  /** 60-bit SimHash of a document's text — plans/SimHash60 native
+    * expression (one codegen'd pass: split on single spaces, md5 per
+    * word, 60-bit vote fold); a shuffle-free map-stage projection,
+    * byte-identical to the explode + 60-conditional-sum pipeline the
+    * DuckDB oracle runs (PropertySpec pins the equality). */
+  def simhash60(text: Column): Column = graft.plans.SimHash60(trim(text))
+
   /** SimHash block layout: 8 blocks of the 60-bit hash (widths
     * 8,8,8,8,7,7,7,7), keyed in C(8,2)=28 block-PAIR tables. */
   val SimBlockWidths: Seq[Int] = Seq(8, 8, 8, 8, 7, 7, 7, 7)

@@ -169,7 +169,7 @@ object DedupOps extends QueryModule {
     // % 2 on a negative long is -1/0, never 1 — md5-prefix is
     // non-negative by construction.
     val base = docs(s, dir)
-      .select(col("doc_id"), graft.plans.SimHash60(trim(col("text"))).as("simhash"))
+      .select(col("doc_id"), Dedup.simhash60(col("text")).as("simhash"))
     // simhashPairs localCheckpoints the (doc_id, simhash) table: its
     // band self-join would otherwise put this 60-aggregate stage on
     // BOTH join branches whenever exchange reuse fails to fire.
