@@ -83,6 +83,29 @@ class PlanSpec extends SparkTestBase {
       s"codegen compile failures (interpreted fallback) in:\n${offenders.mkString("\n")}")
   }
 
+  test("native expressions inside pinned subplans compile (the per-query gate can't see them)") {
+    // The codegen gate above walks each registered query's
+    // executedPlan — but a Pin (checkpoint) replaces its upstream with
+    // an ExistingRDD scan, so expressions that live ONLY in the pinned
+    // base (SimHash60 in q37's signature stage) are invisible to it
+    // and a Janino failure there would silently run interpreted.
+    // Compile-check the pre-pin shapes directly.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.debug._
+    val subplans = Seq(
+      "q37 simhash base" -> spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), graft.operators.Dedup.simhash60(col("text")).as("simhash")),
+      "q40 lsh index" -> graft.operators.Similarity.lshEntries(
+        spark.read.parquet(s"$sfDir/embeddings.parquet")))
+    val offenders = subplans.flatMap { case (name, df) =>
+      codegenStringSeq(df.queryExecution.executedPlan)
+        .filter { case (_, _, stats) => stats.maxMethodCodeSize < 0 }
+        .map { case (subtree, _, _) => s"$name: ${subtree.linesIterator.next()}" }
+    }
+    assert(offenders.isEmpty,
+      s"codegen compile failures (interpreted fallback) in:\n${offenders.mkString("\n")}")
+  }
+
   test("q37 pins the simhash base: both self-join branches read ONE checkpointed RDD") {
     // Regression pin for the localCheckpoint at Dedup.simhashPairs: the
     // 60-aggregate base feeds BOTH branches of the band self-join, and
