@@ -21,7 +21,8 @@ object ProfileQ50 {
       lit("#"), col("event_id").cast("string"))
     for (_ <- 1 to 2) {
       time("assoc")(assoc.count())
-      time("pairs")(FinetunePrep.pairs(assoc, utt, col("ts_us"), col("event_id")).count())
+      time("pairs")(FinetunePrep.pairs(assoc, utt, col("ts_us"), col("event_id"),
+        coKeys = Seq(col("instance_id"))).count())
       time("full_q50")(SparkEntry.queries("q50_finetune_pairs")(spark, dir).count())
     }
     spark.stop()

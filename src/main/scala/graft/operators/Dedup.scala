@@ -124,7 +124,10 @@ object Dedup {
     * expression (one codegen'd pass: split on single spaces, md5 per
     * word, 60-bit vote fold); a shuffle-free map-stage projection,
     * byte-identical to the explode + 60-conditional-sum pipeline the
-    * DuckDB oracle runs (PropertySpec pins the equality). */
+    * DuckDB oracle runs (PropertySpec pins the equality). NULL text →
+    * NULL signature (the explode pipeline emitted no row instead;
+    * both yield zero pairs downstream — a null bucket key joins
+    * nothing). */
   def simhash60(text: Column): Column = graft.plans.SimHash60(trim(text))
 
   /** SimHash block layout: 8 blocks of the 60-bit hash (widths
