@@ -170,10 +170,17 @@ object DedupOps extends QueryModule {
     // non-negative by construction.
     val base = docs(s, dir)
       .select(col("doc_id"), Dedup.simhash60(col("text")).as("simhash"))
-    // simhashPairs localCheckpoints the (doc_id, simhash) table: its
-    // band self-join would otherwise put this 60-aggregate stage on
-    // BOTH join branches whenever exchange reuse fails to fire.
-    Dedup.simhashPairs(base, maxHamming = 12)
+    // simhashPairs pins the (doc_id, simhash) table: its band
+    // self-join would otherwise put the signature stage on BOTH join
+    // branches whenever exchange reuse fails to fire.
+    //
+    // The pair set is pinned too, for the protocol ORDER BY: a range
+    // exchange computes its partition bounds by SAMPLING its child
+    // with a separate job, so sorting the join output directly
+    // executes the 100M-candidate join twice (the retired distinct's
+    // hash exchange used to sit in between as the cheap re-read
+    // point; measured 2x q37 wall at sf1 without one).
+    graft.operators.Pin(Dedup.simhashPairs(base, maxHamming = 12))
       .orderBy(col("a"), col("b"))
   }
 

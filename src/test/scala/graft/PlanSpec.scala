@@ -107,14 +107,19 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q37 pins the simhash base: both self-join branches read ONE checkpointed RDD") {
-    // Regression pin for the localCheckpoint at Dedup.simhashPairs: the
-    // 60-aggregate base feeds BOTH branches of the band self-join, and
-    // AQE's broadcast conversion can drop the exchanges that reuse
-    // needs — without the pin the heaviest aggregate in the suite runs
-    // twice. Locked here as a plan shape: exactly two ExistingRDD scans
-    // of the SAME checkpointed RDD, and no direct documents scan.
+    // Regression pin for the Pin at Dedup.simhashPairs: the signature
+    // base feeds BOTH branches of the band self-join, and AQE's
+    // broadcast conversion can drop the exchanges that reuse needs —
+    // without the pin the base runs twice. Locked as a plan shape on
+    // the pair pipeline (the registered query wraps it in a further
+    // pair-set Pin for the protocol sort, which hides this structure
+    // from its static plan): exactly two ExistingRDD scans of the SAME
+    // checkpointed RDD, and no direct documents scan.
+    import org.apache.spark.sql.functions.col
     val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    val txt = SparkEntry.queries("q37_dedup_simhash")(spark, sfDir)
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), graft.operators.Dedup.simhash60(col("text")).as("simhash"))
+    val txt = graft.operators.Dedup.simhashPairs(base)
       .queryExecution.explainString(mode)
     val rddIds = "MapPartitionsRDD\\[(\\d+)\\] at localCheckpoint".r
       .findAllMatchIn(txt).map(_.group(1)).toSeq
@@ -124,6 +129,17 @@ class PlanSpec extends SparkTestBase {
       s"self-join branches read DIFFERENT RDDs — the base is computed twice:\n$txt")
     assert(!txt.contains("documents.parquet"),
       s"q37 plan scans documents directly — the checkpoint pin is gone:\n$txt")
+
+    // and the registered query itself: the pair-set pin means the
+    // final sort samples a pinned RDD, not the 28-table self-join (a
+    // range exchange samples its child with a separate job — sorting
+    // the join directly would execute the candidate join TWICE)
+    val qtxt = SparkEntry.queries("q37_dedup_simhash")(spark, sfDir)
+      .queryExecution.explainString(mode)
+    assert("at localCheckpoint|at checkpoint".r.findFirstIn(qtxt).isDefined,
+      s"q37's sort child is not pinned — the range sampling re-executes the join:\n$qtxt")
+    assert(!qtxt.contains("documents.parquet"),
+      s"q37 plan scans documents directly:\n$qtxt")
   }
 
   test("distill-chain aggregations reuse the window's partitioning: one data shuffle end-to-end") {
