@@ -174,13 +174,18 @@ object DedupOps extends QueryModule {
     // self-join would otherwise put the signature stage on BOTH join
     // branches whenever exchange reuse fails to fire.
     //
-    // The pair set is pinned too, for the protocol ORDER BY: a range
+    // The repartition below exists for the protocol ORDER BY: a range
     // exchange computes its partition bounds by SAMPLING its child
     // with a separate job, so sorting the join output directly
     // executes the 100M-candidate join twice (the retired distinct's
     // hash exchange used to sit in between as the cheap re-read
-    // point; measured 2x q37 wall at sf1 without one).
-    graft.operators.Pin(Dedup.simhashPairs(base, maxHamming = 12))
+    // point; measured 2x q37 wall at sf1 without one). A hash
+    // exchange is the right boundary — a Pin works too but parks the
+    // 23M-row pair set in executor block memory for the rest of the
+    // session (measured 2-3x on the queries benched after q37);
+    // shuffle files cost nothing after the stage completes.
+    Dedup.simhashPairs(base, maxHamming = 12)
+      .repartition(col("a"))
       .orderBy(col("a"), col("b"))
   }
 

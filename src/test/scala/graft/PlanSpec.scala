@@ -130,16 +130,16 @@ class PlanSpec extends SparkTestBase {
     assert(!txt.contains("documents.parquet"),
       s"q37 plan scans documents directly — the checkpoint pin is gone:\n$txt")
 
-    // and the registered query itself: the pair-set pin means the
-    // final sort samples a pinned RDD, not the 28-table self-join (a
-    // range exchange samples its child with a separate job — sorting
-    // the join directly would execute the candidate join TWICE)
-    val qtxt = SparkEntry.queries("q37_dedup_simhash")(spark, sfDir)
-      .queryExecution.explainString(mode)
-    assert("at localCheckpoint|at checkpoint".r.findFirstIn(qtxt).isDefined,
-      s"q37's sort child is not pinned — the range sampling re-executes the join:\n$qtxt")
-    assert(!qtxt.contains("documents.parquet"),
-      s"q37 plan scans documents directly:\n$qtxt")
+    // and the registered query itself: a hash repartition must sit
+    // between the candidate join and the protocol sort — a range
+    // exchange samples its child with a separate job, so sorting the
+    // join output directly would execute the candidate join TWICE
+    val q = SparkEntry.queries("q37_dedup_simhash")(spark, sfDir)
+    assert(q.queryExecution.optimizedPlan.toString.contains("RepartitionByExpression"),
+      "q37's sort child has no materialization boundary — " +
+        s"the range sampling re-executes the join:\n${q.queryExecution.optimizedPlan}")
+    assert(!q.queryExecution.explainString(mode).contains("documents.parquet"),
+      "q37 plan scans documents directly")
   }
 
   test("distill-chain aggregations reuse the window's partitioning: one data shuffle end-to-end") {
