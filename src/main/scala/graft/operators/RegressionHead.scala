@@ -45,6 +45,35 @@ object RegressionHead {
       predictions: DataFrame,
       trainAccuracy: Double)
 
+  /** The deterministic training table the fit consumes — everything up
+    * to (but not including) the LBFGS iterations: label mapped to
+    * y∈{0,1}, NULL features imputed to 0, and the sklearn "balanced"
+    * class weight w(c) = n / (2·n_c) attached per row. Exposed
+    * separately because this half of the stage IS SQL-expressible and
+    * therefore oracle-checkable (q58), while the iterative fit is
+    * gated by RegressionHeadSpec instead.
+    *
+    * Scale shape: the class counts are a 1-row aggregate broadcast
+    * back onto the rows (no unpartitioned window, no driver round
+    * trip in the data path). */
+  def designMatrix(
+      data: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String = "label",
+      posLabel: String = "pos"): DataFrame = {
+    val base = data
+      .withColumn("y", when(col(labelCol) === posLabel, 1.0).otherwise(0.0))
+      .na.fill(0.0, featureCols)
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("_n"),
+      sum(col("y")).as("_np"))
+    base.crossJoin(broadcast(stats))
+      .withColumn("w",
+        when(col("y") === 1.0, col("_n") / (lit(2.0) * col("_np")))
+          .otherwise(col("_n") / (lit(2.0) * (col("_n") - col("_np")))))
+      .drop("_n", "_np")
+  }
+
   /** Fit the head on `data` (one row per instance). `posLabel` maps the
     * string label to y=1. The two driver-side actions are 1-row
     * aggregates (class counts, accuracy) — scalars, not data. */
@@ -56,20 +85,15 @@ object RegressionHead {
       posLabel: String = "pos",
       regParam: Double = 0.01): Fit = {
 
-    val base = data
-      .withColumn("y", when(col(labelCol) === posLabel, 1.0).otherwise(0.0))
-      .na.fill(0.0, featureCols)
+    val weighted = designMatrix(data, featureCols, labelCol, posLabel)
 
-    val cnt = base.agg(
+    val cnt = weighted.agg(
       count(lit(1)).cast("double").as("n"),
       sum(col("y")).as("np")).collect().head
     val (n, nPos) = (cnt.getDouble(0), cnt.getDouble(1))
     val nNeg = n - nPos
     require(nPos > 0 && nNeg > 0,
       s"regression head needs both classes, got pos=$nPos neg=$nNeg")
-
-    val weighted = base.withColumn("w",
-      when(col("y") === 1.0, lit(n / (2.0 * nPos))).otherwise(lit(n / (2.0 * nNeg))))
     val assembled = new VectorAssembler()
       .setInputCols(featureCols.toArray)
       .setOutputCol("features")

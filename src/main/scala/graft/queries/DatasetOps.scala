@@ -120,28 +120,57 @@ object DatasetOps extends QueryModule {
        |FROM prof JOIN lab USING (instance_id)
        |ORDER BY instance_id""".stripMargin
 
-  // q58: the regression head fitted on q57's features+labels — the
-  // reference's regression stage (regression/log_reg.py:35-60), the
-  // last in-scope capability of its workflow. An iterative LBFGS fit
-  // is not DuckDB-expressible, so there is no oracle row (the driver
-  // records rows-only); the semantic gate is RegressionHeadSpec:
-  // deterministic coefficients and >90% accuracy on a planted linear
-  // boundary, balanced-weight behavior under class skew.
+  // q58: the regression stage's TRAINING TABLE — the deterministic
+  // half of the reference's regression head (regression/log_reg.py:
+  // 35-48 builds exactly this before calling sklearn: feature matrix
+  // with NaNs imputed, y from the label, class_weight='balanced'
+  // per-row weights). Everything up to the LBFGS iterations is
+  // SQL-expressible, so THIS is the oracle surface; the iterative fit
+  // itself (log_reg.py:49-60) runs on this same table via
+  // RegressionHead.fit and is gated by RegressionHeadSpec
+  // (deterministic coefficients, planted-boundary accuracy >90%,
+  // balanced-weight recall under class skew).
   private def q58(s: SparkSession, dir: String): DataFrame =
     graft.operators.RegressionHead
-      .fit(q57(s, dir), graft.operators.RegressionHead.ProfileFeatures, "instance_id")
-      .predictions
+      .designMatrix(q57(s, dir), graft.operators.RegressionHead.ProfileFeatures)
+      .orderBy(col("instance_id"))
+
+  private val q58Sql =
+    s"""WITH $NormSql,
+       |prof AS (SELECT instance_id,
+       |  COUNT(*) AS n_events,
+       |  COUNT(*) FILTER (WHERE event_type IN ('click','view')) AS n_messages,
+       |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_commands,
+       |  COUNT(DISTINCT user_id) AS n_participants,
+       |  COUNT(DISTINCT CASE WHEN event_type IN ('click','view','purchase') THEN user_id END) AS n_actors,
+       |  COUNT(*) FILTER (WHERE event_type IN ('click','view'))
+       |    / NULLIF(COUNT(*) FILTER (WHERE event_type = 'purchase'), 0) AS msg_cmd_ratio,
+       |  CAST(SUM(CASE WHEN event_type IN ('click','view') THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+       |    / NULLIF(COUNT(*) FILTER (WHERE event_type IN ('click','view')), 0) AS avg_msg_len
+       |FROM ev GROUP BY instance_id),
+       |lab AS (SELECT instance_id,
+       |    CASE WHEN bucket % 2 = 0 THEN 'pos' ELSE 'neg' END AS label
+       |  FROM (SELECT DISTINCT instance_id,
+       |          CAST(('0x' || substr(md5('label' || CAST(instance_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 AS bucket
+       |        FROM ev)
+       |  WHERE bucket < 3),
+       |j AS (SELECT prof.*, lab.label FROM prof JOIN lab USING (instance_id))
+       |SELECT instance_id, n_events, n_messages, n_commands, n_participants, n_actors,
+       |  COALESCE(msg_cmd_ratio, CAST(0.0 AS DOUBLE)) AS msg_cmd_ratio,
+       |  COALESCE(avg_msg_len, CAST(0.0 AS DOUBLE)) AS avg_msg_len,
+       |  label,
+       |  CASE WHEN label = 'pos' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
+       |  CASE WHEN label = 'pos'
+       |    THEN CAST(COUNT(*) OVER () AS DOUBLE)
+       |      / (2.0 * CAST(SUM(CASE WHEN label = 'pos' THEN 1 ELSE 0 END) OVER () AS DOUBLE))
+       |    ELSE CAST(COUNT(*) OVER () AS DOUBLE)
+       |      / (2.0 * CAST(SUM(CASE WHEN label = 'neg' THEN 1 ELSE 0 END) OVER () AS DOUBLE))
+       |  END AS w
+       |FROM j ORDER BY instance_id""".stripMargin
 
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q55_dataset_checksum", q55, Some(q55Sql)),
     QueryDef("q56_heuristic_profile", q56, Some(q56Sql)),
     QueryDef("q57_label_join", q57, Some(q57Sql)),
-    QueryDef("q58_regression_head", q58, None))
-
-  /** q58 is excluded from the bench headline: an LBFGS fit's wall time
-    * at bench scale is iteration-count × job-launch overhead, not a
-    * plan property — it would only add scheduler noise to the suite
-    * total. Its gates are RegressionHeadSpec + the driver's rows check. */
-  override def headline: Seq[String] =
-    all.map(_.name).filterNot(_ == "q58_regression_head")
+    QueryDef("q58_regression_head", q58, Some(q58Sql)))
 }

@@ -12,10 +12,15 @@ class PlanSpec extends SparkTestBase {
     *  - q38/q39: brute-force all-pairs / top-k cosine CORRECTNESS
     *    baselines (the scale paths are q36 LSH and q40/q41 ANN);
     *  - q41: vectors × broadcast seed-centroid assignment — a cross
-    *    product against a small bounded set, the IVF assignment step.
+    *    product against a small bounded set, the IVF assignment step;
+    *  - q58: the design matrix broadcasts a ONE-ROW class-count
+    *    aggregate back onto the rows (RegressionHead.designMatrix) —
+    *    a BroadcastNestedLoopJoin whose build side is a single row by
+    *    construction, i.e. a scalar broadcast, not a data join.
     */
   private val quadraticBaselines =
-    Set("q38_dedup_embedding", "q39_knn_brute", "q41_ivf_centroids")
+    Set("q38_dedup_embedding", "q39_knn_brute", "q41_ivf_centroids",
+      "q58_regression_head")
 
   test("no nested-loop or cartesian join in any non-baseline query plan") {
     val offenders = SparkEntry.queries.toSeq
@@ -31,8 +36,13 @@ class PlanSpec extends SparkTestBase {
   }
 
   /** Queries whose FINAL result is a single row (global aggregate) —
-    * a SinglePartition exchange over one row is the correct plan. */
-  private val onePartByDesign = Set("q05_filter_agg", "q55_dataset_checksum")
+    * a SinglePartition exchange over one row is the correct plan —
+    * plus q58, whose plan contains an INTERNAL 1-row aggregate (the
+    * class-count stats the design matrix broadcasts): its
+    * SinglePartition exchange carries exactly one partially-aggregated
+    * row per upstream partition, never data rows. */
+  private val onePartByDesign =
+    Set("q05_filter_agg", "q55_dataset_checksum", "q58_regression_head")
 
   test("no SinglePartition exchange in any multi-row query's executed plan") {
     // The scale-killer this guards: a global (no-partition) window or
