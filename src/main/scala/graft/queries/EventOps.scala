@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.EventFunctions._
-import graft.functions.Exact.{d2, sumD2}
+import graft.functions.Exact.{sumD2, sumU, u2}
 import graft.operators.{NearestEvent, Sessionize}
 
 /** §2.B — event-stream distillation: the reference pipeline's core
@@ -229,7 +229,7 @@ object EventOps extends QueryModule {
       .groupBy(col("instance_id"))
       .agg(
         count(lit(1)).as("n_msgs"),
-        sum(d2(col("value"))).cast("double").as("sum_len"))
+        sumU(u2(col("value")), 2).as("sum_len"))
       .withColumn("avg_msg_len", col("sum_len") / col("n_msgs"))
       .drop("sum_len")
       .orderBy(col("instance_id"))

@@ -2,8 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
 import graft.Tables
 import graft.functions.Exact._
 
@@ -19,10 +17,10 @@ object Relational extends QueryModule {
     val l = Tables.lineitem(s, dir).filter($"l_shipdate" <= lit("2000-12-01"))
     l.groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sumDec(d2($"l_quantity"), 2).as("sum_qty"),
-        sumDec(d2($"l_extendedprice"), 2).as("sum_base_price"),
-        sumDec(discPrice($"l_extendedprice", $"l_discount"), 4).as("sum_disc_price"),
-        sumDec(charge($"l_extendedprice", $"l_discount", $"l_tax"), 6).as("sum_charge"),
+        sumU(u2($"l_quantity"), 2).as("sum_qty"),
+        sumU(u2($"l_extendedprice"), 2).as("sum_base_price"),
+        sumU(discPriceU($"l_extendedprice", $"l_discount"), 4).as("sum_disc_price"),
+        sumU(chargeU($"l_extendedprice", $"l_discount", $"l_tax"), 6).as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -48,7 +46,7 @@ object Relational extends QueryModule {
     l.join(o, $"l_orderkey" === $"o_orderkey")
       .join(c, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate")
-      .agg(sumDec(discPrice($"l_extendedprice", $"l_discount"), 4).as("revenue"))
+      .agg(sumU(discPriceU($"l_extendedprice", $"l_discount"), 4).as("revenue"))
       .orderBy($"revenue".desc, $"o_orderdate".asc, $"l_orderkey".asc)
       .limit(10)
       .select($"l_orderkey", $"revenue", $"o_orderdate")
@@ -84,7 +82,7 @@ object Relational extends QueryModule {
       .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
-      .agg(sumDec(discPrice($"l_extendedprice", $"l_discount"), 4).as("revenue"))
+      .agg(sumU(discPriceU($"l_extendedprice", $"l_discount"), 4).as("revenue"))
       .orderBy($"revenue".desc, $"n_name".asc)
   }
 
@@ -133,7 +131,7 @@ object Relational extends QueryModule {
         $"l_shipdate" >= lit("1996-01-01") && $"l_shipdate" < lit("1997-01-01") &&
           $"l_discount" >= 0.03 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
       .agg(
-        sumDec((d2($"l_extendedprice") * r2($"l_discount")).cast(DecimalType(16, 4)), 4).as("revenue"),
+        sumU(u2($"l_extendedprice") * u2($"l_discount"), 4).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -192,7 +190,7 @@ object Relational extends QueryModule {
       .withColumn("order_year", year($"o_orderdate").cast("bigint"))
       .rollup($"order_year", $"o_orderpriority")
       .agg(
-        sumDec(d2($"o_totalprice"), 2).as("total_sales"),
+        sumU(u2($"o_totalprice"), 2).as("total_sales"),
         count(lit(1)).as("n_orders"))
       .orderBy($"order_year".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
@@ -213,7 +211,7 @@ object Relational extends QueryModule {
       .agg(
         countDistinct($"o_custkey").as("n_custs"),
         count(lit(1)).as("n_orders"),
-        sumDec(d2($"o_totalprice"), 2).as("total_sales"))
+        sumU(u2($"o_totalprice"), 2).as("total_sales"))
       .orderBy($"o_orderpriority")
   }
 
