@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.EventFunctions._
+import graft.functions.{PromptFunctions => P, TextFunctions}
+import graft.operators.NearestEvent
+
+/** §2 bonus — the FIREBALL prompt-format assembly end-to-end: the
+  * reference's finetune_prep `utt_cmd` task (finetune_prep.py:52-63 →
+  * prompts.py:55-103) run over the synthetic event stream, producing
+  * one `(prompt, completion)` record per command with the full
+  * Actors / Current / RP template and the `<|asep|>`/`<|aeot|>`
+  * separators.
+  *
+  * The synthetic actor model: the reference pulls actor sheets from
+  * the normalized combat state; the synthetic stream has no sheets, so
+  * every actor attribute is a DETERMINISTIC function of `user_id`
+  * (salted-md5 buckets — the same portable primitive as the
+  * train/test split), which makes the assembled prompt strings
+  * byte-reproducible in the DuckDB oracle. Attribute sparsity is
+  * deliberate: each bucket has an empty outcome so the template's
+  * part-dropping paths (no race, no effects, …) are exercised on real
+  * rows, not just in the golden spec.
+  *
+  * Scale shape: the RP aggregation groups by (instance_id, cmd_id) so
+  * the nearest-assoc window's hash partitioning is reused (no second
+  * exchange on the big side); the Actors block is built per
+  * (instance, user) then instance — two linear shuffles over slim
+  * rows; the final joins attach one row per instance (actors block)
+  * and one row per user (current-actor block), both tiny relative to
+  * the command stream and broadcast by AQE.
+  */
+object PromptOps extends QueryModule {
+
+  // Deterministic synthetic actor attributes (functions of user_id).
+  private def name(u: Column) = concat(lit("u"), u.cast("string"))
+  private def race(u: Column) = {
+    val b = TextFunctions.hashBucket(u, "race", 4)
+    when(b === 1, "Dwarf").when(b === 2, "Elf").when(b === 3, "Human").otherwise("")
+  }
+  private def clazz(u: Column) = {
+    val b = TextFunctions.hashBucket(u, "class", 4)
+    when(b === 1, "Wizard").when(b === 2, "Rogue").when(b === 3, "Fighter").otherwise("")
+  }
+  private def hpStr(u: Column) = TextFunctions.hpState(u % 41, lit(40))
+  private def effects(u: Column) = {
+    val b = TextFunctions.hashBucket(u, "eff", 5)
+    when(b === 1, "Prone").when(b === 2, "Stunned").otherwise("")
+  }
+  private def attacks(u: Column) = {
+    val b = TextFunctions.hashBucket(u, "atk", 3)
+    when(b === 0, "").otherwise(concat(lit("Longsword +"), b.cast("string")))
+  }
+  private def spells(u: Column) = {
+    val b = TextFunctions.hashBucket(u, "spell", 3)
+    when(b === 1, "Fire Bolt").when(b === 2, "Cure Wounds").otherwise("")
+  }
+  private def actions(u: Column) = {
+    val b = TextFunctions.hashBucket(u, "act", 3)
+    when(b === 1, "Dash").when(b === 2, "Dodge").otherwise("")
+  }
+
+  private def shortOf(u: Column): Column =
+    P.actorShort(name(u), race(u), clazz(u), hpStr(u), effects(u))
+  private def longOf(u: Column): Column =
+    P.actorLong(name(u), clazz(u), race(u), attacks(u), spells(u),
+      actions(u), effects(u))
+
+  // q59: per-command prompt/completion in the reference's utt_cmd
+  // format. Commands with no (>=5-word, distill1-filtered) before-RP
+  // are dropped, mirroring prompts.py:60-62's `if not before: return`.
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val ev = norm(Tables.events(s, dir))
+    val utt = concat(lit("u"), col("user_id").cast("string"),
+      lit("#"), col("event_id").cast("string"))
+    val rp = NearestEvent.assoc(ev, "instance_id", "ts_us", "event_id",
+        sourcePred = isMsg, targetPred = isCmd)
+      .filter(col("value") >= 5 && col("side") === "before")
+      .groupBy(col("instance_id"), col("cmd_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"), utt.as("utt")))),
+          x => x.getField("utt")),
+        "\n").as("rp"))
+
+    val ablock = ev
+      .groupBy(col("instance_id"), col("user_id")).agg(count(lit(1)).as("_n"))
+      .withColumn("short", shortOf(col("user_id")))
+      .groupBy(col("instance_id"))
+      .agg(P.actorsBlock(
+        transform(
+          array_sort(collect_list(struct(col("user_id"), col("short").as("short")))),
+          x => x.getField("short"))).as("actors_block"))
+
+    val cmds = ev.filter(isCmd)
+      .select(col("instance_id"), col("event_id").as("cmd_id"),
+        longOf(col("user_id")).as("current_long"))
+
+    rp.join(cmds, Seq("instance_id", "cmd_id"))
+      .join(ablock, Seq("instance_id"))
+      .select(
+        col("cmd_id"),
+        P.uttCmdPrompt(col("actors_block"), col("current_long"), col("rp")).as("prompt"),
+        P.uttCmdCompletion(array(concat(lit("!p"), col("cmd_id").cast("string"))))
+          .as("completion"))
+      .orderBy(col("cmd_id"))
+  }
+
+  // The oracle rebuilds the identical strings in DuckDB. NB chr(10)
+  // everywhere a Scala literal has \n; bucket arithmetic matches
+  // TextFunctions.hashBucket; the HP bucket boundaries are integer-
+  // exact at max_hp=40 (hp>20 == ratio>0.5 etc, no float compares).
+  private def bucketSql(salt: String, mod: Int): String =
+    s"CAST(('0x' || substr(md5('$salt' || CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % $mod"
+
+  private val attrSql =
+    s"""'u' || CAST(user_id AS VARCHAR) AS name,
+       |    CASE ${bucketSql("race", 4)} WHEN 1 THEN 'Dwarf' WHEN 2 THEN 'Elf' WHEN 3 THEN 'Human' ELSE '' END AS race,
+       |    CASE ${bucketSql("class", 4)} WHEN 1 THEN 'Wizard' WHEN 2 THEN 'Rogue' WHEN 3 THEN 'Fighter' ELSE '' END AS clazz,
+       |    user_id % 41 AS hp,
+       |    CASE ${bucketSql("eff", 5)} WHEN 1 THEN 'Prone' WHEN 2 THEN 'Stunned' ELSE '' END AS effects,
+       |    CASE WHEN ${bucketSql("atk", 3)} = 0 THEN '' ELSE 'Longsword +' || CAST(${bucketSql("atk", 3)} AS VARCHAR) END AS attacks,
+       |    CASE ${bucketSql("spell", 3)} WHEN 1 THEN 'Fire Bolt' WHEN 2 THEN 'Cure Wounds' ELSE '' END AS spells,
+       |    CASE ${bucketSql("act", 3)} WHEN 1 THEN 'Dash' WHEN 2 THEN 'Dodge' ELSE '' END AS actions""".stripMargin
+
+  private val q59Sql =
+    s"""WITH $NormSql, $NearestAssocSql,
+       |rp AS (
+       |  SELECT cmd_id,
+       |    string_agg('u' || CAST(user_id AS VARCHAR) || '#' || CAST(msg_id AS VARCHAR), chr(10) ORDER BY ts_us, msg_id) AS rp
+       |  FROM assoc WHERE side = 'before' AND value >= 5 GROUP BY cmd_id),
+       |attr AS (
+       |  SELECT instance_id, user_id, $attrSql
+       |  FROM (SELECT DISTINCT instance_id, user_id FROM ev)),
+       |short AS (
+       |  SELECT instance_id, user_id,
+       |    name
+       |    || CASE WHEN concat_ws('; ', nullif(race,''), nullif(clazz,'')) <> ''
+       |         THEN ' (' || concat_ws('; ', nullif(race,''), nullif(clazz,'')) || ')' ELSE '' END
+       |    || ' ' || '<' || CAST(hp AS VARCHAR) || '/40 HP; '
+       |    || CASE WHEN hp >= 40 THEN 'Healthy' WHEN hp > 20 THEN 'Injured'
+       |            WHEN hp > 6 THEN 'Bloodied' WHEN hp > 0 THEN 'Critical' ELSE 'Dead' END || '>'
+       |    || CASE WHEN effects <> '' THEN ' [' || effects || ']' ELSE '' END AS short_line
+       |  FROM attr),
+       |ablock AS (
+       |  SELECT instance_id,
+       |    'Actors:' || chr(10) || string_agg('- ' || short_line, chr(10) ORDER BY user_id) AS actors_block
+       |  FROM short GROUP BY instance_id),
+       |longb AS (
+       |  SELECT DISTINCT user_id,
+       |    'Name: ' || name
+       |    || CASE WHEN clazz <> '' THEN chr(10) || 'Class: ' || clazz ELSE '' END
+       |    || CASE WHEN race <> '' THEN chr(10) || 'Race: ' || race ELSE '' END
+       |    || CASE WHEN attacks <> '' THEN chr(10) || 'Attacks: ' || attacks ELSE '' END
+       |    || CASE WHEN spells <> '' THEN chr(10) || 'Spells: ' || spells ELSE '' END
+       |    || CASE WHEN actions <> '' THEN chr(10) || 'Actions: ' || actions ELSE '' END
+       |    || CASE WHEN effects <> '' THEN chr(10) || 'Effects: ' || effects ELSE '' END AS long_block
+       |  FROM attr),
+       |cmds AS (
+       |  SELECT instance_id, event_id AS cmd_id, user_id FROM ev WHERE event_type = 'purchase')
+       |SELECT c.cmd_id,
+       |  a.actors_block || chr(10) || chr(10)
+       |    || 'Current:' || chr(10) || lb.long_block || chr(10) || chr(10)
+       |    || r.rp || chr(10) || '<|asep|>' || chr(10) AS prompt,
+       |  '!p' || CAST(c.cmd_id AS VARCHAR) || chr(10) || '<|aeot|>' AS completion
+       |FROM rp r
+       |JOIN cmds c USING (cmd_id)
+       |JOIN ablock a ON a.instance_id = c.instance_id
+       |JOIN longb lb ON lb.user_id = c.user_id
+       |ORDER BY c.cmd_id""".stripMargin
+
+  override val all: Seq[QueryDef] = Seq(
+    QueryDef("q59_prompt_assembly", q59, Some(q59Sql)))
+}
