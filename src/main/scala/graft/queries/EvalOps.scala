@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.EventFunctions._
+import graft.functions.Exact.u2
+
+/** Evaluation/reporting harness analogs — the reference's post-model
+  * bookkeeping re-expressed as aggregations:
+  *
+  *  - q60: `evaluate_sta_nar.py:20-45` computes 3 metrics × 4
+  *    prediction variants per test row, then per-(metric, prediction)
+  *    averages into `...-eval-averages.jsonl`. The HF metric models
+  *    (gpt2 perplexity, BLEURT, BERTScore) are external model
+  *    downloads — out of scope exactly like the OpenAI calls — so the
+  *    metric is a deterministic stub with the same (predictions,
+  *    references) → score shape; the JOIN/UNPIVOT/AVG harness around
+  *    it is the ported surface.
+  *  - q61: `scripts/count_num_chars_in_dataset.py:17-28,100-105` —
+  *    corpus totals (chars, events, messages, commands, authors) ×
+  *    the inlined model-cost table → estimated inference cost per
+  *    model at chars/4 tokens.
+  *
+  * Exactness: per-row stub scores are INTEGER-valued (scaled by 1e5,
+  * floor division) so the per-group average is an exact-int sum
+  * divided once — float summation order can never drift between
+  * engines. Scale: q60 is explode(×12)+one hash agg on a 12-key
+  * space (map-side partials collapse almost everything); q61 is one
+  * global aggregate × an 8-row literal explode.
+  */
+object EvalOps extends QueryModule {
+
+  private val Variants = Seq(
+    "full" -> "lp_full", "nostate" -> "lp_nostate",
+    "command_utterance" -> "lp_cu", "dialog_continuation" -> "lp_dc")
+  private val Metrics = Seq("perplexity" -> 1, "bleurt" -> 2, "bertscore" -> 3)
+
+  // q60: per-(metric, prediction) averages over the prediction table.
+  // Prediction variants are deterministic transforms of the gold text
+  // (the reference's 4 model outputs are external); stub score for
+  // metric weight w: floor(1e5·w·len(pred) / (w·len(pred)+len(gold)+1))
+  // — a similarity-ish ratio with the real metrics' signature.
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(
+      length(col("text")).as("lg"),
+      length(col("text")).as("lp_full"),
+      length(regexp_replace(col("text"), "\\(.*?\\)", "")).as("lp_nostate"),
+      length(substring(col("text"), 1, 100)).as("lp_cu"),
+      length(concat(col("text"), lit(" ...continued"))).as("lp_dc"))
+    val variants = explode(array(Variants.map { case (name, c) =>
+      struct(lit(name).as("prediction"), col(c).as("lp"))
+    }: _*)).as("v")
+    val metrics = explode(array(Metrics.map { case (name, w) =>
+      struct(lit(name).as("metric"), lit(w).as("w"))
+    }: _*)).as("m")
+    base
+      .select(col("lg"), variants).select(col("lg"), col("v.*"), metrics)
+      .select(col("m.metric").as("metric"), col("prediction"),
+        expr("(100000L * m.w * lp) DIV (m.w * lp + lg + 1)").as("s"))
+      .groupBy(col("metric"), col("prediction"))
+      .agg((sum(col("s")).cast("double") /
+        (lit(100000.0) * count(lit(1)).cast("double"))).as("average"))
+      .orderBy(col("metric"), col("prediction"))
+  }
+
+  private val q60Sql =
+    """WITH base AS (
+      |  SELECT length(text) AS lg,
+      |    length(text) AS lp_full,
+      |    length(regexp_replace(text, '\(.*?\)', '', 'g')) AS lp_nostate,
+      |    length(substr(text, 1, 100)) AS lp_cu,
+      |    length(text || ' ...continued') AS lp_dc
+      |  FROM documents),
+      |v AS (
+      |  SELECT lg, 'full' AS prediction, lp_full AS lp FROM base
+      |  UNION ALL SELECT lg, 'nostate', lp_nostate FROM base
+      |  UNION ALL SELECT lg, 'command_utterance', lp_cu FROM base
+      |  UNION ALL SELECT lg, 'dialog_continuation', lp_dc FROM base),
+      |m(metric, w) AS (VALUES ('perplexity', 1), ('bleurt', 2), ('bertscore', 3))
+      |SELECT m.metric, v.prediction,
+      |  CAST(SUM((100000 * m.w * v.lp) // (m.w * v.lp + v.lg + 1)) AS DOUBLE)
+      |    / (CAST(100000 AS DOUBLE) * COUNT(*)) AS average
+      |FROM v CROSS JOIN m
+      |GROUP BY m.metric, v.prediction
+      |ORDER BY m.metric, v.prediction""".stripMargin
+
+  /** The reference's GPT-3 price table
+    * (count_num_chars_in_dataset.py:19-28), verbatim. */
+  private val ModelCosts = Seq(
+    "Davinci" -> 0.02, "Curie" -> 0.002, "Babbage" -> 0.0005, "Ada" -> 0.0004,
+    "FT Davinci" -> 0.12, "FT Curie" -> 0.012, "FT Babbage" -> 0.0024,
+    "FT Ada" -> 0.0016)
+
+  // q61: corpus totals × model-cost table. chars analog = the message
+  // events' `value` (the synthetic message-length column); tokens =
+  // chars/4 (count_num_chars_in_dataset.py:100); cost =
+  // tokens/1000·cost_per_1k (:103-105).
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val models = array(ModelCosts.map { case (n, c) =>
+      struct(lit(n).as("model"), lit(c).as("cost_per_1k"))
+    }: _*)
+    norm(Tables.events(s, dir))
+      .agg(
+        sum(when(isMsg, u2(col("value")))).cast("double")./(lit(100.0)).as("n_chars"),
+        count(lit(1)).as("n_events"),
+        count(when(isMsg, lit(1))).as("n_messages"),
+        count(when(isCmd, lit(1))).as("n_commands"),
+        countDistinct(when(isMsg, col("user_id"))).as("n_authors"))
+      .select(col("*"), explode(models).as("m"))
+      .select(
+        col("m.model").as("model"), col("m.cost_per_1k").as("cost_per_1k"),
+        col("n_chars"), col("n_events"), col("n_messages"), col("n_commands"),
+        col("n_authors"),
+        (col("n_chars") / lit(4.0)).as("n_tokens"),
+        (col("n_chars") / lit(4.0) / lit(1000.0) * col("m.cost_per_1k")).as("est_cost"))
+      .orderBy(col("model"))
+  }
+
+  private val q61Sql =
+    s"""WITH $NormSql,
+       |tot AS (SELECT
+       |  CAST(SUM(CASE WHEN event_type IN ('click','view') THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS n_chars,
+       |  COUNT(*) AS n_events,
+       |  COUNT(*) FILTER (WHERE event_type IN ('click','view')) AS n_messages,
+       |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_commands,
+       |  COUNT(DISTINCT CASE WHEN event_type IN ('click','view') THEN user_id END) AS n_authors
+       |FROM ev),
+       |m(model, cost_per_1k) AS (VALUES
+       |  ('Davinci', CAST(0.02 AS DOUBLE)), ('Curie', CAST(0.002 AS DOUBLE)),
+       |  ('Babbage', CAST(0.0005 AS DOUBLE)), ('Ada', CAST(0.0004 AS DOUBLE)),
+       |  ('FT Davinci', CAST(0.12 AS DOUBLE)), ('FT Curie', CAST(0.012 AS DOUBLE)),
+       |  ('FT Babbage', CAST(0.0024 AS DOUBLE)), ('FT Ada', CAST(0.0016 AS DOUBLE)))
+       |SELECT m.model, m.cost_per_1k,
+       |  tot.n_chars, tot.n_events, tot.n_messages, tot.n_commands, tot.n_authors,
+       |  tot.n_chars / CAST(4 AS DOUBLE) AS n_tokens,
+       |  tot.n_chars / CAST(4 AS DOUBLE) / CAST(1000 AS DOUBLE) * m.cost_per_1k AS est_cost
+       |FROM tot CROSS JOIN m
+       |ORDER BY m.model""".stripMargin
+
+  override val all: Seq[QueryDef] = Seq(
+    QueryDef("q60_eval_metrics", q60, Some(q60Sql)),
+    QueryDef("q61_corpus_cost", q61, Some(q61Sql)))
+}

@@ -42,7 +42,11 @@ class PlanSpec extends SparkTestBase {
     * SinglePartition exchange carries exactly one partially-aggregated
     * row per upstream partition, never data rows. */
   private val onePartByDesign =
-    Set("q05_filter_agg", "q55_dataset_checksum", "q58_regression_head")
+    Set("q05_filter_agg", "q55_dataset_checksum", "q58_regression_head",
+      // q61 is a single GLOBAL corpus aggregate exploded against an
+      // 8-row literal model table: the SinglePartition exchange
+      // carries one partially-aggregated row per upstream partition.
+      "q61_corpus_cost")
 
   test("no SinglePartition exchange in any multi-row query's executed plan") {
     // The scale-killer this guards: a global (no-partition) window or
