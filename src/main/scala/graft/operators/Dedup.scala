@@ -177,6 +177,14 @@ object Dedup {
     * inherently quadratic INSIDE a near-dup clique (every pair is
     * reported) — that is the operator's contract, same as any
     * pair-listing dedup.
+    *
+    * PRECONDITION: `base` must be doc_id-unique (one signature row
+    * per document). First-clean-pair table ownership emits each
+    * qualifying (a, b) pair once PER ROW COMBINATION — duplicate
+    * (doc_id, simhash) rows would multiply pairs where the old
+    * .distinct() collapsed them. Every caller derives base from a
+    * per-document projection, and DedupSpec asserts pair uniqueness
+    * on data with a planted near-dup clique.
     */
   def simhashPairs(base: DataFrame, maxHamming: Int = 12): DataFrame = {
     val combos = SimPairCombos.zipWithIndex.map { case ((i, j), c) =>

@@ -33,12 +33,19 @@ case class FirstCleanPair(left: Expression, right: Expression,
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType == LongType)
-    if (ok && shifts.length == widths.length && widths.length >= 2 &&
-      widths.length <= 31) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two BIGINT inputs and a consistent block layout, got " +
-        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    // Separate messages: an input-type failure and a block-layout
+    // misconfiguration are different bugs — reporting datatypes for a
+    // shifts/widths mismatch sent the reader to the wrong place.
+    if (!Seq(left, right).forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two BIGINT inputs, got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    else if (shifts.length != widths.length || widths.length < 2 ||
+      widths.length > 31)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName block layout invalid: shifts.length=${shifts.length}, " +
+          s"widths.length=${widths.length} (lengths must match, with 2-31 blocks)")
+    else TypeCheckResult.TypeCheckSuccess
   }
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = left.nullable || right.nullable

@@ -168,8 +168,15 @@ object DedupOps extends QueryModule {
     // signed hash would silently break the bit tests: shiftright(h,b)
     // % 2 on a negative long is -1/0, never 1 — md5-prefix is
     // non-negative by construction.
+    // NULL-text docs get a NULL signature (the oracle's explode
+    // pipeline emits no row for them instead) — filter them here so
+    // the pinned base has the oracle's exact cardinality and no
+    // future consumer of it (counts, joins on simhash) sees phantom
+    // NULL rows. Pair output was already identical either way: a
+    // NULL bucket key joins nothing.
     val base = docs(s, dir)
       .select(col("doc_id"), Dedup.simhash60(col("text")).as("simhash"))
+      .filter(col("simhash").isNotNull)
     // simhashPairs pins the (doc_id, simhash) table: its band
     // self-join would otherwise put the signature stage on BOTH join
     // branches whenever exchange reuse fails to fire.

@@ -145,12 +145,23 @@ class PlanSpec extends SparkTestBase {
       s"q37 plan scans documents directly — the checkpoint pin is gone:\n$txt")
 
     // and the registered query itself: a hash repartition must sit
-    // between the candidate join and the protocol sort — a range
+    // BETWEEN the candidate join and the protocol sort — a range
     // exchange samples its child with a separate job, so sorting the
-    // join output directly would execute the candidate join TWICE
+    // join output directly would execute the candidate join TWICE.
+    // Anchored structurally (not a whole-plan substring): the Sort's
+    // child subtree must contain a RepartitionByExpression whose OWN
+    // subtree contains the join — a refactor moving the repartition
+    // upstream of the join would still leave the substring in the
+    // plan while reintroducing the double-execution.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, RepartitionByExpression, Sort}
     val q = SparkEntry.queries("q37_dedup_simhash")(spark, sfDir)
-    assert(q.queryExecution.optimizedPlan.toString.contains("RepartitionByExpression"),
-      "q37's sort child has no materialization boundary — " +
+    val sorts = q.queryExecution.optimizedPlan.collect { case s: Sort => s }
+    assert(sorts.nonEmpty, s"q37 lost its protocol sort:\n${q.queryExecution.optimizedPlan}")
+    val boundaryHoldsJoin = sorts.head.child
+      .collect { case r: RepartitionByExpression => r }
+      .exists(_.collectFirst { case j: Join => j }.isDefined)
+    assert(boundaryHoldsJoin,
+      "q37's sort child has no repartition boundary over the candidate join — " +
         s"the range sampling re-executes the join:\n${q.queryExecution.optimizedPlan}")
     assert(!q.queryExecution.explainString(mode).contains("documents.parquet"),
       "q37 plan scans documents directly")
