@@ -43,7 +43,15 @@ object RegressionHead {
       coefficients: Array[Double],
       intercept: Double,
       predictions: DataFrame,
-      trainAccuracy: Double)
+      trainAccuracy: Double) {
+
+    /** IDs predicted positive, ordered — the reference's
+      * predictions→ids extraction (regression/predictions_to_ids.py:
+      * 12-16: keep rows whose prediction == 1, emit the index ids). */
+    def positiveIds(idCol: String): DataFrame =
+      predictions.filter(col("prediction") === 1.0)
+        .select(col(idCol)).orderBy(col(idCol))
+  }
 
   /** The deterministic training table the fit consumes — everything up
     * to (but not including) the LBFGS iterations: label mapped to

@@ -75,5 +75,12 @@ class RegressionHeadSpec extends SparkTestBase {
     assert(fit.coefficients.toSeq == again.coefficients.toSeq)
     // q58 is the registered form of this path
     assert(SparkEntry.queries("q58_regression_head")(spark, sfDir).count() == q57.count())
+    // predictions -> positive-id extraction (predictions_to_ids.py):
+    // exactly the prediction==1 rows' ids, in order
+    val posIds = fit.positiveIds("instance_id").collect().map(_.getInt(0)).toSeq
+    val expected = preds.filter(col("prediction") === 1.0)
+      .select("instance_id").collect().map(_.getInt(0)).toSeq.sorted
+    assert(posIds == expected)
+    assert(posIds.nonEmpty && posIds.size < q57.count())
   }
 }
