@@ -285,12 +285,18 @@ object EventOps extends QueryModule {
 
   // ---------------------------------------------------------------
   // q21: participants / actors (reference: heuristics/zhu.py:40,49).
+  // Two-level (instance,user)→instance aggregation: the two different
+  // countDistincts would plan as an Expand tripling every event row
+  // before the first shuffle (same rewrite as q56's profile; user_id
+  // is non-null so count(*) of the user level == countDistinct).
   private def q21(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
+      .groupBy(col("instance_id"), col("user_id"))
+      .agg(count(when(isMsg || isCmd, lit(1))).as("_na_u"))
       .groupBy(col("instance_id"))
       .agg(
-        countDistinct(col("user_id")).as("n_participants"),
-        countDistinct(when(isMsg || isCmd, col("user_id"))).as("n_actors"))
+        count(lit(1)).as("n_participants"),
+        count(when(col("_na_u") > 0, lit(1))).as("n_actors"))
       .orderBy(col("instance_id"))
 
   private val q21Sql =

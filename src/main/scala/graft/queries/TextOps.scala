@@ -73,12 +73,14 @@ object TextOps extends QueryModule {
        |  CAST(len(regexp_extract_all(text, '$BpeTokenRe')) AS BIGINT) AS n_bpe_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  // q29: stopword-ratio language ID.
+  // q29: stopword-ratio language ID. Signals from the one-pass native
+  // TextStats scan (no split-array build); oracle keeps the composed
+  // string_split/list_filter form.
   private def q29(s: SparkSession, dir: String): DataFrame = {
-    val ws = words(lower(col("text")))
     docs(s, dir)
-      .withColumn("n_words", size(ws).cast("bigint"))
-      .withColumn("n_stop", stopwordCount(ws))
+      .withColumn("_st", textStats(col("text")))
+      .withColumn("n_words", col("_st.n_words"))
+      .withColumn("n_stop", col("_st.n_stop"))
       .withColumn("en_ratio", col("n_stop") / col("n_words"))
       .withColumn("lang_pred",
         when(col("en_ratio") >= 0.05, "en").otherwise("other"))
@@ -98,14 +100,16 @@ object TextOps extends QueryModule {
 
   // q30: quality score from length/punct/stopword signals. All per-row
   // int arithmetic; the divisions are the only float ops, identical in
-  // both engines.
+  // both engines. The three counting signals come from ONE TextStats
+  // byte scan (was: a split-array build + a translate string build +
+  // a filtered split — three passes).
   private def q30(s: SparkSession, dir: String): DataFrame = {
-    val ws = words(lower(col("text")))
     docs(s, dir)
+      .withColumn("_st", textStats(col("text")))
       .withColumn("n_chars_m", length(col("text")).cast("bigint"))
-      .withColumn("n_words", size(split(trim(col("text")), " ")).cast("bigint"))
-      .withColumn("n_punct", punctCount(col("text")))
-      .withColumn("n_stop", stopwordCount(ws))
+      .withColumn("n_words", col("_st.n_words"))
+      .withColumn("n_punct", col("_st.n_punct"))
+      .withColumn("n_stop", col("_st.n_stop"))
       .withColumn("avg_word_len", (col("n_chars_m") - col("n_words") + 1) / col("n_words"))
       .withColumn("punct_ratio", col("n_punct") / col("n_chars_m"))
       .withColumn("stop_ratio", col("n_stop") / col("n_words"))

@@ -134,6 +134,51 @@ class TextOpsSpec extends SparkTestBase {
     assert(nulls.head.isNullAt(0) && nulls.head.isNullAt(1))
   }
 
+  test("one-pass text_stats == composed split/translate/filter forms") {
+    import spark.implicits._
+    // stopword-adversarial: cased stopwords (must match), stopwords
+    // with punctuation attached (must not), Turkish İ (lowercases to
+    // "i̇" — 2 code points, can never equal "it"/"in"/"is"), KELVIN
+    // sign (lowercases to ASCII k — no stopword contains k),
+    // fullwidth letters, multi-byte and astral chars inside words,
+    // double spaces (empty segments), space-only trims
+    val crafted = Seq(
+      "", " ", "  ", "a", "A", "The AND iT IS of", "the  and", " a ",
+      "İt İN İs türkçe", "KELVIN K Kit", "ＡＮ ｉｔ fullwidth",
+      "a\tb the", "on!", "(an)", "it, it", "café The 中文 and",
+      "a😀b the", "  double  spaces  ", "UPPER PUNCT Count",
+      "to to to", "andy island ofit", "tO oN iN aN", "THE", "And")
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab thendofisA T!.(),\t\né中"
+    val random = (1 to 300).map { _ =>
+      Array.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val df = (crafted ++ random).toDF("text").select(
+      textStats(col("text")).as("st"),
+      size(split(trim(col("text")), " ")).cast("bigint").as("w_ref"),
+      punctCount(col("text")).as("p_ref"),
+      stopwordCount(words(lower(col("text")))).as("s_ref"),
+      col("text"))
+    val bad = df.filter(col("st.n_words") =!= col("w_ref") ||
+      col("st.n_punct") =!= col("p_ref") || col("st.n_stop") =!= col("s_ref"))
+      .collect()
+    assert(bad.isEmpty, s"mismatch on: ${bad.map(_.getString(4)).take(5).toSeq}")
+    val nulls = Seq(Option.empty[String]).toDF("text")
+      .select(textStats(col("text")).as("st")).collect()
+    assert(nulls.head.isNullAt(0))
+    // and on the full documents corpus
+    val d = Tables.documents(spark, sfDir)
+    val badCorpus = d.select(
+        textStats(col("text")).as("st"),
+        size(split(trim(col("text")), " ")).cast("bigint").as("w_ref"),
+        punctCount(col("text")).as("p_ref"),
+        stopwordCount(words(lower(col("text")))).as("s_ref"))
+      .filter(col("st.n_words") =!= col("w_ref") ||
+        col("st.n_punct") =!= col("p_ref") || col("st.n_stop") =!= col("s_ref"))
+      .count()
+    assert(badCorpus == 0)
+  }
+
   test("byte-scan bpe_token_count == regex on the full documents corpus") {
     val d = Tables.documents(spark, sfDir)
     val bad = d.select(bpeTokenCount(col("text")).as("fast"),
