@@ -112,6 +112,29 @@ class ExternalScorerSpec extends SparkTestBase {
     assert(scored.filter(ExternalScorer.icFilter).collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("score() runs under Structured Streaming: per-micro-batch scoring + ic gate") {
+    // the distill3b stage live: a stream of utterances scored as they
+    // arrive (mapPartitions is stateless, so the harness drops into a
+    // streaming plan unchanged), the keep-gate applied downstream
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)]
+    val scored = ExternalScorer.score(
+      input.toDS().toDF("id", "text"), col("text"), steady)
+    val query = scored.filter(ExternalScorer.icFilter)
+      .writeStream.format("memory").queryName("scored_out").outputMode("append").start()
+    try {
+      input.addData((1L, "fine stream utterance"), (2L, "OOC: skip me"))
+      query.processAllAvailable()
+      input.addData((3L, "(aside)"), (4L, "another fine one"))
+      query.processAllAvailable()
+      val kept = spark.table("scored_out").select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(1L, 4L))
+      assert(ScorerProbe.seen("fine stream utterance") == 1)
+      assert(ScorerProbe.seen("OOC: skip me") == 0)
+    } finally query.stop()
+  }
+
   test("scoreCached never re-scores an unchanged corpus; content change invalidates") {
     val dir = java.nio.file.Files.createTempDirectory("scorer_cache").toString
     val df = Seq((1L, "cacheable utterance one"), (2L, "cacheable utterance two"))
