@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -63,11 +64,30 @@ object PromptOps extends QueryModule {
     when(b === 1, "Dash").when(b === 2, "Dodge").otherwise("")
   }
 
+  private def description(u: Column) = {
+    val b = TextFunctions.hashBucket(u, "desc", 3)
+    when(b === 1, "A mysterious adventurer.")
+      .when(b === 2, "A battle-scarred veteran.").otherwise("")
+  }
+
   private def shortOf(u: Column): Column =
     P.actorShort(name(u), race(u), clazz(u), hpStr(u), effects(u))
   private def longOf(u: Column): Column =
     P.actorLong(name(u), clazz(u), race(u), attacks(u), spells(u),
       actions(u), effects(u))
+
+  /** Per-instance `Actors:` block: every user of the instance as a
+    * sorted short line (shared by q59's utt_cmd and q62's sta_nar —
+    * the reference renders state_before/state_after with the same
+    * stringify; the synthetic state is time-invariant per instance). */
+  private def actorsBlockOf(ev: DataFrame): DataFrame = ev
+    .groupBy(col("instance_id"), col("user_id")).agg(count(lit(1)).as("_n"))
+    .withColumn("short", shortOf(col("user_id")))
+    .groupBy(col("instance_id"))
+    .agg(P.actorsBlock(
+      transform(
+        array_sort(collect_list(struct(col("user_id"), col("short").as("short")))),
+        x => x.getField("short"))).as("actors_block"))
 
   // q59: per-command prompt/completion in the reference's utt_cmd
   // format. Commands with no (>=5-word, distill1-filtered) before-RP
@@ -86,14 +106,7 @@ object PromptOps extends QueryModule {
           x => x.getField("utt")),
         "\n").as("rp"))
 
-    val ablock = ev
-      .groupBy(col("instance_id"), col("user_id")).agg(count(lit(1)).as("_n"))
-      .withColumn("short", shortOf(col("user_id")))
-      .groupBy(col("instance_id"))
-      .agg(P.actorsBlock(
-        transform(
-          array_sort(collect_list(struct(col("user_id"), col("short").as("short")))),
-          x => x.getField("short"))).as("actors_block"))
+    val ablock = actorsBlockOf(ev)
 
     val cmds = ev.filter(isCmd)
       .select(col("instance_id"), col("event_id").as("cmd_id"),
@@ -106,6 +119,100 @@ object PromptOps extends QueryModule {
         P.uttCmdPrompt(col("actors_block"), col("current_long"), col("rp")).as("prompt"),
         P.uttCmdCompletion(array(concat(lit("!p"), col("cmd_id").cast("string"))))
           .as("completion"))
+      .orderBy(col("cmd_id"))
+  }
+
+  // q62: the sta_nar task (finetune_prep.py:91-100 →
+  // prompts.py:107-169,188-198) — per command: History (the 5 most
+  // recent prior messages, distill4_normalize.py:397-398's
+  // utterance_history[-5:] analog), Actors (state-after block),
+  // Targets (deterministic per-(cmd,user) subset — the automation's
+  // target list analog), the caster description+long block, the
+  // stringified automation line; completion = the after-utterances
+  // (rows with none are dropped, prompts.py:191-193).
+  //
+  // Scale shape for "last 5 messages before each command": messages
+  // get a per-instance sequence number (one window); each command
+  // carries the running message count (same-keyed window); the
+  // history is then an EQUI-join on (instance, seq) after exploding
+  // the 5 wanted offsets on the command side — linear and hash-keyed,
+  // never a per-command range scan. Targets join instance users to
+  // commands (slim keyed join); blocks assemble per command.
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val ev = norm(Tables.events(s, dir))
+    val utt = concat(lit("u"), col("user_id").cast("string"),
+      lit("#"), col("event_id").cast("string"))
+
+    val after = NearestEvent.assoc(ev, "instance_id", "ts_us", "event_id",
+        sourcePred = isMsg, targetPred = isCmd)
+      .filter(col("value") >= 5 && col("side") === "after")
+      .groupBy(col("instance_id"), col("cmd_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("ts_us"), col("event_id"), utt.as("utt")))),
+        x => x.getField("utt")).as("after_arr"))
+
+    val wAll = Window.partitionBy(col("instance_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cmds = ev
+      .withColumn("prev_seq",
+        coalesce(sum(when(isMsg, 1L)).over(wAll), lit(0L)))
+      .filter(isCmd)
+      .select(col("instance_id"), col("event_id").as("cmd_id"),
+        col("user_id").as("cmd_user"), col("value"), col("prev_seq"))
+
+    val wMsg = Window.partitionBy(col("instance_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val msgs = ev.filter(isMsg)
+      .select(col("instance_id"), col("event_id"), col("user_id"),
+        col("ts_us"), utt.as("utt"))
+      .withColumn("seq", row_number().over(wMsg).cast("long"))
+
+    val hist = cmds
+      .select(col("instance_id"), col("cmd_id"),
+        explode(array((0 until 5).map(lit(_)): _*)).as("k"),
+        col("prev_seq"))
+      .withColumn("seq", col("prev_seq") - col("k"))
+      .filter(col("seq") >= 1)
+      .join(msgs.select(col("instance_id"), col("seq"), col("utt")),
+        Seq("instance_id", "seq"))
+      .groupBy(col("instance_id"), col("cmd_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("seq"), col("utt").as("utt")))),
+        x => x.getField("utt")).as("hist_arr"))
+
+    val users = ev
+      .groupBy(col("instance_id"), col("user_id")).agg(count(lit(1)).as("_n"))
+      .withColumn("short", shortOf(col("user_id")))
+    val targets = cmds.select(col("instance_id"), col("cmd_id"))
+      .join(users, Seq("instance_id"))
+      .filter(TextFunctions.hashBucket(
+        concat(col("cmd_id").cast("string"), lit("#"), col("user_id").cast("string")),
+        "tgt", 3) === 0)
+      .groupBy(col("instance_id"), col("cmd_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("user_id"), col("short").as("short")))),
+        x => x.getField("short")).as("tgt_arr"))
+
+    val automation = concat(lit("u"), col("cmd_user").cast("string"),
+      lit(" casts #"), col("cmd_id").cast("string"),
+      lit(" for "), graft.functions.Exact.u2(col("value")).cast("string"), lit(" cp."))
+
+    cmds
+      .join(after, Seq("instance_id", "cmd_id"))
+      .join(hist, Seq("instance_id", "cmd_id"), "left")
+      .join(targets, Seq("instance_id", "cmd_id"), "left")
+      .join(actorsBlockOf(ev), Seq("instance_id"))
+      .select(
+        col("cmd_id"),
+        P.staNarPrompt(
+          P.historyBlock(col("hist_arr")),
+          col("actors_block"),
+          P.targetsBlock(col("tgt_arr")),
+          P.actorDescription(description(col("cmd_user"))),
+          longOf(col("cmd_user")),
+          automation).as("prompt"),
+        P.staNarCompletion(col("after_arr")).as("completion"))
       .orderBy(col("cmd_id"))
   }
 
@@ -126,13 +233,10 @@ object PromptOps extends QueryModule {
        |    CASE ${bucketSql("spell", 3)} WHEN 1 THEN 'Fire Bolt' WHEN 2 THEN 'Cure Wounds' ELSE '' END AS spells,
        |    CASE ${bucketSql("act", 3)} WHEN 1 THEN 'Dash' WHEN 2 THEN 'Dodge' ELSE '' END AS actions""".stripMargin
 
-  private val q59Sql =
-    s"""WITH $NormSql, $NearestAssocSql,
-       |rp AS (
-       |  SELECT cmd_id,
-       |    string_agg('u' || CAST(user_id AS VARCHAR) || '#' || CAST(msg_id AS VARCHAR), chr(10) ORDER BY ts_us, msg_id) AS rp
-       |  FROM assoc WHERE side = 'before' AND value >= 5 GROUP BY cmd_id),
-       |attr AS (
+  /** The actor-model CTEs (attr → short lines → Actors block → long
+    * blocks), shared verbatim by the q59 and q62 oracles. */
+  private val actorCtesSql =
+    s"""attr AS (
        |  SELECT instance_id, user_id, $attrSql
        |  FROM (SELECT DISTINCT instance_id, user_id FROM ev)),
        |short AS (
@@ -158,7 +262,15 @@ object PromptOps extends QueryModule {
        |    || CASE WHEN spells <> '' THEN chr(10) || 'Spells: ' || spells ELSE '' END
        |    || CASE WHEN actions <> '' THEN chr(10) || 'Actions: ' || actions ELSE '' END
        |    || CASE WHEN effects <> '' THEN chr(10) || 'Effects: ' || effects ELSE '' END AS long_block
-       |  FROM attr),
+       |  FROM attr)""".stripMargin
+
+  private val q59Sql =
+    s"""WITH $NormSql, $NearestAssocSql,
+       |rp AS (
+       |  SELECT cmd_id,
+       |    string_agg('u' || CAST(user_id AS VARCHAR) || '#' || CAST(msg_id AS VARCHAR), chr(10) ORDER BY ts_us, msg_id) AS rp
+       |  FROM assoc WHERE side = 'before' AND value >= 5 GROUP BY cmd_id),
+       |__ACTOR_CTES__,
        |cmds AS (
        |  SELECT instance_id, event_id AS cmd_id, user_id FROM ev WHERE event_type = 'purchase')
        |SELECT c.cmd_id,
@@ -171,7 +283,63 @@ object PromptOps extends QueryModule {
        |JOIN ablock a ON a.instance_id = c.instance_id
        |JOIN longb lb ON lb.user_id = c.user_id
        |ORDER BY c.cmd_id""".stripMargin
+      // spliced AFTER stripMargin: actorCtesSql's own lines start with
+      // the SQL || operator, which a second stripMargin would truncate
+      .replace("__ACTOR_CTES__", actorCtesSql)
+
+  private val q62Sql =
+    s"""WITH $NormSql, $NearestAssocSql,
+       |aft AS (
+       |  SELECT cmd_id,
+       |    string_agg('u' || CAST(user_id AS VARCHAR) || '#' || CAST(msg_id AS VARCHAR), chr(10) ORDER BY ts_us, msg_id) AS after_rp
+       |  FROM assoc WHERE side = 'after' AND value >= 5 GROUP BY cmd_id),
+       |__ACTOR_CTES__,
+       |cmds AS (
+       |  SELECT instance_id, event_id AS cmd_id, user_id AS cmd_user, value, prev_seq FROM (
+       |    SELECT *, COALESCE(SUM(CASE WHEN event_type IN ('click','view') THEN 1 END)
+       |      OVER (PARTITION BY instance_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_seq
+       |    FROM ev) WHERE event_type = 'purchase'),
+       |msgs AS (
+       |  SELECT instance_id,
+       |    'u' || CAST(user_id AS VARCHAR) || '#' || CAST(event_id AS VARCHAR) AS utt,
+       |    ROW_NUMBER() OVER (PARTITION BY instance_id ORDER BY ts_us, event_id) AS seq
+       |  FROM ev WHERE event_type IN ('click','view')),
+       |hist AS (
+       |  SELECT c.cmd_id, string_agg(m.utt, chr(10) ORDER BY m.seq) AS hist
+       |  FROM cmds c JOIN msgs m ON m.instance_id = c.instance_id
+       |    AND m.seq BETWEEN c.prev_seq - 4 AND c.prev_seq
+       |  GROUP BY c.cmd_id),
+       |tgt AS (
+       |  SELECT c.cmd_id, string_agg('- ' || s.short_line, chr(10) ORDER BY s.user_id) AS tgt
+       |  FROM cmds c JOIN short s ON s.instance_id = c.instance_id
+       |  WHERE CAST(('0x' || substr(md5('tgt' || CAST(c.cmd_id AS VARCHAR) || '#' || CAST(s.user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 3 = 0
+       |  GROUP BY c.cmd_id),
+       |descb AS (
+       |  SELECT DISTINCT user_id,
+       |    CASE ${bucketSql("desc", 3)} WHEN 1 THEN 'A mysterious adventurer.'
+       |      WHEN 2 THEN 'A battle-scarred veteran.' ELSE '' END AS descr
+       |  FROM attr)
+       |SELECT c.cmd_id,
+       |  concat_ws(chr(10) || chr(10),
+       |    CASE WHEN h.hist IS NOT NULL THEN 'History:' || chr(10) || h.hist || chr(10) || '---' END,
+       |    a.actors_block,
+       |    CASE WHEN t.tgt IS NOT NULL THEN 'Targets:' || chr(10) || t.tgt END,
+       |    (CASE WHEN d.descr <> '' THEN 'Description: ' || d.descr || chr(10) || '---' || chr(10) ELSE '' END) || lb.long_block,
+       |    'u' || CAST(c.cmd_user AS VARCHAR) || ' casts #' || CAST(c.cmd_id AS VARCHAR)
+       |      || ' for ' || CAST(CAST(floor(c.value * 100 + 0.5) AS BIGINT) AS VARCHAR) || ' cp.'
+       |  ) || chr(10) || '<|asep|>' || chr(10) AS prompt,
+       |  f.after_rp || chr(10) || '<|aeot|>' AS completion
+       |FROM cmds c
+       |JOIN aft f ON f.cmd_id = c.cmd_id
+       |LEFT JOIN hist h ON h.cmd_id = c.cmd_id
+       |LEFT JOIN tgt t ON t.cmd_id = c.cmd_id
+       |JOIN ablock a ON a.instance_id = c.instance_id
+       |JOIN longb lb ON lb.user_id = c.cmd_user
+       |JOIN descb d ON d.user_id = c.cmd_user
+       |ORDER BY c.cmd_id""".stripMargin
+      .replace("__ACTOR_CTES__", actorCtesSql)
 
   override val all: Seq[QueryDef] = Seq(
-    QueryDef("q59_prompt_assembly", q59, Some(q59Sql)))
+    QueryDef("q59_prompt_assembly", q59, Some(q59Sql)),
+    QueryDef("q62_sta_nar_assembly", q62, Some(q62Sql)))
 }

@@ -119,6 +119,28 @@ class PromptSpec extends SparkTestBase {
     assert(completion == "The goblin crumples.\n<|aeot|>")
   }
 
+  test("q62 assembles sta_nar prompts with the template skeleton") {
+    val out = SparkEntry.queries("q62_sta_nar_assembly")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    var sawHistory = false
+    var sawDescription = false
+    for (r <- out) {
+      val prompt = r.getAs[String]("prompt")
+      // History/Targets/Description are data-dependent; Actors, the
+      // caster Name line, and the automation line are always present
+      assert(prompt.contains("Actors:\n- "))
+      assert(prompt.contains("Name: u"))
+      assert(prompt.contains(" casts #"))
+      assert(prompt.endsWith("\n<|asep|>\n"))
+      sawHistory ||= prompt.startsWith("History:\n")
+      sawDescription ||= prompt.contains("Description: ")
+      val completion = r.getAs[String]("completion")
+      assert(completion.startsWith("u") && completion.endsWith("\n<|aeot|>"))
+    }
+    assert(sawHistory, "no prompt exercised the History block")
+    assert(sawDescription, "no prompt exercised the caster Description block")
+  }
+
   test("q59 assembles non-empty prompts with the template skeleton") {
     val out = SparkEntry.queries("q59_prompt_assembly")(spark, sfDir).collect()
     assert(out.nonEmpty)
