@@ -76,18 +76,29 @@ object PromptOps extends QueryModule {
     P.actorLong(name(u), clazz(u), race(u), attacks(u), spells(u),
       actions(u), effects(u))
 
-  /** Per-instance `Actors:` block: every user of the instance as a
-    * sorted short line (shared by q59's utt_cmd and q62's sta_nar —
-    * the reference renders state_before/state_after with the same
-    * stringify; the synthetic state is time-invariant per instance). */
-  private def actorsBlockOf(ev: DataFrame): DataFrame = ev
-    .groupBy(col("instance_id"), col("user_id")).agg(count(lit(1)).as("_n"))
-    .withColumn("short", shortOf(col("user_id")))
-    .groupBy(col("instance_id"))
-    .agg(P.actorsBlock(
-      transform(
-        array_sort(collect_list(struct(col("user_id"), col("short").as("short")))),
-        x => x.getField("short"))).as("actors_block"))
+  /** Per-instance `Actors:` block — the combat-state roster analog,
+    * shared by q59's utt_cmd and q62's sta_nar (the reference renders
+    * state_before/state_after with the same stringify; the synthetic
+    * state is time-invariant per instance). The roster is the
+    * instance's 8 MOST ACTIVE users (by event count, ties by
+    * user_id): a real combat state holds the ~5-10 combatants, not
+    * everyone who ever appeared — an all-users roster made each
+    * prompt carry a ~730-line block at sf1 (~30 KB duplicated onto
+    * every command: gigabytes of output strings on both engines). */
+  private def actorsBlockOf(ev: DataFrame): DataFrame = {
+    val byActivity = Window.partitionBy(col("instance_id"))
+      .orderBy(col("_n").desc, col("user_id").asc)
+    ev
+      .groupBy(col("instance_id"), col("user_id")).agg(count(lit(1)).as("_n"))
+      .withColumn("_rk", row_number().over(byActivity))
+      .filter(col("_rk") <= 8)
+      .withColumn("short", shortOf(col("user_id")))
+      .groupBy(col("instance_id"))
+      .agg(P.actorsBlock(
+        transform(
+          array_sort(collect_list(struct(col("user_id"), col("short").as("short")))),
+          x => x.getField("short"))).as("actors_block"))
+  }
 
   // q59: per-command prompt/completion in the reference's utt_cmd
   // format. Commands with no (>=5-word, distill1-filtered) before-RP
@@ -126,18 +137,22 @@ object PromptOps extends QueryModule {
   // prompts.py:107-169,188-198) — per command: History (the 5 most
   // recent prior messages, distill4_normalize.py:397-398's
   // utterance_history[-5:] analog), Actors (state-after block),
-  // Targets (deterministic per-(cmd,user) subset — the automation's
-  // target list analog), the caster description+long block, the
-  // stringified automation line; completion = the after-utterances
-  // (rows with none are dropped, prompts.py:191-193).
+  // Targets (the actors the automation run touched — stood in by the
+  // distinct authors of the command's after-utterances, which keeps
+  // the list bounded per command; an all-instance-users stand-in
+  // measured 150 s at sf1: cmds × users is a dense per-instance cross
+  // product and does not survive scale), the caster description+long
+  // block, the stringified automation line; completion = the
+  // after-utterances (rows with none are dropped, prompts.py:191-193).
   //
   // Scale shape for "last 5 messages before each command": messages
   // get a per-instance sequence number (one window); each command
   // carries the running message count (same-keyed window); the
   // history is then an EQUI-join on (instance, seq) after exploding
   // the 5 wanted offsets on the command side — linear and hash-keyed,
-  // never a per-command range scan. Targets join instance users to
-  // commands (slim keyed join); blocks assemble per command.
+  // never a per-command range scan. Targets + completion come from
+  // ONE aggregation over the same assoc rows (no second window
+  // branch); blocks assemble per command.
   private def q62(s: SparkSession, dir: String): DataFrame = {
     val ev = norm(Tables.events(s, dir))
     val utt = concat(lit("u"), col("user_id").cast("string"),
@@ -146,10 +161,16 @@ object PromptOps extends QueryModule {
     val after = NearestEvent.assoc(ev, "instance_id", "ts_us", "event_id",
         sourcePred = isMsg, targetPred = isCmd)
       .filter(col("value") >= 5 && col("side") === "after")
+      .withColumn("short", shortOf(col("user_id")))
       .groupBy(col("instance_id"), col("cmd_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("ts_us"), col("event_id"), utt.as("utt")))),
-        x => x.getField("utt")).as("after_arr"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"), utt.as("utt")))),
+          x => x.getField("utt")).as("after_arr"),
+        transform(
+          array_sort(array_distinct(
+            collect_list(struct(col("user_id"), col("short").as("short"))))),
+          x => x.getField("short")).as("tgt_arr"))
 
     val wAll = Window.partitionBy(col("instance_id"))
       .orderBy(col("ts_us"), col("event_id"))
@@ -181,19 +202,6 @@ object PromptOps extends QueryModule {
         array_sort(collect_list(struct(col("seq"), col("utt").as("utt")))),
         x => x.getField("utt")).as("hist_arr"))
 
-    val users = ev
-      .groupBy(col("instance_id"), col("user_id")).agg(count(lit(1)).as("_n"))
-      .withColumn("short", shortOf(col("user_id")))
-    val targets = cmds.select(col("instance_id"), col("cmd_id"))
-      .join(users, Seq("instance_id"))
-      .filter(TextFunctions.hashBucket(
-        concat(col("cmd_id").cast("string"), lit("#"), col("user_id").cast("string")),
-        "tgt", 3) === 0)
-      .groupBy(col("instance_id"), col("cmd_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("user_id"), col("short").as("short")))),
-        x => x.getField("short")).as("tgt_arr"))
-
     val automation = concat(lit("u"), col("cmd_user").cast("string"),
       lit(" casts #"), col("cmd_id").cast("string"),
       lit(" for "), graft.functions.Exact.u2(col("value")).cast("string"), lit(" cp."))
@@ -201,7 +209,6 @@ object PromptOps extends QueryModule {
     cmds
       .join(after, Seq("instance_id", "cmd_id"))
       .join(hist, Seq("instance_id", "cmd_id"), "left")
-      .join(targets, Seq("instance_id", "cmd_id"), "left")
       .join(actorsBlockOf(ev), Seq("instance_id"))
       .select(
         col("cmd_id"),
@@ -249,10 +256,16 @@ object PromptOps extends QueryModule {
        |            WHEN hp > 6 THEN 'Bloodied' WHEN hp > 0 THEN 'Critical' ELSE 'Dead' END || '>'
        |    || CASE WHEN effects <> '' THEN ' [' || effects || ']' ELSE '' END AS short_line
        |  FROM attr),
+       |roster AS (
+       |  SELECT instance_id, user_id FROM (
+       |    SELECT instance_id, user_id,
+       |      ROW_NUMBER() OVER (PARTITION BY instance_id ORDER BY COUNT(*) DESC, user_id ASC) AS rk
+       |    FROM ev GROUP BY instance_id, user_id)
+       |  WHERE rk <= 8),
        |ablock AS (
        |  SELECT instance_id,
        |    'Actors:' || chr(10) || string_agg('- ' || short_line, chr(10) ORDER BY user_id) AS actors_block
-       |  FROM short GROUP BY instance_id),
+       |  FROM short JOIN roster USING (instance_id, user_id) GROUP BY instance_id),
        |longb AS (
        |  SELECT DISTINCT user_id,
        |    'Name: ' || name
@@ -310,10 +323,11 @@ object PromptOps extends QueryModule {
        |    AND m.seq BETWEEN c.prev_seq - 4 AND c.prev_seq
        |  GROUP BY c.cmd_id),
        |tgt AS (
-       |  SELECT c.cmd_id, string_agg('- ' || s.short_line, chr(10) ORDER BY s.user_id) AS tgt
-       |  FROM cmds c JOIN short s ON s.instance_id = c.instance_id
-       |  WHERE CAST(('0x' || substr(md5('tgt' || CAST(c.cmd_id AS VARCHAR) || '#' || CAST(s.user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 3 = 0
-       |  GROUP BY c.cmd_id),
+       |  SELECT t.cmd_id, string_agg('- ' || s.short_line, chr(10) ORDER BY t.user_id) AS tgt
+       |  FROM (SELECT DISTINCT cmd_id, user_id
+       |        FROM assoc WHERE side = 'after' AND value >= 5) t
+       |  JOIN (SELECT DISTINCT user_id, short_line FROM short) s ON s.user_id = t.user_id
+       |  GROUP BY t.cmd_id),
        |descb AS (
        |  SELECT DISTINCT user_id,
        |    CASE ${bucketSql("desc", 3)} WHEN 1 THEN 'A mysterious adventurer.'
