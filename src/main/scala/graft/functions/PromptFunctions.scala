@@ -150,4 +150,15 @@ object PromptFunctions {
     * callers drop rows with no after-utterances (prompts.py:188-198). */
   def staNarCompletion(after: Column): Column =
     concat(array_join(after, "\n"), lit(StopSeq))
+
+  /** IC/OOC classifier finetune pair (reference:
+    * icooc/finertune_prep.py:24-33): numeric label 0 → in-character,
+    * else out-of-character; prompt `<utterance>\nlabel:`, completion
+    * ` <label>` (leading space included, as the reference writes it). */
+  def icOocPrompt(utterance: Column): Column =
+    concat(utterance, lit("\nlabel:"))
+
+  def icOocCompletion(label: Column): Column =
+    concat(lit(" "),
+      when(label.cast("int") === 0, "in-character").otherwise("out-of-character"))
 }

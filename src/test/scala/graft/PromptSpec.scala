@@ -119,6 +119,16 @@ class PromptSpec extends SparkTestBase {
     assert(completion == "The goblin crumples.\n<|aeot|>")
   }
 
+  test("ic/ooc finetune pair matches icooc/finertune_prep.py:24-33") {
+    val df = Seq(("Hello there!", 0.0), ("ooc chatter", 1.0))
+      .toDF("utterance", "label")
+      .select(P.icOocPrompt($"utterance").as("p"), P.icOocCompletion($"label").as("c"))
+      .collect()
+    assert(df(0).getString(0) == "Hello there!\nlabel:")
+    assert(df(0).getString(1) == " in-character")
+    assert(df(1).getString(1) == " out-of-character")
+  }
+
   test("q62 assembles sta_nar prompts with the template skeleton") {
     val out = SparkEntry.queries("q62_sta_nar_assembly")(spark, sfDir).collect()
     assert(out.nonEmpty)
