@@ -130,6 +130,12 @@ object PromptOps extends QueryModule {
         P.uttCmdPrompt(col("actors_block"), col("current_long"), col("rp")).as("prompt"),
         P.uttCmdCompletion(array(concat(lit("!p"), col("cmd_id").cast("string"))))
           .as("completion"))
+      // hash boundary before the protocol sort: the range exchange
+      // SAMPLES its child with a separate job, so sorting the
+      // assembly directly would execute the whole window+join+concat
+      // pipeline twice (the q37 lesson; shuffle files are the cheap
+      // re-read point)
+      .repartition(col("cmd_id"))
       .orderBy(col("cmd_id"))
   }
 
@@ -220,6 +226,9 @@ object PromptOps extends QueryModule {
           longOf(col("cmd_user")),
           automation).as("prompt"),
         P.staNarCompletion(col("after_arr")).as("completion"))
+      // same q37-style boundary as q59: don't let the sort's range
+      // sampling re-execute the assembly
+      .repartition(col("cmd_id"))
       .orderBy(col("cmd_id"))
   }
 
