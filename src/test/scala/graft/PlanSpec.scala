@@ -154,16 +154,21 @@ class PlanSpec extends SparkTestBase {
     // upstream of the join would still leave the substring in the
     // plan while reintroducing the double-execution.
     import org.apache.spark.sql.catalyst.plans.logical.{Join, RepartitionByExpression, Sort}
-    val q = SparkEntry.queries("q37_dedup_simhash")(spark, sfDir)
-    val sorts = q.queryExecution.optimizedPlan.collect { case s: Sort => s }
-    assert(sorts.nonEmpty, s"q37 lost its protocol sort:\n${q.queryExecution.optimizedPlan}")
-    val boundaryHoldsJoin = sorts.head.child
-      .collect { case r: RepartitionByExpression => r }
-      .exists(_.collectFirst { case j: Join => j }.isDefined)
-    assert(boundaryHoldsJoin,
-      "q37's sort child has no repartition boundary over the candidate join — " +
-        s"the range sampling re-executes the join:\n${q.queryExecution.optimizedPlan}")
-    assert(!q.queryExecution.explainString(mode).contains("documents.parquet"),
+    // q59/q62 share the discipline: their assemblies are also
+    // join-heavy sort children that the range sampler would re-execute
+    for (name <- Seq("q37_dedup_simhash", "q59_prompt_assembly", "q62_sta_nar_assembly")) {
+      val q = SparkEntry.queries(name)(spark, sfDir)
+      val sorts = q.queryExecution.optimizedPlan.collect { case s: Sort => s }
+      assert(sorts.nonEmpty, s"$name lost its protocol sort:\n${q.queryExecution.optimizedPlan}")
+      val boundaryHoldsJoin = sorts.head.child
+        .collect { case r: RepartitionByExpression => r }
+        .exists(_.collectFirst { case j: Join => j }.isDefined)
+      assert(boundaryHoldsJoin,
+        s"$name's sort child has no repartition boundary over its joins — " +
+          s"the range sampling re-executes them:\n${q.queryExecution.optimizedPlan}")
+    }
+    val q37 = SparkEntry.queries("q37_dedup_simhash")(spark, sfDir)
+    assert(!q37.queryExecution.explainString(mode).contains("documents.parquet"),
       "q37 plan scans documents directly")
   }
 
