@@ -121,21 +121,29 @@ object PromptOps extends QueryModule {
 
     val cmds = ev.filter(isCmd)
       .select(col("instance_id"), col("event_id").as("cmd_id"),
-        longOf(col("user_id")).as("current_long"))
+        col("user_id").as("cmd_user"))
 
+    // Assembly order is shuffle-aware: the hash boundary moves only
+    // the SLIM rows (ids + the per-command rp string); the heavy
+    // per-instance actors_block — duplicated onto every command —
+    // and the final prompt concat are applied AFTER the boundary via
+    // a broadcast join, so the protocol sort's range sampling
+    // re-executes only the cheap read-shuffle-files→concat tail, not
+    // the window+join pipeline (the q37 lesson). The sort must come
+    // last: EliminateSorts drops any Sort beneath a Join.
+    // Broadcast scale: one ~400 B roster block per instance (the
+    // roster is activity-bounded above), a few MB for the reference
+    // corpus; a corpus with 10^7+ instances drops the hint and
+    // assembles before the boundary instead.
     rp.join(cmds, Seq("instance_id", "cmd_id"))
-      .join(ablock, Seq("instance_id"))
+      .repartition(col("cmd_id"))
+      .join(broadcast(ablock), Seq("instance_id"))
       .select(
         col("cmd_id"),
-        P.uttCmdPrompt(col("actors_block"), col("current_long"), col("rp")).as("prompt"),
+        P.uttCmdPrompt(col("actors_block"), longOf(col("cmd_user")), col("rp"))
+          .as("prompt"),
         P.uttCmdCompletion(array(concat(lit("!p"), col("cmd_id").cast("string"))))
           .as("completion"))
-      // hash boundary before the protocol sort: the range exchange
-      // SAMPLES its child with a separate job, so sorting the
-      // assembly directly would execute the whole window+join+concat
-      // pipeline twice (the q37 lesson; shuffle files are the cheap
-      // re-read point)
-      .repartition(col("cmd_id"))
       .orderBy(col("cmd_id"))
   }
 
@@ -212,10 +220,17 @@ object PromptOps extends QueryModule {
       lit(" casts #"), col("cmd_id").cast("string"),
       lit(" for "), graft.functions.Exact.u2(col("value")).cast("string"), lit(" cp."))
 
+    // Same shuffle discipline as q59: the hash boundary moves only
+    // slim rows (ids + short utt arrays); the per-instance
+    // actors_block and the prompt concat land after the boundary via
+    // a broadcast join, and the protocol sort (last — EliminateSorts
+    // drops a Sort beneath a Join) samples only the cheap
+    // post-shuffle tail.
     cmds
       .join(after, Seq("instance_id", "cmd_id"))
       .join(hist, Seq("instance_id", "cmd_id"), "left")
-      .join(actorsBlockOf(ev), Seq("instance_id"))
+      .repartition(col("cmd_id"))
+      .join(broadcast(actorsBlockOf(ev)), Seq("instance_id"))
       .select(
         col("cmd_id"),
         P.staNarPrompt(
@@ -226,9 +241,6 @@ object PromptOps extends QueryModule {
           longOf(col("cmd_user")),
           automation).as("prompt"),
         P.staNarCompletion(col("after_arr")).as("completion"))
-      // same q37-style boundary as q59: don't let the sort's range
-      // sampling re-execute the assembly
-      .repartition(col("cmd_id"))
       .orderBy(col("cmd_id"))
   }
 
