@@ -118,6 +118,13 @@ object PromptFunctions {
         rp),
       lit(Sep))
 
+  /** The "nostate" utt→cmd ablation (prompts.py:87-92 with
+    * ablations=["actors","current"] — the published ablation pair:
+    * unit_test_prompts.py:57 `abl_prompt`, fewshot_predict.py:53
+    * `prompt_nostate`): Actors and Current blocks dropped, leaving
+    * only the before-RP + separator. */
+  def uttCmdPromptNoState(rp: Column): Column = concat(rp, lit(Sep))
+
   /** Completion for utt→cmd: commands `<|csep|>`-joined + `<|aeot|>`
     * (prompts.py:101-103). `commands` is an ARRAY column. */
   def uttCmdCompletion(commands: Column): Column =

@@ -40,6 +40,16 @@ object ExternalScorer {
   val MaxWords = 200
   /** Attempt bound (distill3b_ic_classifier_gpt.py:47 `for _ in range(3)`). */
   val MaxAttempts = 3
+  /** Prompt-length bound: the reference's prediction harness skips
+    * prompts over 8000 chars — "probably more than 2048 tokens"
+    * (utt_cmd_test_predictions.py:44-46). */
+  val MaxPromptChars = 8000
+
+  /** Pre-call length gate (utt_cmd_test_predictions.py:44-46):
+    * filter with this BEFORE [[score]] to drop rows whose prompt
+    * would blow the model's context, as the reference's loop does. */
+  def promptLengthOk(textCol: Column): Column =
+    length(textCol) <= MaxPromptChars
 
   /** Heuristic pre-gate (distill3b_ic_classifier_gpt.py:39-43): empty,
     * OOC/OOG-marked, or paren-opening text is out-of-character with
@@ -70,8 +80,12 @@ object ExternalScorer {
     * runs should use [[scoreCached]] (parquet-materialized, so the
     * scorer executes exactly once per corpus content) or pin the
     * result (graft.operators.Pin) before any global sort. */
+  /** @param fewshotPrefix prepended to every REMOTE prompt (after
+    *        truncation) — the reference's few-shot harness sends
+    *        `fewshot_prompt + prompt` per call (fewshot_predict.py:
+    *        40-53); heuristic-gated rows never see it. */
   def score(df: DataFrame, textCol: Column, scorer: ScoreFn,
-            batchSize: Int = 32): DataFrame = {
+            batchSize: Int = 32, fewshotPrefix: String = ""): DataFrame = {
     val tagged = df.withColumn("_scorer_text", textCol)
     val schema = tagged.schema.add("label", StringType).add("prob", DoubleType)
     val textIdx = tagged.schema.fieldIndex("_scorer_text")
@@ -91,7 +105,8 @@ object ExternalScorer {
         var attempt = 0
         while (pending.nonEmpty && attempt < MaxAttempts) {
           attempt += 1
-          val prompts = pending.map(i => truncateWords(batch(i).getString(textIdx)))
+          val prompts =
+            pending.map(i => fewshotPrefix + truncateWords(batch(i).getString(textIdx)))
           val answers =
             try scorer(prompts).map(Option(_))
             catch { case _: Exception => Seq.fill(prompts.size)(None) }
@@ -121,7 +136,8 @@ object ExternalScorer {
     * unchanged input never re-scores (reruns cost zero scorer calls);
     * any content change invalidates and rescoreds the corpus. */
   def scoreCached(df: DataFrame, textCol: Column, scorer: ScoreFn,
-                  cacheDir: String, batchSize: Int = 32): DataFrame =
+                  cacheDir: String, batchSize: Int = 32,
+                  fewshotPrefix: String = ""): DataFrame =
     HeuristicCache.computeOrLoad(df, cacheDir)(in =>
-      score(in, textCol, scorer, batchSize))
+      score(in, textCol, scorer, batchSize, fewshotPrefix))
 }

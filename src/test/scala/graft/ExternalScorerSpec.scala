@@ -104,6 +104,25 @@ class ExternalScorerSpec extends SparkTestBase {
     assert(ScorerProbe.calls.get() == 2)
   }
 
+  test("few-shot prefix reaches every remote prompt, never heuristic rows (fewshot_predict.py:40-53)") {
+    val df = Seq((1L, "a fine utterance"), (2L, "OOC: local answer")).toDF("id", "text")
+    ExternalScorer.score(df, col("text"), steady, fewshotPrefix = "SHOT1\n\nSHOT2\n\n")
+      .collect()
+    assert(ScorerProbe.seen("SHOT1\n\nSHOT2\n\na fine utterance") == 1)
+    assert(ScorerProbe.seen("a fine utterance") == 0)
+    assert(ScorerProbe.calls.get() == 1) // the OOC row answered locally
+  }
+
+  test("prompt length gate drops >8000-char prompts before any call (utt_cmd_test_predictions.py:44-46)") {
+    val long = "x" * (ExternalScorer.MaxPromptChars + 1)
+    val df = Seq((1L, "short enough"), (2L, long)).toDF("id", "text")
+    val kept = df.filter(ExternalScorer.promptLengthOk(col("text")))
+    assert(kept.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    ExternalScorer.score(kept, col("text"), steady).collect()
+    assert(ScorerProbe.seen("short enough") == 1)
+    assert(ScorerProbe.calls.get() == 1)
+  }
+
   test("icFilter keeps only in-character with prob > 0.8 (distill3b:70-76)") {
     val scored = Seq(
       (1L, "in-character", 0.95), (2L, "in-character", 0.8),

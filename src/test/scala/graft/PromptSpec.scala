@@ -83,6 +83,12 @@ class PromptSpec extends SparkTestBase {
       array(lit("!attack goblin"), lit("!cast firebolt"))).as("v"))
       .collect().head.getString(0)
     assert(completion == "!attack goblin\n<|csep|>\n!cast firebolt\n<|aeot|>")
+
+    // the published "nostate" ablation (ablations=["actors","current"],
+    // unit_test_prompts.py:57 / fewshot_predict.py:53): only the RP
+    val nostate = df.select(P.uttCmdPromptNoState(
+      lit("I advance!\nAnd swing my axe.")).as("v")).collect().head.getString(0)
+    assert(nostate == "I advance!\nAnd swing my axe.\n<|asep|>\n")
   }
 
   test("sta_nar prompt variants match prompts.py:107-198") {
