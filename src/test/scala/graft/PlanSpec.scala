@@ -170,6 +170,18 @@ class PlanSpec extends SparkTestBase {
     val q37 = SparkEntry.queries("q37_dedup_simhash")(spark, sfDir)
     assert(!q37.queryExecution.explainString(mode).contains("documents.parquet"),
       "q37 plan scans documents directly")
+
+    // q59/q62's roster join must stay a BROADCAST hash join above the
+    // hash boundary: the slim-shuffle discipline (only ids + short
+    // strings cross the two exchanges; the per-instance actors_block
+    // fans out post-shuffle) silently degrades to shuffling the heavy
+    // block if the hint is lost.
+    for (name <- Seq("q59_prompt_assembly", "q62_sta_nar_assembly")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name's roster join is not a broadcast hash join:\n$plan")
+    }
   }
 
   test("distill-chain aggregations reuse the window's partitioning: one data shuffle end-to-end") {
