@@ -119,6 +119,36 @@ class PropertySpec extends SparkTestBase {
     assert(native == sql)
   }
 
+  test("uttCmdPrompt matches a plain-Scala prompts.py:55-98 model on random block combinations") {
+    import spark.implicits._
+    import graft.functions.{PromptFunctions => P}
+    val lineGen = Gen.nonEmptyListOf(Gen.identifier.map(_.take(8))).map(_.take(4).mkString(" "))
+    val caseGen = for {
+      actors <- Gen.listOf(lineGen).map(_.take(3))
+      current <- Gen.option(lineGen)
+      rpLines <- Gen.nonEmptyListOf(lineGen).map(_.take(3))
+    } yield (actors, current, rpLines.mkString("\n"))
+
+    val cases = (1 to 150).map(i => sample(caseGen, i.toLong))
+    def model(actors: Seq[String], current: Option[String], rp: String): String = {
+      val parts = Seq.newBuilder[String]
+      if (actors.nonEmpty)
+        parts += "Actors:\n" + actors.map("- " + _).mkString("\n")
+      parts += "Current:\n" + current.getOrElse("None")
+      parts += rp
+      parts.result().mkString("\n\n") + "\n<|asep|>\n"
+    }
+
+    val df = cases.toDF("actors", "current", "rp")
+    val got = df.select(P.uttCmdPrompt(
+      P.actorsBlock(col("actors")), col("current"), col("rp")).as("v"))
+      .collect().map(_.getString(0)).toSeq
+    val want = cases.map { case (a, c, r) => model(a, c, r) }
+    assert(got == want)
+    // structural invariant the reference guarantees
+    assert(got.forall(_.endsWith("\n<|asep|>\n")))
+  }
+
   test("hashBucket is always in range and stable across evaluations") {
     import spark.implicits._
     val ids = (1 to 500).map(i =>
