@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev probe: stage-by-stage timing of the MinHash pipeline. */
+/** Dev probe: stage-by-stage timing of the MinHash pipeline, string
+  * vs native shingle base. */
 object ProfileQ36 {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -14,10 +15,18 @@ object ProfileQ36 {
       println(f"STAGE $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     val docs = Tables.documents(spark, dir)
-    for (_ <- 1 to 2) {
-      time("shingleRows")(Dedup.shingleRows(docs).count())
-      time("signature")(Dedup.withSignature(Dedup.shingleRows(docs)).count())
-      time("buckets")(Dedup.lshBuckets(Dedup.withSignature(Dedup.shingleRows(docs))).count())
+    val nDocs = docs.count()
+    val cap = Some((nDocs / 10).max(1L))
+    for (_ <- 1 to 3) {
+      time("stringRows")(Dedup.shingleRows(docs, dedup = false).count())
+      time("hashRows")(Dedup.shingleHashRows(docs).count())
+      time("hashRows_capped")(Dedup.shingleHashRows(docs, maxDocFreq = cap).count())
+      time("sig_strings")(Dedup.withSignature(
+        Dedup.shingleRows(docs, dedup = false)).count())
+      time("sig_native")(Dedup.withSignatureFromHashes(
+        Dedup.shingleHashRows(docs)).count())
+      time("sig_native_capped")(Dedup.withSignatureFromHashes(
+        Dedup.shingleHashRows(docs, maxDocFreq = cap)).count())
       time("full_q36")(SparkEntry.queries("q36_dedup_minhash")(spark, dir).count())
     }
     spark.stop()

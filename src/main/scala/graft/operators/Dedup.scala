@@ -94,16 +94,60 @@ object Dedup {
     * (A per-row transform/array_min lambda nest computes the same
     * thing but runs interpreted per element — 15x slower at sf0.1.)
     */
-  def withSignature(shingleRows: DataFrame): DataFrame = {
-    val h = expr(s"CAST(conv(substr(md5(g), 1, 12), 16, 10) AS BIGINT) % $P")
+  def withSignature(shingleRows: DataFrame): DataFrame =
+    withSignatureFromHashes(shingleRows.withColumn("h",
+      expr(s"CAST(conv(substr(md5(g), 1, 12), 16, 10) AS BIGINT) % $P")))
+
+  /** [[withSignature]] over rows that already carry the 48-bit shingle
+    * hash `h` (the [[shingleHashRows]] native path). */
+  def withSignatureFromHashes(hashRows: DataFrame): DataFrame = {
     val mins = (0 until NumHashes).map(i =>
       min((lit(2 * i + 3) * col("h") + lit(5 * i + 7)) % P).as(s"m$i"))
-    shingleRows
-      .withColumn("h", h)
+    hashRows
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .withColumn("sg", array((0 until NumHashes).map(i => col(s"m$i")): _*))
       .select(col("doc_id"), col("sg"))
+  }
+
+  /** The MinHash shingle stream as (doc_id, h) HASH rows from the
+    * native one-pass [[graft.plans.ShingleHashes]] expression — no
+    * posexplode, no window-lead shuffle of the word stream, no
+    * n-gram strings ever materialized. Duplicates are kept (see the
+    * expression scaladoc: every consumer is duplicate-insensitive).
+    *
+    * `maxDocFreq`: the same stop-shingle guard as [[shingleRows]],
+    * keyed on the 48-bit hash instead of the shingle string, and
+    * two-phased so the corpus-wide countDistinct never runs: a plain
+    * per-hash ROW count (map-side partial sums, one fixed-width
+    * exchange) prefilters to hashes with more than `t` occurrences —
+    * a superset of DF > t since DF ≤ row count, and bounded by
+    * construction at ≤ totalRows/t ≈ 10× the mean shingles-per-doc
+    * for the nDocs/10 cap, INDEPENDENT of corpus size, so it always
+    * broadcasts. The exact countDistinct(doc_id) then runs only on
+    * that sliver, and the anti-join probes a broadcast of its (still
+    * smaller) hot subset. The stream itself is recomputed per
+    * consumer rather than pinned: it is a map-only scan now (no
+    * window), and materializing it would write ~3x the source bytes.
+    * The oracle keys on the same h, so an md5-48 collision (two
+    * strings, one h) merges the SAME document-frequency count on
+    * both engines. */
+  def shingleHashRows(docs: DataFrame, n: Int = 3,
+                      maxDocFreq: Option[Long] = None): DataFrame = {
+    val rows = docs.select(col("doc_id"),
+      explode(graft.plans.ShingleHashes(trim(col("text")), n, P)).as("h"))
+    maxDocFreq.fold(rows) { t =>
+      val candidates = rows.groupBy(col("h"))
+        .agg(count(lit(1)).as("rc"))
+        .filter(col("rc") > t)
+        .select(col("h"))
+      val hot = rows.join(broadcast(candidates), Seq("h"))
+        .groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("df_"))
+        .filter(col("df_") > t)
+        .select(col("h"))
+      rows.join(broadcast(hot), Seq("h"), "left_anti")
+    }
   }
 
   /** Explode signatures into (band, bkey) LSH buckets. */

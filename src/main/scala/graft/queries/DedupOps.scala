@@ -110,8 +110,10 @@ object DedupOps extends QueryModule {
     // guard exists purely for the 100-TB shape (skew-planted spec
     // proves it bounds candidates).
     val nDocs = docs(s, dir).count()
-    val sig = Dedup.withSignature(
-      Dedup.shingleRows(docs(s, dir), dedup = false,
+    // signature base: the native one-pass shingle-hash stream (no
+    // word-window shuffle, no n-gram strings; see ShingleHashes)
+    val sig = Dedup.withSignatureFromHashes(
+      Dedup.shingleHashRows(docs(s, dir),
         maxDocFreq = Some((nDocs / 10).max(1L)))).transform(graft.operators.Pin(_))
     val buckets = Dedup.lshBuckets(sig).select(col("doc_id"), col("b"), col("bkey"))
     val cand = buckets.select(col("doc_id").as("a"), col("b"), col("bkey"))
@@ -126,15 +128,19 @@ object DedupOps extends QueryModule {
       .select(col("a"), col("b_id").as("b"), col("sim_est"))
   }
 
+  // NB the shingle stream is keyed on the 48-bit md5 hash end-to-end
+  // (including the document-frequency guard), mirroring the Spark
+  // side's native ShingleHashes path — both engines hash first, so a
+  // hash collision merges the same DF count on both.
   private val q36Sql =
     s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
-       |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sh
+       |s AS (SELECT doc_id, list_transform(range(1, len(ws)-1), i -> CAST(('0x'||substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]),1,12)) AS BIGINT) % ${Dedup.P}) AS sh
        |      FROM d WHERE len(ws) >= 3),
-       |e0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
-       |keep AS (SELECT g FROM e0 GROUP BY g
+       |e0 AS (SELECT doc_id, unnest(sh) AS h FROM s),
+       |keep AS (SELECT h FROM e0 GROUP BY h
        |         HAVING count(DISTINCT doc_id) <= greatest(1, (SELECT count(*) // 10 FROM documents))),
-       |hs AS (SELECT doc_id, list(CAST(('0x'||substr(md5(g),1,12)) AS BIGINT) % ${Dedup.P}) AS hv
-       |       FROM e0 JOIN keep USING (g) GROUP BY doc_id),
+       |hs AS (SELECT doc_id, list(h) AS hv
+       |       FROM e0 JOIN keep USING (h) GROUP BY doc_id),
        |sig AS (SELECT doc_id, list_transform(range(0, ${Dedup.NumHashes}), i -> list_min(list_transform(hv, h -> ((2*i+3)*h + (5*i+7)) % ${Dedup.P}))) AS sg FROM hs),
        |bands AS (SELECT doc_id, sg, b, md5(array_to_string(sg[b*${Dedup.RowsPerBand}+1 : b*${Dedup.RowsPerBand}+${Dedup.RowsPerBand}], ',')) AS bkey
        |          FROM sig, range(0, ${Dedup.Bands}) t(b)),

@@ -119,6 +119,42 @@ class PropertySpec extends SparkTestBase {
     assert(native == sql)
   }
 
+  test("ShingleHashes equals the split+md5 model on adversarial texts") {
+    import spark.implicits._
+    import graft.operators.Dedup.P
+    def model(s: String, n: Int): Seq[Long] = {
+      val ws = s.split(" ", -1) // keeps empty segments, like the expression
+      (0 to ws.length - n).map { i =>
+        val g = ws.slice(i, i + n).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val d = md.digest(g.getBytes("UTF-8"))
+        val h = (0 until 6).foldLeft(0L)((a, k) => (a << 8) | (d(k) & 0xffL))
+        h % P
+      }
+    }
+    val wordGen = Gen.oneOf(Gen.identifier.map(_.take(6)), Gen.const(""), Gen.const("héllo"))
+    val textGen = Gen.listOf(wordGen).map(_.take(12).mkString(" "))
+    val texts = "" +: "a" +: "a b" +: "a  b   c" +: " lead trail " +:
+      (1 to 120).map(i => sample(textGen, i.toLong))
+    val df = texts.toDF("text")
+    val got = df.select(graft.plans.ShingleHashes(col("text"), 3, P).as("v"))
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    assert(got == texts.map(model(_, 3)))
+    // and the hash-rows operator matches the string-shingle operator's
+    // hash multiset per doc (same stream the MIN aggregates consume)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val viaStrings = graft.operators.Dedup
+      .shingleRows(docs, dedup = false)
+      .withColumn("h", expr(s"CAST(conv(substr(md5(g), 1, 12), 16, 10) AS BIGINT) % $P"))
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("h"))).as("hs"))
+    val viaNative = graft.operators.Dedup
+      .shingleHashRows(docs)
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("h"))).as("hs"))
+    val a = viaStrings.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = viaNative.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b)
+  }
+
   test("uttCmdPrompt matches a plain-Scala prompts.py:55-98 model on random block combinations") {
     import spark.implicits._
     import graft.functions.{PromptFunctions => P}
