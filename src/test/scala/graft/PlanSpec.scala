@@ -109,6 +109,9 @@ class PlanSpec extends SparkTestBase {
     val subplans = Seq(
       "q37 simhash base" -> spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), graft.operators.Dedup.simhash60(col("text")).as("simhash")),
+      "q36 shingle base" -> graft.operators.Dedup.withSignatureFromHashes(
+        graft.operators.Dedup.shingleHashRows(
+          spark.read.parquet(s"$sfDir/documents.parquet"), maxDocFreq = Some(100L))),
       "q40 lsh index" -> graft.operators.Similarity.lshEntries(
         spark.read.parquet(s"$sfDir/embeddings.parquet")))
     val offenders = subplans.flatMap { case (name, df) =>
@@ -182,6 +185,27 @@ class PlanSpec extends SparkTestBase {
       assert(plan.contains("BroadcastHashJoin"),
         s"$name's roster join is not a broadcast hash join:\n$plan")
     }
+  }
+
+  test("q36's shingle stream is a map-stage projection: no Window, guard joins broadcast") {
+    // The native ShingleHashes base replaced the posexplode → lead
+    // window → concat → md5 pipeline. The window shuffled the ENTIRE
+    // word stream of the corpus by doc_id — at 100 TB the single
+    // largest exchange in the dedup path. Lock the new shape: the
+    // signature base's only exchanges are fixed-width hash aggregates
+    // (h row-count prefilter, sliver countDistinct, per-doc minhash),
+    // never a Window sort, and the stop-shingle guard's joins stay
+    // BROADCAST (both the prefilter probe and the anti-join — their
+    // build sides are bounded by construction at ≤ totalRows/t keys).
+    val base = graft.operators.Dedup.withSignatureFromHashes(
+      graft.operators.Dedup.shingleHashRows(
+        spark.read.parquet(s"$sfDir/documents.parquet"), maxDocFreq = Some(100L)))
+    val plan = base.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q36 base plans a Window operator:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"q36 base's guard joins degraded to a shuffle join:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2,
+      s"q36 base: expected the 2 guard joins (prefilter probe + anti-join) as broadcasts:\n$plan")
   }
 
   test("distill-chain aggregations reuse the window's partitioning: one data shuffle end-to-end") {
