@@ -97,11 +97,27 @@ object PromptFunctions {
         array_join(transform(shorts, s => concat(lit("- "), s)), "\n")))
       .otherwise(lit(""))
 
+  /** [[actorsBlock]]/[[targetsBlock]] over an ALREADY-JOINED string of
+    * `- `-prefixed lines (the ordered-listagg aggregation path: the
+    * aggregate emits the newline-joined block body directly, so no
+    * struct array is ever built or sorted post-hoc). NULL/empty →
+    * empty block, like the array forms. */
+  def actorsBlockOfJoined(joined: Column): Column = joinedBlock("Actors:", joined)
+  def targetsBlockOfJoined(joined: Column): Column = joinedBlock("Targets:", joined)
+
+  private def joinedBlock(header: String, joined: Column): Column =
+    when(nonEmpty(joined), concat(lit(header + "\n"), joined)).otherwise(lit(""))
+
   /** `History:\n<utterances>\n---`, empty when no history
     * (prompts.py:146-149). */
   def historyBlock(utterances: Column): Column =
     when(utterances.isNotNull && size(utterances) > 0,
       concat(lit("History:\n"), array_join(utterances, "\n"), lit("\n---")))
+      .otherwise(lit(""))
+
+  /** [[historyBlock]] over the already-joined utterance string. */
+  def historyBlockOfJoined(joined: Column): Column =
+    when(nonEmpty(joined), concat(lit("History:\n"), joined, lit("\n---")))
       .otherwise(lit(""))
 
   /** Utterance→command prompt (prompts.py:55-98): Actors block (when
@@ -157,6 +173,10 @@ object PromptFunctions {
     * callers drop rows with no after-utterances (prompts.py:188-198). */
   def staNarCompletion(after: Column): Column =
     concat(array_join(after, "\n"), lit(StopSeq))
+
+  /** [[staNarCompletion]] over the already-joined utterance string. */
+  def staNarCompletionOfJoined(joined: Column): Column =
+    concat(joined, lit(StopSeq))
 
   /** IC/OOC classifier finetune pair (reference:
     * icooc/finertune_prep.py:24-33): numeric label 0 → in-character,

@@ -92,12 +92,12 @@ object PromptOps extends QueryModule {
       .groupBy(col("instance_id"), col("user_id")).agg(count(lit(1)).as("_n"))
       .withColumn("_rk", row_number().over(byActivity))
       .filter(col("_rk") <= 8)
-      .withColumn("short", shortOf(col("user_id")))
+      .withColumn("line", concat(lit("- "), shortOf(col("user_id"))))
       .groupBy(col("instance_id"))
-      .agg(P.actorsBlock(
-        transform(
-          array_sort(collect_list(struct(col("user_id"), col("short").as("short")))),
-          x => x.getField("short"))).as("actors_block"))
+      // ordered listagg emits the joined block body directly — no
+      // struct array built, sorted, or transformed post-agg
+      .agg(P.actorsBlockOfJoined(
+        expr("listagg(line, '\n') WITHIN GROUP (ORDER BY user_id)")).as("actors_block"))
   }
 
   // q59: per-command prompt/completion in the reference's utt_cmd
@@ -110,12 +110,11 @@ object PromptOps extends QueryModule {
     val rp = NearestEvent.assoc(ev, "instance_id", "ts_us", "event_id",
         sourcePred = isMsg, targetPred = isCmd)
       .filter(col("value") >= 5 && col("side") === "before")
+      .withColumn("utt", utt)
       .groupBy(col("instance_id"), col("cmd_id"))
-      .agg(array_join(
-        transform(
-          array_sort(collect_list(struct(col("ts_us"), col("event_id"), utt.as("utt")))),
-          x => x.getField("utt")),
-        "\n").as("rp"))
+      // ordered listagg: the joined RP string straight out of the
+      // aggregate (ts_us,event_id is a unique key, so deterministic)
+      .agg(expr("listagg(utt, '\n') WITHIN GROUP (ORDER BY ts_us, event_id)").as("rp"))
 
     val ablock = actorsBlockOf(ev)
 
@@ -172,15 +171,19 @@ object PromptOps extends QueryModule {
     val utt = concat(lit("u"), col("user_id").cast("string"),
       lit("#"), col("event_id").cast("string"))
 
+    // after_rp via ordered listagg; the Targets list keeps the struct
+    // path — it is DISTINCT-by-user then ordered by NUMERIC user_id,
+    // which listagg(DISTINCT) can't express (it only orders by the
+    // aggregated string itself, and "u10" < "u2" lexically), and it
+    // is roster-bounded small anyway.
     val after = NearestEvent.assoc(ev, "instance_id", "ts_us", "event_id",
         sourcePred = isMsg, targetPred = isCmd)
       .filter(col("value") >= 5 && col("side") === "after")
       .withColumn("short", shortOf(col("user_id")))
+      .withColumn("utt", utt)
       .groupBy(col("instance_id"), col("cmd_id"))
       .agg(
-        transform(
-          array_sort(collect_list(struct(col("ts_us"), col("event_id"), utt.as("utt")))),
-          x => x.getField("utt")).as("after_arr"),
+        expr("listagg(utt, '\n') WITHIN GROUP (ORDER BY ts_us, event_id)").as("after_rp"),
         transform(
           array_sort(array_distinct(
             collect_list(struct(col("user_id"), col("short").as("short"))))),
@@ -212,9 +215,7 @@ object PromptOps extends QueryModule {
       .join(msgs.select(col("instance_id"), col("seq"), col("utt")),
         Seq("instance_id", "seq"))
       .groupBy(col("instance_id"), col("cmd_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("seq"), col("utt").as("utt")))),
-        x => x.getField("utt")).as("hist_arr"))
+      .agg(expr("listagg(utt, '\n') WITHIN GROUP (ORDER BY seq)").as("hist"))
 
     val automation = concat(lit("u"), col("cmd_user").cast("string"),
       lit(" casts #"), col("cmd_id").cast("string"),
@@ -234,13 +235,13 @@ object PromptOps extends QueryModule {
       .select(
         col("cmd_id"),
         P.staNarPrompt(
-          P.historyBlock(col("hist_arr")),
+          P.historyBlockOfJoined(col("hist")),
           col("actors_block"),
           P.targetsBlock(col("tgt_arr")),
           P.actorDescription(description(col("cmd_user"))),
           longOf(col("cmd_user")),
           automation).as("prompt"),
-        P.staNarCompletion(col("after_arr")).as("completion"))
+        P.staNarCompletionOfJoined(col("after_rp")).as("completion"))
       .orderBy(col("cmd_id"))
   }
 
