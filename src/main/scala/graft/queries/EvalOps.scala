@@ -139,7 +139,75 @@ object EvalOps extends QueryModule {
        |FROM tot CROSS JOIN m
        |ORDER BY m.model""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q63: `results/merge_results.py:62-112` — merge the prediction
+  // variants back onto the canonical test rows, keep only rows with
+  // ALL variants present (the reference prints "missing some
+  // predictions, skipping"), and attach the gold completion
+  // (prompts.utt_cmd_completion with include_sep=False). The
+  // reference finds each canonical row by scanning for a 7-key exact
+  // match (its JSONL rows carry no id — O(n·m) per file); the
+  // Spark-first re-expression keys everything on cmd_id and merges
+  // with four slim inner equi-joins.
+  //
+  // The prediction tables are deterministic stand-ins (the real ones
+  // are model-output files): each variant covers a salted-hash subset
+  // of commands — so the all-variants-present filter actually drops
+  // rows — and is "correct" (== gold) on a further subset, which
+  // keeps the merged output useful to a downstream q60-style eval.
+
+  private val PredVariants = Seq(
+    // (column name, salt, 1-in-K miss rate) — miss rates differ so the
+    // intersection is a proper subset of every variant.
+    ("prediction_full", "pfull", 23),
+    ("prediction_nostate", "pnostate", 19),
+    ("prediction_fewshot_full", "pfsfull", 17),
+    ("prediction_fewshot_nostate", "pfsnostate", 13))
+
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val cmds = norm(Tables.events(s, dir)).filter(isCmd)
+      .select(col("event_id").as("cmd_id"))
+    val gold = concat(lit("!p"), col("cmd_id").cast("string"))
+    val canonical = cmds.select(col("cmd_id"), gold.as("gold"))
+    val merged = PredVariants.foldLeft(canonical) {
+      case (acc, (name, salt, k)) =>
+        val pred = cmds
+          .filter(graft.functions.TextFunctions.hashBucket(col("cmd_id"), salt, k) =!= 0)
+          .select(col("cmd_id"),
+            when(graft.functions.TextFunctions.hashBucket(col("cmd_id"), salt + "ok", 3) =!= 0,
+              gold).otherwise(concat(lit("!wrong "), gold)).as(name))
+        acc.join(pred, Seq("cmd_id"))
+    }
+    merged.orderBy(col("cmd_id"))
+  }
+
+  private val q63Sql = {
+    val variantCtes = PredVariants.map { case (name, salt, k) =>
+      s"""$name AS (
+         |  SELECT cmd_id,
+         |    CASE WHEN CAST(('0x' || substr(md5('${salt}ok' || CAST(cmd_id AS VARCHAR)), 1, 4)) AS BIGINT) % 3 <> 0
+         |      THEN '!p' || CAST(cmd_id AS VARCHAR)
+         |      ELSE '!wrong ' || '!p' || CAST(cmd_id AS VARCHAR) END AS $name
+         |  FROM cmds
+         |  WHERE CAST(('0x' || substr(md5('$salt' || CAST(cmd_id AS VARCHAR)), 1, 4)) AS BIGINT) % $k <> 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $NormSql,
+       |cmds AS (SELECT event_id AS cmd_id FROM ev WHERE event_type = 'purchase'),
+       |canonical AS (SELECT cmd_id, '!p' || CAST(cmd_id AS VARCHAR) AS gold FROM cmds),
+       |$variantCtes
+       |SELECT c.cmd_id, c.gold,
+       |  f.prediction_full, n.prediction_nostate,
+       |  ff.prediction_fewshot_full, fn.prediction_fewshot_nostate
+       |FROM canonical c
+       |JOIN prediction_full f USING (cmd_id)
+       |JOIN prediction_nostate n USING (cmd_id)
+       |JOIN prediction_fewshot_full ff USING (cmd_id)
+       |JOIN prediction_fewshot_nostate fn USING (cmd_id)
+       |ORDER BY c.cmd_id""".stripMargin
+  }
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q60_eval_metrics", q60, Some(q60Sql)),
-    QueryDef("q61_corpus_cost", q61, Some(q61Sql)))
+    QueryDef("q61_corpus_cost", q61, Some(q61Sql)),
+    QueryDef("q63_merge_predictions", q63, Some(q63Sql)))
 }
