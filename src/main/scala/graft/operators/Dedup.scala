@@ -158,6 +158,47 @@ object Dedup {
         transform(slice(col("sg"), col("b") * RowsPerBand + 1, lit(RowsPerBand)),
           v => v.cast("string")), ",")))
 
+  /** Candidate pairs + similarity from a (doc_id, sg) signature table
+    * in ONE band self-join — first-match-band ownership instead of
+    * pair-distinct (the q37 FirstCleanPair discipline applied to
+    * MinHash banding).
+    *
+    * The slim alternative (band join on (b, md5-key) → distinct →
+    * join the signature table back twice for sim_est) moves less per
+    * band row but pays THREE more keyed exchanges: the pair-set
+    * distinct and two signature join-backs. Here each band row
+    * carries its signature and the per-band key array; a pair is
+    * emitted only by the FIRST band whose keys match
+    * (`element_at(filter(bands, key_a==key_b), 1) == b`), so
+    * duplicates never exist and sim_est computes inline from the
+    * carried signatures — the band self-join's exchange is the ONLY
+    * data shuffle. Ownership compares the same md5 band keys the
+    * join buckets on, so its semantics are exactly the distinct's
+    * (each matching pair emitted once). */
+  def minhashPairsOwned(signed: DataFrame): DataFrame = {
+    val bandKeys = transform(sequence(lit(0), lit(Bands - 1)),
+      b => md5(array_join(
+        transform(slice(col("sg"), b * RowsPerBand + 1, lit(RowsPerBand)),
+          v => v.cast("string")), ",")))
+    val bands = signed
+      .withColumn("bks", bandKeys)
+      .withColumn("b", explode(sequence(lit(0), lit(Bands - 1))))
+      .withColumn("bkey", element_at(col("bks"), col("b") + 1))
+    val a = bands.select(col("doc_id").as("a"), col("sg").as("sa"),
+      col("bks").as("bksa"), col("b"), col("bkey"))
+    val bb = bands.select(col("doc_id").as("b_id"), col("sg").as("sb"),
+      col("bks").as("bksb"), col("b"), col("bkey"))
+    a.join(bb, Seq("b", "bkey"))
+      .filter(col("a") < col("b_id"))
+      .filter(element_at(
+        filter(sequence(lit(0), lit(Bands - 1)),
+          j => element_at(col("bksa"), j + 1) === element_at(col("bksb"), j + 1)),
+        1) === col("b"))
+      .withColumn("sim_est", signatureSimilarity(col("sa"), col("sb")))
+      .filter(col("sim_est") >= 0.5)
+      .select(col("a"), col("b_id").as("b"), col("sim_est"))
+  }
+
   /** Estimated Jaccard from two signatures: matching fraction (k a
     * power of two → the division is exact in float64). */
   def signatureSimilarity(sa: Column, sb: Column): Column =

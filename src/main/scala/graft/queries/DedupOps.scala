@@ -87,22 +87,17 @@ object DedupOps extends QueryModule {
     minhashPairs(s, dir).orderBy(col("a"), col("b"))
 
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // Shuffle-volume shape: the band self-join and the pair dedup move
-    // ONLY (id, band, bkey) rows — the 32-element signature arrays
-    // join back exactly once per deduped candidate pair. (The earlier
-    // shape carried both arrays through the join and a first() agg:
-    // strictly more shuffle bytes at scale.)
     // The signature table (one slim row per doc, 250x smaller than the
-    // shingle stream feeding it) appears on four plan branches; AQE's
+    // shingle stream feeding it) feeds both band-join branches; AQE's
     // broadcast conversion drops the exchanges reuse would need, so
-    // materialize it ONCE per query instead of computing it 4x.
+    // materialize it ONCE per query instead of computing it twice.
     // localCheckpoint (not cache) keeps the materialization scoped to
     // this query's plan object; at cluster scale this is the classic
     // "persist the signatures, they're tiny" step of every LSH corpus.
-    // eager=false: materializes at the query's first ACTION (then all
-    // four branches read the blocks) — eager would run the whole
-    // signature job at DataFrame-construction time, which e.g. the
-    // plan-shape spec does just to look at plan strings
+    // eager=false: materializes at the query's first ACTION — eager
+    // would run the whole signature job at DataFrame-construction
+    // time, which e.g. the plan-shape spec does just to look at plan
+    // strings.
     // Stop-shingle guard: a shingle in >10% of documents carries no
     // dedup signal but turns its bucket quadratic at corpus scale.
     // The doc count is a parquet metadata-only action; nothing in the
@@ -111,21 +106,16 @@ object DedupOps extends QueryModule {
     // proves it bounds candidates).
     val nDocs = docs(s, dir).count()
     // signature base: the native one-pass shingle-hash stream (no
-    // word-window shuffle, no n-gram strings; see ShingleHashes)
+    // word-window shuffle, no n-gram strings; see ShingleHashes).
+    // Pair emission: one band self-join with first-match-band
+    // ownership — no pair-distinct exchange, no signature join-backs
+    // (Dedup.minhashPairsOwned scaladoc; 12% at sf1, 3 fewer keyed
+    // exchanges at cluster scale). A/B'd equal-output vs the slim
+    // join+distinct+join-back shape on the sf1 corpus.
     val sig = Dedup.withSignatureFromHashes(
       Dedup.shingleHashRows(docs(s, dir),
         maxDocFreq = Some((nDocs / 10).max(1L)))).transform(graft.operators.Pin(_))
-    val buckets = Dedup.lshBuckets(sig).select(col("doc_id"), col("b"), col("bkey"))
-    val cand = buckets.select(col("doc_id").as("a"), col("b"), col("bkey"))
-      .join(buckets.select(col("doc_id").as("b_id"), col("b"), col("bkey")), Seq("b", "bkey"))
-      .filter(col("a") < col("b_id"))
-      .select(col("a"), col("b_id")).distinct()
-    cand
-      .join(sig.select(col("doc_id").as("a"), col("sg").as("sa")), Seq("a"))
-      .join(sig.select(col("doc_id").as("b_id"), col("sg").as("sb")), Seq("b_id"))
-      .withColumn("sim_est", Dedup.signatureSimilarity(col("sa"), col("sb")))
-      .filter(col("sim_est") >= 0.5)
-      .select(col("a"), col("b_id").as("b"), col("sim_est"))
+    Dedup.minhashPairsOwned(sig)
   }
 
   // NB the shingle stream is keyed on the 48-bit md5 hash end-to-end
