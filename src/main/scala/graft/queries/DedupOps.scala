@@ -83,8 +83,13 @@ object DedupOps extends QueryModule {
   // q36: MinHash + LSH banding — the scale path. Candidates only from
   // (band, band-key) bucket collisions; similarity estimated from the
   // signatures themselves (no second pass over text).
+  // hash boundary before the protocol sort (the q37 lesson): the
+  // range exchange samples its child with a separate job, and q36's
+  // sort child is the whole band self-join — the repartition is the
+  // materialized re-read point so sampling re-reads shuffle files
+  // instead of re-executing the join.
   private def q36(s: SparkSession, dir: String): DataFrame =
-    minhashPairs(s, dir).orderBy(col("a"), col("b"))
+    minhashPairs(s, dir).repartition(col("a")).orderBy(col("a"), col("b"))
 
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // The signature table (one slim row per doc, 250x smaller than the

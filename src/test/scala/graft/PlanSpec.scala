@@ -157,9 +157,10 @@ class PlanSpec extends SparkTestBase {
     // upstream of the join would still leave the substring in the
     // plan while reintroducing the double-execution.
     import org.apache.spark.sql.catalyst.plans.logical.{Join, RepartitionByExpression, Sort}
-    // q59/q62 share the discipline: their assemblies are also
+    // q36/q59/q62 share the discipline: their assemblies are also
     // join-heavy sort children that the range sampler would re-execute
-    for (name <- Seq("q37_dedup_simhash", "q59_prompt_assembly", "q62_sta_nar_assembly")) {
+    for (name <- Seq("q37_dedup_simhash", "q36_dedup_minhash",
+      "q59_prompt_assembly", "q62_sta_nar_assembly")) {
       val q = SparkEntry.queries(name)(spark, sfDir)
       val sorts = q.queryExecution.optimizedPlan.collect { case s: Sort => s }
       assert(sorts.nonEmpty, s"$name lost its protocol sort:\n${q.queryExecution.optimizedPlan}")
