@@ -155,6 +155,43 @@ class PropertySpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("minhashPairsOwned equals the slim join+distinct+join-back pipeline on random corpora") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // near-dup-rich corpus: a few base texts, each perturbed a little,
+    // so band collisions and MULTI-band matches (the ownership dedup's
+    // whole point) actually occur
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val baseGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+    val texts = (1 to 8).flatMap { b =>
+      val base = sample(baseGen, 77L + b)
+      val ws = base.split(" ")
+      (0 to 5).map { v =>
+        if (v == 0) base
+        else ws.updated(sample(Gen.chooseNum(0, ws.length - 1), b * 100L + v),
+          "w" + v).mkString(" ")
+      }
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sig = Dedup.withSignature(Dedup.shingleRows(docs, dedup = false))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val owned = canon(Dedup.minhashPairsOwned(sig))
+    // the reference pipeline shape the ownership variant replaced
+    val buckets = Dedup.lshBuckets(sig).select(col("doc_id"), col("b"), col("bkey"))
+    val slim = canon(buckets.select(col("doc_id").as("a"), col("b"), col("bkey"))
+      .join(buckets.select(col("doc_id").as("b_id"), col("b"), col("bkey")), Seq("b", "bkey"))
+      .filter(col("a") < col("b_id"))
+      .select(col("a"), col("b_id")).distinct()
+      .join(sig.select(col("doc_id").as("a"), col("sg").as("sa")), Seq("a"))
+      .join(sig.select(col("doc_id").as("b_id"), col("sg").as("sb")), Seq("b_id"))
+      .withColumn("sim_est", Dedup.signatureSimilarity(col("sa"), col("sb")))
+      .filter(col("sim_est") >= 0.5)
+      .select(col("a"), col("b_id").as("b"), col("sim_est")))
+    assert(owned.nonEmpty, "degenerate corpus: no near-dup pairs generated")
+    assert(owned == slim)
+  }
+
   test("uttCmdPrompt matches a plain-Scala prompts.py:55-98 model on random block combinations") {
     import spark.implicits._
     import graft.functions.{PromptFunctions => P}
