@@ -174,7 +174,15 @@ object Dedup {
     * carried signatures — the band self-join's exchange is the ONLY
     * data shuffle. Ownership compares the same md5 band keys the
     * join buckets on, so its semantics are exactly the distinct's
-    * (each matching pair emitted once). */
+    * (each matching pair emitted once).
+    *
+    * PRECONDITION (same as [[simhashPairs]]): `signed` must be
+    * doc_id-unique — one signature row per document. With duplicate
+    * rows each pair emits once per row combination, where the
+    * distinct pipeline collapsed them. Holds by construction for
+    * [[withSignature]]/[[withSignatureFromHashes]] output (a
+    * groupBy(doc_id) aggregate); PropertySpec asserts equality with
+    * the distinct pipeline on generated corpora. */
   def minhashPairsOwned(signed: DataFrame): DataFrame = {
     val bandKeys = transform(sequence(lit(0), lit(Bands - 1)),
       b => md5(array_join(
