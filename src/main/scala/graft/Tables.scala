@@ -17,11 +17,12 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-      // rejects outright; this legacy conf surfaces it as BIGINT
-      // epoch-nanos instead (runtime-settable, idempotent). All event
-      // queries then work on exact int64 microseconds (ts DIV 1000 ==
-      // DuckDB epoch_us(ts), which truncates ns the same way).
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+      // TIMESTAMP(MICROS) across data drops. Spark rejects NANOS
+      // outright unless this legacy conf surfaces it as BIGINT
+      // epoch-nanos (runtime-settable, idempotent, no effect on
+      // MICROS files). EventFunctions.norm then branches on the read
+      // schema so either encoding yields identical int64 µs.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }

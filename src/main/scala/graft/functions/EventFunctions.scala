@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   * signup, error ↔ noise; the combat-instance key is carried in
   * `props` (JSON `k`).
   *
-  * Time base: events.ts is parquet TIMESTAMP(NANOS), surfaced by the
-  * reader as BIGINT epoch-nanos (see graft.Tables). All event logic
-  * runs on exact int64 epoch-MICROseconds (`ts DIV 1000`), which is
-  * bit-identical to DuckDB's `epoch_us(ts)` (DuckDB truncates ns→µs
-  * on parquet read) — no float time arithmetic anywhere.
+  * Time base: all event logic runs on exact int64 epoch-MICROseconds
+  * (`ts_us`), bit-identical to DuckDB's `epoch_us(ts)` — no float
+  * time arithmetic anywhere. The physical `ts` column has shipped as
+  * both parquet TIMESTAMP(NANOS) (surfaced as BIGINT epoch-nanos via
+  * the nanosAsLong conf in graft.Tables) and TIMESTAMP(MICROS)
+  * (surfaced as TIMESTAMP_NTZ), so [[norm]] branches on the read
+  * schema rather than assuming one encoding. The session timezone is
+  * pinned to UTC (graft.GraftSession), making the NTZ→LTZ cast an
+  * identity mapping and `unix_micros` exactly DuckDB's `epoch_us`.
   */
 object EventFunctions {
 
@@ -32,15 +36,27 @@ object EventFunctions {
 
   /** Normalized event projection: exact µs timestamps + instance key.
     * Columns: event_id, ts_us, user_id, event_type, value, instance_id.
+    *
+    * Schema-robust on `ts`: BIGINT epoch-nanos → integer `DIV 1000`;
+    * any timestamp type → `unix_micros` (NTZ first cast to LTZ, an
+    * identity under the UTC session timezone). Both paths are exact
+    * int64 µs with identical ns→µs truncation semantics.
     */
-  def norm(events: DataFrame): DataFrame =
+  def norm(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val tsUs: Column = events.schema("ts").dataType match {
+      case LongType         => expr("ts DIV 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast("timestamp"))
+      case _                => unix_micros(col("ts"))
+    }
     events.select(
       col("event_id"),
-      expr("ts DIV 1000").as("ts_us"),
+      tsUs.as("ts_us"),
       col("user_id"),
       col("event_type"),
       col("value"),
       regexp_extract(col("props"), "(\\d+)", 1).cast("int").as("instance_id"))
+  }
 
   /** Shared oracle-SQL CTE matching [[norm]] exactly (DuckDB side). */
   val NormSql: String =
