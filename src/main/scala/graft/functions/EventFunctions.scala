@@ -55,7 +55,7 @@ object EventFunctions {
       col("user_id"),
       col("event_type"),
       col("value"),
-      regexp_extract(col("props"), "(\\d+)", 1).cast("int").as("instance_id"))
+      graft.plans.FirstInt(col("props")).as("instance_id"))
   }
 
   /** Shared oracle-SQL CTE matching [[norm]] exactly (DuckDB side). */

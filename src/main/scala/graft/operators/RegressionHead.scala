@@ -63,15 +63,22 @@ object RegressionHead {
     *
     * Scale shape: the class counts are a 1-row aggregate broadcast
     * back onto the rows (no unpartitioned window, no driver round
-    * trip in the data path). */
+    * trip in the data path). The training table is PINNED first:
+    * the stats branch and the row branch otherwise each recompute the
+    * full upstream pipeline (Catalyst does not dedupe common
+    * subplans across a crossJoin's two sides, and AQE's broadcast
+    * conversion breaks exchange reuse) — one row per labeled
+    * instance is bounded and far smaller than the corpus it
+    * aggregates, so materializing it once is the scale-correct
+    * trade on a cluster too (Pin is reliable-checkpoint-aware). */
   def designMatrix(
       data: DataFrame,
       featureCols: Seq[String],
       labelCol: String = "label",
       posLabel: String = "pos"): DataFrame = {
-    val base = data
+    val base = Pin(data
       .withColumn("y", when(col(labelCol) === posLabel, 1.0).otherwise(0.0))
-      .na.fill(0.0, featureCols)
+      .na.fill(0.0, featureCols))
     val stats = base.agg(
       count(lit(1)).cast("double").as("_n"),
       sum(col("y")).as("_np"))

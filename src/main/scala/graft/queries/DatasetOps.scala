@@ -95,20 +95,22 @@ object DatasetOps extends QueryModule {
   // features.join(labels, how="inner", on="instance_id")). The label
   // table here is the CSV's stand-in: a deterministic ~30% "annotated"
   // sample of instances via the same salted-md5 bucket primitive as the
-  // train/test split, labeled pos/neg. Scale shape: labels are one slim
-  // row per labeled instance — tiny vs the corpus — so the un-hinted
-  // equi-join broadcasts; the profile side is the q56 single-shuffle agg.
-  private def q57(s: SparkSession, dir: String): DataFrame = {
-    val labels = norm(Tables.events(s, dir))
-      .select(col("instance_id")).distinct()
+  // train/test split, labeled pos/neg. Scale shape: the label set's
+  // key universe (DISTINCT instance_id over events) is EXACTLY the
+  // profile's group-by keys, so the whole CSV stand-in collapses to a
+  // derived column + filter ON the profile — the oracle keeps the
+  // reference's scan→distinct→join shape while Spark runs one scan,
+  // one shuffle, zero joins. (A real external CSV would instead
+  // broadcast-join onto the profile.)
+  private def labeled(s: SparkSession, dir: String): DataFrame =
+    profile(s, dir)
       .withColumn("bucket", TextFunctions.hashBucket(col("instance_id"), "label", 10))
       .filter(col("bucket") < 3)
       .withColumn("label", when(col("bucket") % 2 === 0, "pos").otherwise("neg"))
-      .select(col("instance_id"), col("label"))
-    profile(s, dir)
-      .join(labels, Seq("instance_id"))
-      .orderBy(col("instance_id"))
-  }
+      .drop("bucket")
+
+  private def q57(s: SparkSession, dir: String): DataFrame =
+    labeled(s, dir).orderBy(col("instance_id"))
 
   private val q57Sql =
     s"""WITH $NormSql,
@@ -145,7 +147,7 @@ object DatasetOps extends QueryModule {
   // balanced-weight recall under class skew).
   private def q58(s: SparkSession, dir: String): DataFrame =
     graft.operators.RegressionHead
-      .designMatrix(q57(s, dir), graft.operators.RegressionHead.ProfileFeatures)
+      .designMatrix(labeled(s, dir), graft.operators.RegressionHead.ProfileFeatures)
       .orderBy(col("instance_id"))
 
   private val q58Sql =

@@ -4,12 +4,14 @@
 Usage: python3 tools/bench_duck.py <sfDir> <oracle_sql.json> [out.json]
 
 Runs every oracle SQL over <sfDir>'s parquet tables with threads=32,
-timing each query, after rewriting `epoch_us(ts)` to `(ts // 1000)`
-(GenSf replication rewrites events.ts as BIGINT nanos; the Spark side
-reads it identically). Compare against graft.Bench's bench_out.json on
-the SAME query set — the bench headline excludes the deliberately
-quadratic correctness baselines (q35/q38), so drop them here too when
-computing a whole-suite ratio.
+timing each query. events.ts has shipped as both BIGINT epoch-nanos
+(old GenSf replication of the TIMESTAMP(NANOS) drop) and a real
+parquet timestamp; `epoch_us(ts)` is rewritten to `(ts // 1000)` only
+when the stored type is actually BIGINT, so both vintages of sf1 data
+time identically to the Spark side. Compare against graft.Bench's
+bench_out.json on the SAME query set — the bench headline excludes the
+deliberately quadratic correctness baselines (q35/q38), so drop them
+here too when computing a whole-suite ratio.
 """
 import json
 import sys
@@ -31,9 +33,13 @@ def main():
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet/*.parquet')")
+    ts_is_bigint = con.execute(
+        "SELECT typeof(ts) FROM events LIMIT 1").fetchone()[0] == "BIGINT"
     res, total = {}, 0.0
     for name in sorted(sql):
-        q = sql[name].replace("epoch_us(ts)", "(ts // 1000)")
+        q = sql[name]
+        if ts_is_bigint:
+            q = q.replace("epoch_us(ts)", "(ts // 1000)")
         t0 = time.time()
         try:
             con.execute(q).fetchall()
