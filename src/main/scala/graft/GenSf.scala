@@ -37,8 +37,32 @@ object GenSf {
     val copies = if (args.length > 2) args(2).toInt else 10
     val spark = GraftSession.local("32", "32", logLevel = "ERROR")
 
-    def write(df: DataFrame, name: String): Unit =
-      df.coalesce(8).write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+    // Fact layout: RANGE-partitioned and sorted on the table's
+    // natural key, with a per-table file count. Three measured facts
+    // drive this (parquet row groups are the atomic scan-split unit,
+    // and these writes produce one per file):
+    //  - key/time CLUSTERING makes map-side partial aggregation
+    //    compress and gives row groups tight min/max stats — ids are
+    //    generator-ordered, so sorting by id restores the source's
+    //    time/instance locality. Round-robin repartition(32)
+    //    scattered rows and cost q54 0.9 → 2.7 s, q16 0.25 → 0.5 s.
+    //  - CPU-heavy per-row tables want one file per core: 8-file
+    //    documents capped q37's simhash scan stage at 8 of 32 cores
+    //    (q37 12.3 → 5.3 s at 32 files); same for lineitem's
+    //    6-column decimal decode.
+    //  - tiny tables want FEW files: 32 splits of the 16 MB events
+    //    table pay ~0.2 s of task overhead per query against zero
+    //    decode win (q16 0.48 at 32 files vs 0.32 at 8).
+    // This is the layout a real lakehouse write produces (sorted,
+    // sized files); bench-only data, correctness runs on driver files.
+    def write(df: DataFrame, name: String, key: String, files: Int): Unit =
+      df.repartitionByRange(files, col(key)).sortWithinPartitions(col(key))
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+
+    // Dims are tiny (≤ customer's 15k rows) and broadcast everywhere:
+    // one file each, no splitting needed.
+    def writeDim(df: DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
 
     def strideOf(df: DataFrame, idCol: String): Long =
       df.agg(max(col(idCol))).collect().head.getLong(0) + 1L
@@ -64,12 +88,12 @@ object GenSf {
 
     // dims: copy through
     for (t <- Seq("region", "nation", "customer", "supplier", "part"))
-      write(Tables.load(spark, srcDir, t), t)
+      writeDim(Tables.load(spark, srcDir, t), t)
 
     write(replicate(orders)((d, k) =>
-      d.withColumn("o_orderkey", col("o_orderkey") + k * okStride)), "orders")
+      d.withColumn("o_orderkey", col("o_orderkey") + k * okStride)), "orders", "o_orderkey", 8)
     write(replicate(lineitem)((d, k) =>
-      d.withColumn("l_orderkey", col("l_orderkey") + k * okStride)), "lineitem")
+      d.withColumn("l_orderkey", col("l_orderkey") + k * okStride)), "lineitem", "l_orderkey", 32)
 
     write(replicate(events)((d, k) =>
       d.withColumn("event_id", col("event_id") + k * evStride)
@@ -77,12 +101,12 @@ object GenSf {
         .withColumn("props", concat(lit("{\"k\": "),
           (regexp_extract(col("props"), "(\\d+)", 1).cast("long") + k * instStride)
             .cast("string"),
-          lit("}")))), "events")
+          lit("}")))), "events", "event_id", 8)
 
     val emb = Tables.embeddings(spark, srcDir)
     val vecStride = strideOf(emb, "vec_id")
     write(replicate(emb)((d, k) =>
-      d.withColumn("vec_id", col("vec_id") + k * vecStride)), "embeddings")
+      d.withColumn("vec_id", col("vec_id") + k * vecStride)), "embeddings", "vec_id", 8)
 
     val docs = Tables.documents(spark, srcDir)
     val docStride = strideOf(docs, "doc_id")
@@ -100,7 +124,7 @@ object GenSf {
           .withColumn("n_chars", length(col("text")))
       }
     write(replicate(docs)((d, k) =>
-      perturb(d, k).withColumn("doc_id", col("doc_id") + k * docStride)), "documents")
+      perturb(d, k).withColumn("doc_id", col("doc_id") + k * docStride)), "documents", "doc_id", 32)
 
     println(s"GENSF done: $outDir (${copies}x $srcDir)")
     spark.stop()

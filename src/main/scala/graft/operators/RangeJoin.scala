@@ -28,7 +28,14 @@ object RangeJoin {
         explode(array((-1 to 1).map(d => (col("ts_a") / width).cast("long") + d): _*)))
     val b = df.select(col(keyCol), col(tsCol).as("ts_b"), col(tieCol).as("id_b"))
       .withColumn("_bin", (col("ts_b") / width).cast("long"))
-    a.join(b, Seq(keyCol, "_bin"))
+    // SHUFFLE_HASH pin: both sides are the CORPUS — broadcasting either
+    // is wrong at any real scale, but the static planner estimates the
+    // exploded side off the parquet file size (compressed, sorted data
+    // deflates it further) and happily broadcasts 3x the table
+    // (measured: the BHJ build cost ~1 s of q54's 2 s at sf1). A
+    // shuffle hash join on (key, bin) is the scale shape: linear,
+    // partition-local builds over near-uniform bounded bins, no sort.
+    a.join(b.hint("shuffle_hash"), Seq(keyCol, "_bin"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("ts_a") - col("ts_b")) <= width)
       .drop("_bin")

@@ -116,7 +116,17 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
     val projR = Project(right.output :+ binRAlias, right)
 
     val newCond = And(cond, EqualTo(binAttr, binRAlias.toAttribute))
-    val joined = Join(gen, projR, Inner, Some(newCond), hint)
+    // Pin SHUFFLE_HASH (right build) unless the user hinted the join
+    // themselves: both sides of a time-proximity join are typically
+    // corpus-sized, and the static planner's file-size estimate of
+    // the exploded side can dip under the broadcast threshold —
+    // broadcasting 3x a fact table. The banded equi-key makes a
+    // partition-local hash build over bounded bins the scale shape.
+    val pinned =
+      if (hint == JoinHint.NONE)
+        JoinHint(None, Some(HintInfo(strategy = Some(SHUFFLE_HASH))))
+      else hint
+    val joined = Join(gen, projR, Inner, Some(newCond), pinned)
     Some(Project(j.output, joined))
   }
 }
