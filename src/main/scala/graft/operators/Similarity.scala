@@ -147,7 +147,43 @@ object Similarity {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
-    require(cents.nonEmpty, "ivf: centroidPred matched no vectors")
+    ivfSearch(n, cents, queryPred, k, probes)
+  }
+
+  /** IVF with a LEARNED codebook: k-means (spark.ml KMeans — each
+    * iteration is one treeAggregate pass over the executors, the same
+    * scale shape as every aggregate here) trains `cells` centroids on
+    * the corpus, then the [[ivfSearch]] core assigns + probes exactly
+    * as the fixed-seed variant. Deterministic for a fixed seed, data,
+    * and file layout (k-means|| init samples with the seed).
+    *
+    * The centers array is bounded by `cells` — small by construction,
+    * so collecting it to the driver is the IVF contract, not a data
+    * collect. A 10⁴⁺-cell codebook outgrows the inlined-literal
+    * assignment and wants the broadcast-join shape (see [[ivf]]'s
+    * scaladoc); `cells` here is deliberately the handful a single
+    * probe level serves. */
+  def ivfLearned(corpus: DataFrame, queryPred: Column, k: Int,
+                 cells: Int = 16, probes: Int = 2,
+                 seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = withNorm(corpus)
+    val train = n.select(array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans()
+      .setK(cells).setSeed(seed).setMaxIter(20).setFeaturesCol("features")
+      .fit(train)
+    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toArray.toSeq.map(_.toFloat))
+    }
+    ivfSearch(n, cents, queryPred, k, probes)
+  }
+
+  /** Shared IVF core: inline `cents` as plan literals, rank cells per
+    * vector in one codegen'd projection, probe + exact-rerank. */
+  private def ivfSearch(n: DataFrame, cents: Array[(Long, Seq[Float])],
+                        queryPred: Column, k: Int, probes: Int): DataFrame = {
+    require(cents.nonEmpty, "ivf: empty centroid set")
     // centroid norms driver-side with the IDENTICAL quantized
     // arithmetic (every term and the Dim-term sum stay < 2^53: the
     // double math is exact, bit-equal to the engine's)

@@ -95,4 +95,40 @@ class SimilarityOpsSpec extends SparkTestBase {
     assert(zeroRow.get._4 == 0.0 && zeroRow.get._3 == first.map(_._3).max,
       s"zero-norm candidate should rank last at sim 0.0: $zeroRow")
   }
+
+  test("learned-codebook IVF: full probe equals brute force exactly") {
+    // Probing EVERY cell makes the candidate set the whole corpus
+    // (each member lives in exactly one home cell), so the exact
+    // rerank must reproduce the brute-force top-k bit-for-bit — the
+    // crisp correctness property of the IVF partition, independent of
+    // codebook quality.
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val cells = 8
+    val full = Similarity.ivfLearned(emb, col("vec_id") < 10, k = 5,
+      cells = cells, probes = cells, seed = 7L)
+      .select("query_id", "neighbor_id", "rank")
+    val brute = Similarity.knnBrute(emb, col("vec_id") < 10, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+    assert(full.exceptAll(brute).isEmpty && brute.exceptAll(full).isEmpty,
+      "full-probe learned IVF diverged from brute force")
+  }
+
+  test("learned-codebook IVF: partial probe keeps useful recall and is seed-deterministic") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    def run() = Similarity.ivfLearned(emb, col("vec_id") < 10, k = 5,
+      cells = 8, probes = 3, seed = 7L)
+    val got = pairs(run())
+    val brute = pairs(Similarity.knnBrute(emb, col("vec_id") < 10, k = 5))
+    // near-orthogonal random vectors are the ANN worst case; 3 of 8
+    // probed cells must still catch a nontrivial fraction of the 50
+    // true pairs (threshold deliberately loose against codebook drift)
+    assert(got.intersect(brute).count() >= 15,
+      "learned-IVF 3-probe recall collapsed (< 30%)")
+    val a = run().collect().map(_.toString).sorted.toSeq
+    val b = run().collect().map(_.toString).sorted.toSeq
+    assert(a == b, "same-seed learned IVF must be deterministic in-session")
+  }
+
 }
