@@ -36,5 +36,21 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  // Embedding vectors are consumed as array<float> by the native
+  // vector expressions (QuantizedDotProduct/LshBucketKeys). The
+  // driver's drops have already silently changed one physical type
+  // between rounds (events.ts); if `embedding` ever arrives as
+  // array<double>, cast it back at the scan boundary rather than
+  // letting every vector operator fail type-check. (Quantization
+  // floors to 1e-7 resolution, so a float-generated double column
+  // round-trips exactly.)
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val df = load(s, d, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case _ => df.withColumn("embedding",
+        org.apache.spark.sql.functions.col("embedding").cast(ArrayType(FloatType)))
+    }
+  }
 }

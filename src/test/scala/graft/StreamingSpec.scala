@@ -141,6 +141,39 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming content dedup: same text under different ids passes once within the horizon") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamDedup
+    import graft.streaming.StreamDedup.Doc
+    def doc(id: Long, sec: Long, text: String): Doc =
+      Doc(id, new Timestamp(sec * 1000), text)
+    val input = MemoryStream[Doc]
+    val query = StreamDedup.distinctByContent(input.toDS(), "10 seconds")
+      .writeStream.format("memory").queryName("cdedup_out").outputMode("append").start()
+    try {
+      // batch 1: two distinct texts + an in-batch content dup under a
+      // DIFFERENT doc id (the case an id-keyed dedup cannot catch)
+      input.addData(doc(1, 100, "alpha"), doc(2, 100, "beta"), doc(3, 101, "alpha"))
+      query.processAllAvailable()
+      // batch 2: cross-batch content redelivery within the horizon
+      input.addData(doc(4, 103, "beta"), doc(5, 104, "gamma"))
+      query.processAllAvailable()
+      // push the watermark far past the "alpha" state entry...
+      input.addData(doc(6, 1000, "delta"))
+      query.processAllAvailable()
+      // ...then the SAME content arrives again, later than the
+      // watermark delay: state for it is gone, it is admitted again —
+      // the documented at-scale trade of the watermark variant
+      input.addData(doc(7, 1001, "alpha"))
+      query.processAllAvailable()
+      val got = spark.table("cdedup_out")
+        .select("docId").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L, 5L, 6L, 7L),
+        s"expected first-arrival-per-content within horizon, got $got")
+    } finally query.stop()
+  }
+
   test("running heuristics accumulate across micro-batches per instance") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
