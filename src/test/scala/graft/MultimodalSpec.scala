@@ -48,6 +48,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(f1.map(_.tsMs).toSeq == f1.map(_.tsMs).sorted.toSeq)
   }
 
+  test("resize fits images into maxDim preserving aspect; non-images pass through") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRecord(1L, "image", Array.tabulate(64)(_.toByte), 1920, 1080, 0L),
+      MediaRecord(2L, "image", Array.tabulate(64)(_.toByte), 1080, 1920, 0L),
+      MediaRecord(3L, "image", Array.tabulate(64)(_.toByte), 100, 100, 0L), // already fits
+      MediaRecord(4L, "audio", Array.tabulate(64)(_.toByte), 0, 0, 9000L))
+    val out = Multimodal.resizeImages(spark.createDataset(rows).repartition(2), 512)
+      .collect().sortBy(_.mediaId)
+    // landscape: width lands exactly on maxDim, height scales by the ratio
+    assert(out(0).width == 512 && out(0).height == 1080 * 512 / 1920)
+    // portrait: mirrored
+    assert(out(1).height == 512 && out(1).width == 1080 * 512 / 1920)
+    // already-fitting image and non-image rows pass through untouched
+    assert(out(2).width == 100 && out(2).payload.sameElements(rows(2).payload))
+    assert(out(3).durationMs == 9000L && out(3).payload.sameElements(rows(3).payload))
+    // resized payload is the stub transform, deterministic across runs
+    val again = Multimodal.resizeImages(spark.createDataset(rows).repartition(2), 512)
+      .collect().sortBy(_.mediaId)
+    assert(out.zip(again).forall { case (a, b) => a.payload.sameElements(b.payload) })
+  }
+
   test("asMedia validates the physical schema") {
     import spark.implicits._
     val df = spark.createDataset(media(3)).toDF()
