@@ -90,6 +90,42 @@ class PropertySpec extends SparkTestBase {
     assert(got == pairs.map { case (a, b) => model(a, b) })
   }
 
+  test("FirstInt equals the regex+cast chain on adversarial strings") {
+    import spark.implicits._
+    // digit runs in unicode soup, leading zeros, runs at string
+    // boundaries, multiple runs (first wins), and int-overflow runs
+    // (where the native form returns NULL instead of the ANSI fault —
+    // excluded from the equality domain, asserted separately in
+    // FirstIntSpec)
+    val ch = Gen.frequency(4 -> Gen.alphaNumChar, 2 -> Gen.numChar,
+      1 -> Gen.oneOf('é', '中', ' ', '{', '"', ':', '-'))
+    val strGen = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.containerOfN[Seq, Char](n, ch).map(_.mkString))
+    val all = (1 to 200).map(i => sample(strGen, 900L + i)) ++
+      Seq("", "007", "abc", "12abc34", "中9中", "{\"k\": 42}")
+    // The regex+ANSI-cast chain's total domain is strings whose first
+    // digit run exists and fits INT: regexp_extract yields '' on no
+    // match and ANSI CAST('' AS INT) FAULTS (as does an overflowing
+    // run). FirstInt returns NULL on both instead — strictly more
+    // robust; the equality property holds on the chain's domain.
+    val strs = all.filter(s =>
+      "\\d+".r.findFirstIn(s).exists(r => BigInt(r) <= Int.MaxValue))
+    val df = strs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "s")
+    val got = df.select(col("id"),
+        graft.plans.FirstInt(col("s")).as("n"),
+        regexp_extract(col("s"), "(\\d+)", 1).cast("int").as("r"))
+      .collect()
+    val bad = got.filter(r => r.isNullAt(1) != r.isNullAt(2) ||
+      (!r.isNullAt(1) && r.getInt(1) != r.getInt(2)))
+    assert(bad.isEmpty, s"FirstInt != regex on: ${bad.take(5).mkString(", ")}")
+    // outside that domain the native form is total: NULL, no fault
+    val digitless = all.filter(s => "\\d".r.findFirstIn(s).isEmpty)
+    assert(digitless.nonEmpty)
+    val nulls = digitless.toDF("s")
+      .select(graft.plans.FirstInt(col("s")).as("n")).collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
   test("SimHash60 equals the explode + 60-vote SQL pipeline on adversarial texts") {
     import spark.implicits._
     // word-char soup with spaces forced in: double spaces produce
