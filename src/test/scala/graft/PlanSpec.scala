@@ -91,6 +91,22 @@ class PlanSpec extends SparkTestBase {
       s"BandedRangeJoinRule output is not a shuffled hash join:\n$sqlJoin")
   }
 
+  test("stand-in-derived tables collapse onto the probe side: q57/q63 plan zero joins") {
+    // Round-9 structure locks. q57's label CSV stand-in is a derived
+    // column on the profile (its key universe IS the profile's
+    // group-by keys); q63's four prediction-variant stand-ins are
+    // deterministic functions of cmd_id, so the four-way merge is one
+    // scan + projection. A reintroduced join (or a second events
+    // scan) silently multiplies corpus passes.
+    for (name <- Seq("q57_label_join", "q63_merge_predictions")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"$name plans a join:\n$plan")
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans == 1, s"$name reads the corpus $scans times:\n$plan")
+    }
+  }
+
   test("per-user flag aggregations plan as two-level aggregates, not windows") {
     // q15/q52 need only per-(instance,user) maxima: a Window form
     // computes the same answer but drags a full sort through the plan
