@@ -68,36 +68,38 @@ object Multimodal {
     * initializes once per partition. Non-image rows pass through
     * untouched — resize is a per-kind transform, not a filter.
     * ========================================================= */
+  /** STUB batch transform mirroring [[decodeBatchStub]]'s shape: a
+    * real implementation resamples the whole batch through one codec
+    * session; the fake folds each payload deterministically. */
+  private def resizeBatchStub(batch: Seq[MediaRecord], maxDim: Int): Seq[MediaRecord] =
+    batch.map { r =>
+      if (r.kind != "image" || r.width <= 0 || r.height <= 0 || r.payload.isEmpty ||
+          (r.width <= maxDim && r.height <= maxDim)) r
+      else {
+        // aspect-preserving integer fit; the larger edge lands
+        // EXACTLY on maxDim, the smaller scales by the same ratio
+        // (floor, min 1) — deterministic, no float accumulation
+        val (w, h) =
+          if (r.width >= r.height)
+            (maxDim, math.max(1, (r.height.toLong * maxDim / r.width).toInt))
+          else
+            (math.max(1, (r.width.toLong * maxDim / r.height).toInt), maxDim)
+        val out = new Array[Byte](math.max(1, r.payload.length / 4))
+        var i = 0
+        while (i < out.length) {
+          out(i) = (r.payload(i % r.payload.length) ^ (w + h * 31)).toByte
+          i += 1
+        }
+        r.copy(payload = out, width = w, height = h)
+      }
+    }
+
   def resizeImages(media: Dataset[MediaRecord], maxDim: Int): Dataset[MediaRecord] = {
     val spark = media.sparkSession
     import spark.implicits._
     require(maxDim > 0, "maxDim must be positive")
     media.mapPartitions { it =>
-      it.grouped(BatchSize).flatMap { batch =>
-        batch.map { r =>
-          if (r.kind != "image" || r.width <= 0 || r.height <= 0 ||
-              (r.width <= maxDim && r.height <= maxDim)) r
-          else {
-            // aspect-preserving integer fit; the larger edge lands
-            // EXACTLY on maxDim, the smaller scales by the same ratio
-            // (floor, min 1) — deterministic, no float accumulation
-            val (w, h) =
-              if (r.width >= r.height)
-                (maxDim, math.max(1, (r.height.toLong * maxDim / r.width).toInt))
-              else
-                (math.max(1, (r.width.toLong * maxDim / r.height).toInt), maxDim)
-            // STUB pixel transform: size-tagged deterministic fold of
-            // the original payload (a real impl decodes + resamples)
-            val out = new Array[Byte](math.max(1, r.payload.length / 4))
-            var i = 0
-            while (i < out.length) {
-              out(i) = (r.payload(i % r.payload.length) ^ (w + h * 31)).toByte
-              i += 1
-            }
-            r.copy(payload = out, width = w, height = h)
-          }
-        }
-      }
+      it.grouped(BatchSize).flatMap(resizeBatchStub(_, maxDim))
     }
   }
 

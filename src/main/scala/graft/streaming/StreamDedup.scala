@@ -23,9 +23,8 @@ import org.apache.spark.sql.functions._
   * state window) — the standard at-scale trade, matched to the
   * source's replay horizon, and exactly-once *within* the horizon.
   *
-  * The key is an md5 of the normalized content (not the raw string):
-  * state stores a fixed 32-char key per row regardless of document
-  * size, the same content-hash the batch q34 groups on.
+  * The key is a fixed 32-char hash per row regardless of document
+  * size, so state cost is independent of document length.
   */
 object StreamDedup {
 
@@ -33,11 +32,15 @@ object StreamDedup {
   case class Doc(docId: Long, ts: Timestamp, text: String)
 
   /** Distinct-content stream: first arrival of each content hash
-    * within the watermark horizon passes through. */
+    * within the watermark horizon passes through. The key is the SAME
+    * normalized fingerprint the batch q34 dedup groups on
+    * (TextFunctions.fingerprint: md5 of lowercased,
+    * whitespace-collapsed, trimmed text), so online and batch agree
+    * on what counts as a duplicate. */
   def distinctByContent(docs: Dataset[Doc],
                         watermarkDelay: String = "10 seconds"): DataFrame =
     docs
-      .withColumn("content_key", md5(col("text")))
+      .withColumn("content_key", graft.functions.TextFunctions.fingerprint(col("text")))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_key")
 }

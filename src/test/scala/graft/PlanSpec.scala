@@ -79,12 +79,12 @@ class PlanSpec extends SparkTestBase {
     // the rule path: a user-authored abs-inequality join rewrites to
     // the banded form AND inherits the pin
     val sqlJoin = spark.sql(
-      """SELECT count(*) FROM
+      s"""SELECT count(*) FROM
         |  (SELECT event_id a_id, unix_micros(CAST(ts AS TIMESTAMP)) a_ts
-        |   FROM parquet.`/root/testdata/sf0.001/events.parquet`) a
+        |   FROM parquet.`$sfDir/events.parquet`) a
         |JOIN
         |  (SELECT event_id b_id, unix_micros(CAST(ts AS TIMESTAMP)) b_ts
-        |   FROM parquet.`/root/testdata/sf0.001/events.parquet`) b
+        |   FROM parquet.`$sfDir/events.parquet`) b
         |ON abs(a.a_ts - b.b_ts) <= 60000000""".stripMargin)
       .queryExecution.executedPlan.toString
     assert(sqlJoin.contains("ShuffledHashJoin"),

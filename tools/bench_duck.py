@@ -33,8 +33,11 @@ def main():
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet/*.parquet')")
-    ts_is_bigint = con.execute(
-        "SELECT typeof(ts) FROM events LIMIT 1").fetchone()[0] == "BIGINT"
+    # schema-level probe (DESCRIBE) — a row-level typeof() returns no
+    # rows on an empty table and would crash before any query is timed
+    ts_is_bigint = any(
+        name == "ts" and dtype.upper() == "BIGINT"
+        for name, dtype, *_ in con.execute("DESCRIBE events").fetchall())
     res, total = {}, 0.0
     for name in sorted(sql):
         q = sql[name]
