@@ -100,27 +100,81 @@ object PromptOps extends QueryModule {
         expr("listagg(line, '\n') WITHIN GROUP (ORDER BY user_id)")).as("actors_block"))
   }
 
+  /** One-pipeline base shared by q59/q62 (the round-10 fusion): the
+    * msg∪cmd stream with the nearest-command assignment (inlined
+    * NearestEvent marks) and — when `needHist` — the last-5-message
+    * history, ALL from a single scan + single hash exchange on
+    * instance_id.
+    *
+    * The history trick: `lag(msg_utt, k, ignoreNulls)` over the mixed
+    * stream skips command rows (their msg_utt is NULL), so a command
+    * row's lag-k IS its k-th most recent preceding message — the
+    * per-command history needs no message-sequence window, no
+    * offset-explode, and no join at all. All ascending-order window
+    * functions (prev-cmd marks + the 5 lags) share ONE Window
+    * operator/sort; the next-cmd marks add the one descending sort.
+    * Grouping then keys on (instance_id, grp_cmd) — command rows
+    * assign to themselves — which the window's HashPartitioning
+    * already satisfies: the whole query runs on one exchange before
+    * the slim-row repartition boundary.
+    */
+  private def fusedCmdGroups(ev: DataFrame, needHist: Boolean): DataFrame = {
+    val utt = concat(lit("u"), col("user_id").cast("string"),
+      lit("#"), col("event_id").cast("string"))
+    val asc = Window.partitionBy(col("instance_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val ascGrow = asc.rowsBetween(Window.unboundedPreceding, -1)
+    val desc = Window.partitionBy(col("instance_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // Byte discipline through the two big sorts: `utt` is never
+    // materialized as a column — window-function args (the lags) and
+    // the downstream aggregate build it on the fly from the two long
+    // columns, so the sorts move only fixed-width rows. The desc
+    // window runs FIRST (chained selects) so the 5 lag strings the
+    // asc window emits never pass through the desc sort.
+    val histCols =
+      if (needHist) (1 to 5).map(k =>
+        lag(when(isMsg, utt), k, null, ignoreNulls = true).over(asc).as(s"_h$k"))
+      else Seq.empty
+    val marked = ev.filter(isMsg || isCmd)
+      .select(
+        col("*"),
+        last(when(isCmd, col("ts_us")), ignoreNulls = true).over(desc).as("next_ts"),
+        last(when(isCmd, col("event_id")), ignoreNulls = true).over(desc).as("next_id"))
+      .select(Seq(
+        col("*"),
+        last(when(isCmd, col("ts_us")), ignoreNulls = true).over(ascGrow).as("prev_ts"),
+        last(when(isCmd, col("event_id")), ignoreNulls = true).over(ascGrow).as("prev_id")
+      ) ++ histCols: _*)
+    val before = col("next_ts").isNull ||
+      (col("prev_ts").isNotNull &&
+        col("ts_us") - col("prev_ts") <= col("next_ts") - col("ts_us"))
+    marked
+      .withColumn("grp_cmd",
+        when(isCmd, col("event_id"))
+          .otherwise(when(before, col("prev_id")).otherwise(col("next_id"))))
+      .withColumn("rp_ok", isMsg && col("value") >= 5 && before)
+      .withColumn("aft_ok", isMsg && col("value") >= 5 && !before)
+  }
+
   // q59: per-command prompt/completion in the reference's utt_cmd
   // format. Commands with no (>=5-word, distill1-filtered) before-RP
   // are dropped, mirroring prompts.py:60-62's `if not before: return`.
+  //
+  // Round-10 fused shape: ONE aggregation over the fused stream gives
+  // each command its before-RP (conditional ordered listagg over the
+  // msg rows of its group) and its own attributes (conditional max
+  // over the single cmd row) — the former rp⋈cmds join, its second
+  // events scan, and its shuffle are gone.
   private def q59(s: SparkSession, dir: String): DataFrame = {
     val ev = norm(Tables.events(s, dir))
-    val utt = concat(lit("u"), col("user_id").cast("string"),
-      lit("#"), col("event_id").cast("string"))
-    val rp = NearestEvent.assoc(ev, "instance_id", "ts_us", "event_id",
-        sourcePred = isMsg, targetPred = isCmd)
-      .filter(col("value") >= 5 && col("side") === "before")
-      .withColumn("utt", utt)
-      .groupBy(col("instance_id"), col("cmd_id"))
-      // ordered listagg: the joined RP string straight out of the
-      // aggregate (ts_us,event_id is a unique key, so deterministic)
-      .agg(expr("listagg(utt, '\n') WITHIN GROUP (ORDER BY ts_us, event_id)").as("rp"))
-
-    val ablock = actorsBlockOf(ev)
-
-    val cmds = ev.filter(isCmd)
-      .select(col("instance_id"), col("event_id").as("cmd_id"),
-        col("user_id").as("cmd_user"))
+    val grouped = fusedCmdGroups(ev, needHist = false)
+      .groupBy(col("instance_id"), col("grp_cmd").as("cmd_id"))
+      .agg(
+        expr("listagg(CASE WHEN rp_ok THEN concat('u', CAST(user_id AS STRING), '#', CAST(event_id AS STRING)) END, '\n') WITHIN GROUP (ORDER BY ts_us, event_id)").as("rp"),
+        max(when(isCmd, col("user_id"))).as("cmd_user"))
+      .filter(col("rp").isNotNull && col("cmd_user").isNotNull)
 
     // Assembly order is shuffle-aware: the hash boundary moves only
     // the SLIM rows (ids + the per-command rp string); the heavy
@@ -128,22 +182,28 @@ object PromptOps extends QueryModule {
     // and the final prompt concat are applied AFTER the boundary via
     // a broadcast join, so the protocol sort's range sampling
     // re-executes only the cheap read-shuffle-files→concat tail, not
-    // the window+join pipeline (the q37 lesson). The sort must come
+    // the window pipeline (the q37 lesson). The sort must come
     // last: EliminateSorts drops any Sort beneath a Join.
     // Broadcast scale: one ~400 B roster block per instance (the
     // roster is activity-bounded above), a few MB for the reference
     // corpus; a corpus with 10^7+ instances drops the hint and
     // assembles before the boundary instead.
-    rp.join(cmds, Seq("instance_id", "cmd_id"))
+    // The prompt concat goes ABOVE the protocol sort (Project after
+    // Sort — Catalyst keeps expression Projects above Sorts): the
+    // range exchange then samples and moves only the RAW parts
+    // (rp + actors_block), not the assembled prompt that duplicates
+    // them plus template text, and the concat itself runs once in the
+    // final pass instead of twice (range sampling + final).
+    grouped
       .repartition(col("cmd_id"))
-      .join(broadcast(ablock), Seq("instance_id"))
+      .join(broadcast(actorsBlockOf(ev)), Seq("instance_id"))
+      .orderBy(col("cmd_id"))
       .select(
         col("cmd_id"),
         P.uttCmdPrompt(col("actors_block"), longOf(col("cmd_user")), col("rp"))
           .as("prompt"),
         P.uttCmdCompletion(array(concat(lit("!p"), col("cmd_id").cast("string"))))
           .as("completion"))
-      .orderBy(col("cmd_id"))
   }
 
   // q62: the sta_nar task (finetune_prep.py:91-100 →
@@ -158,80 +218,59 @@ object PromptOps extends QueryModule {
   // block, the stringified automation line; completion = the
   // after-utterances (rows with none are dropped, prompts.py:191-193).
   //
-  // Scale shape for "last 5 messages before each command": messages
-  // get a per-instance sequence number (one window); each command
-  // carries the running message count (same-keyed window); the
-  // history is then an EQUI-join on (instance, seq) after exploding
-  // the 5 wanted offsets on the command side — linear and hash-keyed,
-  // never a per-command range scan. Targets + completion come from
-  // ONE aggregation over the same assoc rows (no second window
-  // branch); blocks assemble per command.
+  // Scale shape for "last 5 messages before each command" (round-10
+  // fusion): `lag(msg_utt, k, ignoreNulls)` over the mixed msg∪cmd
+  // stream — command rows' msg_utt is NULL, so lag-k on a command row
+  // is its k-th most recent preceding message. The history costs five
+  // lag columns in the window stack the nearest-assoc marks already
+  // need (one shared sort, zero joins) — replacing the former
+  // message-seq window + offset-explode + equi-join + groupBy.
+  // After-RP, Targets, and the command's own attributes then come out
+  // of ONE (instance, cmd) aggregation over the same stream: the whole
+  // query is one scan + one exchange up to the slim-row boundary.
   private def q62(s: SparkSession, dir: String): DataFrame = {
     val ev = norm(Tables.events(s, dir))
-    val utt = concat(lit("u"), col("user_id").cast("string"),
-      lit("#"), col("event_id").cast("string"))
 
     // after_rp via ordered listagg; the Targets list keeps the struct
     // path — it is DISTINCT-by-user then ordered by NUMERIC user_id,
     // which listagg(DISTINCT) can't express (it only orders by the
     // aggregated string itself, and "u10" < "u2" lexically), and it
-    // is roster-bounded small anyway.
-    val after = NearestEvent.assoc(ev, "instance_id", "ts_us", "event_id",
-        sourcePred = isMsg, targetPred = isCmd)
-      .filter(col("value") >= 5 && col("side") === "after")
-      .withColumn("short", shortOf(col("user_id")))
-      .withColumn("utt", utt)
-      .groupBy(col("instance_id"), col("cmd_id"))
+    // is roster-bounded small anyway. History concatenates oldest
+    // first: lag-5 down to lag-1; concat_ws skips the NULL lags of
+    // commands with <5 prior messages (no messages → "" → the empty
+    // History block, same as the former left-join's NULL).
+    val grouped = fusedCmdGroups(ev, needHist = true)
+      .groupBy(col("instance_id"), col("grp_cmd").as("cmd_id"))
       .agg(
-        expr("listagg(utt, '\n') WITHIN GROUP (ORDER BY ts_us, event_id)").as("after_rp"),
+        expr("listagg(CASE WHEN aft_ok THEN concat('u', CAST(user_id AS STRING), '#', CAST(event_id AS STRING)) END, '\n') WITHIN GROUP (ORDER BY ts_us, event_id)").as("after_rp"),
         transform(
-          array_sort(array_distinct(
-            collect_list(struct(col("user_id"), col("short").as("short"))))),
-          x => x.getField("short")).as("tgt_arr"))
-
-    val wAll = Window.partitionBy(col("instance_id"))
-      .orderBy(col("ts_us"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cmds = ev
-      .withColumn("prev_seq",
-        coalesce(sum(when(isMsg, 1L)).over(wAll), lit(0L)))
-      .filter(isCmd)
-      .select(col("instance_id"), col("event_id").as("cmd_id"),
-        col("user_id").as("cmd_user"), col("value"), col("prev_seq"))
-
-    val wMsg = Window.partitionBy(col("instance_id"))
-      .orderBy(col("ts_us"), col("event_id"))
-    val msgs = ev.filter(isMsg)
-      .select(col("instance_id"), col("event_id"), col("user_id"),
-        col("ts_us"), utt.as("utt"))
-      .withColumn("seq", row_number().over(wMsg).cast("long"))
-
-    val hist = cmds
-      .select(col("instance_id"), col("cmd_id"),
-        explode(array((0 until 5).map(lit(_)): _*)).as("k"),
-        col("prev_seq"))
-      .withColumn("seq", col("prev_seq") - col("k"))
-      .filter(col("seq") >= 1)
-      .join(msgs.select(col("instance_id"), col("seq"), col("utt")),
-        Seq("instance_id", "seq"))
-      .groupBy(col("instance_id"), col("cmd_id"))
-      .agg(expr("listagg(utt, '\n') WITHIN GROUP (ORDER BY seq)").as("hist"))
+          array_sort(array_distinct(collect_list(
+            when(col("aft_ok"),
+              struct(col("user_id"), shortOf(col("user_id")).as("short")))))),
+          x => x.getField("short")).as("tgt_arr"),
+        max(when(isCmd, col("user_id"))).as("cmd_user"),
+        max(when(isCmd, col("value"))).as("value"),
+        max(when(isCmd,
+          concat_ws("\n", col("_h5"), col("_h4"), col("_h3"), col("_h2"), col("_h1"))))
+          .as("hist"))
+      .filter(col("after_rp").isNotNull && col("cmd_user").isNotNull)
 
     val automation = concat(lit("u"), col("cmd_user").cast("string"),
       lit(" casts #"), col("cmd_id").cast("string"),
       lit(" for "), graft.functions.Exact.u2(col("value")).cast("string"), lit(" cp."))
 
     // Same shuffle discipline as q59: the hash boundary moves only
-    // slim rows (ids + short utt arrays); the per-instance
+    // slim rows (ids + short utt strings); the per-instance
     // actors_block and the prompt concat land after the boundary via
     // a broadcast join, and the protocol sort (last — EliminateSorts
     // drops a Sort beneath a Join) samples only the cheap
     // post-shuffle tail.
-    cmds
-      .join(after, Seq("instance_id", "cmd_id"))
-      .join(hist, Seq("instance_id", "cmd_id"), "left")
+    // Prompt concat above the protocol sort, as in q59: the range
+    // exchange samples/moves raw parts, and the concat runs once.
+    grouped
       .repartition(col("cmd_id"))
       .join(broadcast(actorsBlockOf(ev)), Seq("instance_id"))
+      .orderBy(col("cmd_id"))
       .select(
         col("cmd_id"),
         P.staNarPrompt(
@@ -242,7 +281,6 @@ object PromptOps extends QueryModule {
           longOf(col("cmd_user")),
           automation).as("prompt"),
         P.staNarCompletionOfJoined(col("after_rp")).as("completion"))
-      .orderBy(col("cmd_id"))
   }
 
   // The oracle rebuilds the identical strings in DuckDB. NB chr(10)

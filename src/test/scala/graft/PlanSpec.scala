@@ -200,11 +200,10 @@ class PlanSpec extends SparkTestBase {
     // subtree contains the join — a refactor moving the repartition
     // upstream of the join would still leave the substring in the
     // plan while reintroducing the double-execution.
-    import org.apache.spark.sql.catalyst.plans.logical.{Join, RepartitionByExpression, Sort}
-    // q36/q59/q62 share the discipline: their assemblies are also
-    // join-heavy sort children that the range sampler would re-execute
-    for (name <- Seq("q37_dedup_simhash", "q36_dedup_minhash",
-      "q59_prompt_assembly", "q62_sta_nar_assembly")) {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, RepartitionByExpression, Sort}
+    // q36 shares the discipline: its assembly is also a join-heavy
+    // sort child that the range sampler would re-execute
+    for (name <- Seq("q37_dedup_simhash", "q36_dedup_minhash")) {
       val q = SparkEntry.queries(name)(spark, sfDir)
       val sorts = q.queryExecution.optimizedPlan.collect { case s: Sort => s }
       assert(sorts.nonEmpty, s"$name lost its protocol sort:\n${q.queryExecution.optimizedPlan}")
@@ -214,6 +213,27 @@ class PlanSpec extends SparkTestBase {
       assert(boundaryHoldsJoin,
         s"$name's sort child has no repartition boundary over its joins — " +
           s"the range sampling re-executes them:\n${q.queryExecution.optimizedPlan}")
+    }
+    // q59/q62 (round-10 fused shape): the expensive subtree is the
+    // single window+listagg AGGREGATE pipeline, not a join — the
+    // boundary must shield IT from the range sampler; only the cheap
+    // broadcast roster probe + concat may sit above the repartition.
+    for (name <- Seq("q59_prompt_assembly", "q62_sta_nar_assembly")) {
+      val q = SparkEntry.queries(name)(spark, sfDir)
+      val sorts = q.queryExecution.optimizedPlan.collect { case s: Sort => s }
+      assert(sorts.nonEmpty, s"$name lost its protocol sort:\n${q.queryExecution.optimizedPlan}")
+      val boundaryHoldsAgg = sorts.head.child
+        .collect { case r: RepartitionByExpression => r }
+        .exists(_.collectFirst { case a: Aggregate => a }.isDefined)
+      assert(boundaryHoldsAgg,
+        s"$name's sort child has no repartition boundary over its window+agg " +
+          s"pipeline — the range sampling re-executes it:\n${q.queryExecution.optimizedPlan}")
+      val joinBelowBoundary = sorts.head.child
+        .collect { case r: RepartitionByExpression => r }
+        .exists(_.collectFirst { case j: Join => j }.isDefined)
+      assert(!joinBelowBoundary,
+        s"$name grew a join below the repartition boundary — the fused " +
+          s"zero-join pipeline regressed:\n${q.queryExecution.optimizedPlan}")
     }
     val q37 = SparkEntry.queries("q37_dedup_simhash")(spark, sfDir)
     assert(!q37.queryExecution.explainString(mode).contains("documents.parquet"),
