@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.EventFunctions._
+
+/** Annotator-agreement analytics — the reference's human-eval results
+  * analysis (reference: human_eval/results_analysis.py:107-166)
+  * re-expressed as aggregations:
+  *
+  *  - per rater PAIR with overlapping scenarios, Cohen's kappa over
+  *    the paired binary (sense, specific) ratings and Kendall's tau-b
+  *    over the paired ordinal `interesting` ratings
+  *    (results_analysis.py:112-152: `itertools.combinations(users, 2)`,
+  *    overlap intersection, `cohen_kappa_score`, `kendalltau`);
+  *  - the overall averages the script prints
+  *    (results_analysis.py:148-155).
+  *
+  * Rating model: the reference reads a Qualtrics CSV (external file,
+  * like the model-output files elsewhere); the stand-in derives a
+  * deterministic panel from the event stream — raters are the 10
+  * first state-event users (the "DM" set analog), each rating a
+  * salted-hash-selected CAP of 20 scenarios (the reference's each-
+  * rater-sees-3-or-7-pages design) × 5 models, with salted-md5 rating
+  * values — the same portable primitive as the train/test split, so
+  * every statistic is reproducible exactly in the DuckDB oracle.
+  *
+  * Exactness: each pair's kappa and tau are computed from exact int64
+  * counts with ONE double division (+ one IEEE sqrt for tau) and
+  * floored at 1e5 scale — identical bit patterns on both engines; the
+  * q65 averages divide exact int64 sums once (float summation order
+  * can never drift). Sequence-equal pairs short-circuit kappa to 1
+  * exactly like the reference's sklearn guard
+  * (results_analysis.py:138-141); zero-variance tau pairs are NULL
+  * and excluded from the average exactly like its NaN guard (:143-147).
+  *
+  * Scale shape: the panel is bounded by construction (raters ×
+  * CAP × models — the human-eval contract, like the roster
+  * broadcast), so the rater fan-out is a bounded broadcast cross and
+  * the per-pair item-pair join for tau is a keyed equi-join whose
+  * per-key quadratic is capped at C(CAP·models, 2); the dials a
+  * larger panel would turn are CAP and the rater count. Everything
+  * downstream of the bounded panel is hash-keyed aggregation.
+  */
+object AgreementOps extends QueryModule {
+
+  private val NRaters = 10
+  private val Cap = 20
+  private val NModels = 5
+
+  /** Same md5-prefix bucket primitive as TextFunctions.hashBucket but
+    * over a composite string key. */
+  private def bucket(key: Column, salt: String, mod: Int): Column =
+    (conv(substring(md5(concat(lit(salt), key)), 1, 4), 16, 10)
+      .cast("bigint") % mod).cast("bigint")
+
+  /** The deterministic ratings panel:
+    * (r, q, m, sense 0/1, specific 0/1, interesting 1..7). */
+  private def ratings(s: SparkSession, dir: String): DataFrame = {
+    val ev = norm(Tables.events(s, dir))
+    val raters = ev.filter(isState)
+      .select(col("user_id").as("r")).distinct()
+      .orderBy(col("r")).limit(NRaters)
+    val insts = ev.select(col("instance_id").as("q")).distinct()
+    val seenKey = concat(col("r").cast("string"), lit("_"), col("q").cast("string"))
+    val wSeen = Window.partitionBy(col("r"))
+      .orderBy(md5(concat(lit("seen_"), seenKey)), col("q"))
+    val seen = insts.crossJoin(broadcast(raters))
+      .withColumn("_rn", row_number().over(wSeen))
+      .filter(col("_rn") <= Cap)
+    val rqm = concat(col("r").cast("string"), lit("_"),
+      col("q").cast("string"), lit("_"), col("m").cast("string"))
+    seen
+      .select(col("r"), col("q"),
+        explode(array((1 to NModels).map(lit(_)): _*)).as("m"))
+      .select(col("r"), col("q"), col("m"),
+        bucket(rqm, "sense_", 2).as("sense"),
+        bucket(rqm, "spec_", 2).as("specific"),
+        (lit(1) + bucket(rqm, "int_", 7)).as("interesting"))
+  }
+
+  /** Paired items of overlapping rater pairs: one row per
+    * (r1 < r2, scenario, model) both rated. */
+  private def pairItems(rt: DataFrame): DataFrame = {
+    val a = rt.select(col("r").as("r1"), col("q"), col("m"),
+      col("sense").as("s1"), col("specific").as("p1"), col("interesting").as("i1"))
+    val b = rt.select(col("r").as("r2"), col("q"), col("m"),
+      col("sense").as("s2"), col("specific").as("p2"), col("interesting").as("i2"))
+    a.join(b, Seq("q", "m")).filter(col("r1") < col("r2"))
+  }
+
+  /** Per-pair agreement: n_items, kappa, tau (NULL when tau has a
+    * zero-variance side). */
+  private def pairAgreement(s: SparkSession, dir: String): DataFrame = {
+    val items = pairItems(ratings(s, dir))
+
+    // Cohen's kappa over the interleaved (sense, specific) binary
+    // sequences: po−pe arithmetic on exact counts —
+    // kappa = (n·agree − pe_num) / (n² − pe_num),
+    // pe_num = c1_0·c2_0 + c1_1·c2_1.
+    val kap = items.groupBy(col("r1"), col("r2")).agg(
+      count(lit(1)).as("n_items"),
+      (count(lit(1)) * 2).as("n_bin"),
+      (sum(when(col("s1") === col("s2"), 1L).otherwise(0L)) +
+        sum(when(col("p1") === col("p2"), 1L).otherwise(0L))).as("agree"),
+      (sum(col("s1")) + sum(col("p1"))).as("c1_1"),
+      (sum(col("s2")) + sum(col("p2"))).as("c2_1"))
+      .withColumn("pe_num",
+        (col("n_bin") - col("c1_1")) * (col("n_bin") - col("c2_1")) +
+          col("c1_1") * col("c2_1"))
+      .withColumn("kappa_s",
+        when(col("agree") === col("n_bin"), lit(100000L))
+          .otherwise(floor(
+            (lit(100000L) * (col("n_bin") * col("agree") - col("pe_num"))).cast("double") /
+              (col("n_bin") * col("n_bin") - col("pe_num")).cast("double"))))
+      .select(col("r1"), col("r2"), col("n_items"), col("kappa_s"))
+
+    // Kendall tau-b: every unordered item pair within a rater pair
+    // once (lexicographic (q, m) order), concordant−discordant via
+    // sign, tie counts per side; the per-key quadratic is bounded by
+    // C(Cap·NModels, 2).
+    val x = items.select(col("r1"), col("r2"), col("q"), col("m"), col("i1"), col("i2"))
+    val y = x.select(col("r1"), col("r2"), col("q").as("q2"), col("m").as("m2"),
+      col("i1").as("j1"), col("i2").as("j2"))
+    val ta = x.join(y, Seq("r1", "r2"))
+      .filter(col("q") < col("q2") || (col("q") === col("q2") && col("m") < col("m2")))
+      .groupBy(col("r1"), col("r2")).agg(
+        count(lit(1)).as("n0"),
+        sum(signum((col("i1") - col("j1")) * (col("i2") - col("j2"))).cast("long")).as("cd"),
+        sum(when(col("i1") === col("j1"), 1L).otherwise(0L)).as("t1"),
+        sum(when(col("i2") === col("j2"), 1L).otherwise(0L)).as("t2"))
+      .withColumn("tau_s",
+        when(col("n0") === col("t1") || col("n0") === col("t2"),
+          lit(null).cast("bigint"))
+          .otherwise(floor(
+            (lit(100000L) * col("cd")).cast("double") /
+              sqrt(((col("n0") - col("t1")) * (col("n0") - col("t2"))).cast("double")))))
+      .select(col("r1"), col("r2"), col("tau_s"))
+
+    kap.join(ta, Seq("r1", "r2"), "left")
+  }
+
+  // q64: the pairwise agreement table.
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    pairAgreement(s, dir)
+      .select(col("r1"), col("r2"), col("n_items"),
+        (col("kappa_s").cast("double") / 100000.0).as("kappa"),
+        (col("tau_s").cast("double") / 100000.0).as("tau"))
+      .orderBy(col("r1"), col("r2"))
+
+  // q65: the overall averages the reference prints.
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    pairAgreement(s, dir)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        (sum(col("kappa_s")).cast("double") / count(lit(1)).cast("double") / 100000.0)
+          .as("avg_kappa"),
+        (sum(col("tau_s")).cast("double") / count(col("tau_s")).cast("double") / 100000.0)
+          .as("avg_tau"))
+
+  // ----------------------------------------------------------------
+  // Oracle SQL (DuckDB) — identical panel, identical arithmetic.
+
+  private val pairSql =
+    s"""raters AS (
+       |  SELECT user_id AS r FROM ev WHERE event_type = 'signup'
+       |  GROUP BY user_id ORDER BY user_id LIMIT $NRaters),
+       |insts AS (SELECT DISTINCT instance_id AS q FROM ev),
+       |seen AS (
+       |  SELECT r, q FROM (
+       |    SELECT r, q, ROW_NUMBER() OVER (PARTITION BY r
+       |      ORDER BY md5('seen_' || CAST(r AS VARCHAR) || '_' || CAST(q AS VARCHAR)), q) AS rn
+       |    FROM insts CROSS JOIN raters)
+       |  WHERE rn <= $Cap),
+       |models(m) AS (VALUES (1), (2), (3), (4), (5)),
+       |ratings AS (
+       |  SELECT r, q, m,
+       |    CAST(('0x' || substr(md5('sense_' || key), 1, 4)) AS BIGINT) % 2 AS sense,
+       |    CAST(('0x' || substr(md5('spec_' || key), 1, 4)) AS BIGINT) % 2 AS specific,
+       |    1 + CAST(('0x' || substr(md5('int_' || key), 1, 4)) AS BIGINT) % 7 AS interesting
+       |  FROM (SELECT r, q, m,
+       |          CAST(r AS VARCHAR) || '_' || CAST(q AS VARCHAR) || '_' || CAST(m AS VARCHAR) AS key
+       |        FROM seen CROSS JOIN models)),
+       |items AS (
+       |  SELECT a.r AS r1, b.r AS r2, a.q, a.m,
+       |    a.sense AS s1, a.specific AS p1, a.interesting AS i1,
+       |    b.sense AS s2, b.specific AS p2, b.interesting AS i2
+       |  FROM ratings a JOIN ratings b ON a.q = b.q AND a.m = b.m AND a.r < b.r),
+       |kap AS (
+       |  SELECT r1, r2, n_items, CASE WHEN agree = n_bin THEN 100000
+       |    ELSE CAST(floor(CAST(100000 * (n_bin * agree - pe_num) AS DOUBLE)
+       |                    / CAST(n_bin * n_bin - pe_num AS DOUBLE)) AS BIGINT) END AS kappa_s
+       |  FROM (
+       |    SELECT r1, r2, n_items, n_bin, agree, c1_1, c2_1,
+       |      (n_bin - c1_1) * (n_bin - c2_1) + c1_1 * c2_1 AS pe_num
+       |    FROM (
+       |      SELECT r1, r2, COUNT(*) AS n_items, COUNT(*) * 2 AS n_bin,
+       |        SUM(CASE WHEN s1 = s2 THEN 1 ELSE 0 END)
+       |          + SUM(CASE WHEN p1 = p2 THEN 1 ELSE 0 END) AS agree,
+       |        SUM(s1) + SUM(p1) AS c1_1, SUM(s2) + SUM(p2) AS c2_1
+       |      FROM items GROUP BY r1, r2))),
+       |ta AS (
+       |  SELECT r1, r2, CASE WHEN n0 = t1 OR n0 = t2 THEN NULL
+       |    ELSE CAST(floor(CAST(100000 * cd AS DOUBLE)
+       |                    / sqrt(CAST((n0 - t1) * (n0 - t2) AS DOUBLE))) AS BIGINT) END AS tau_s
+       |  FROM (
+       |    SELECT x.r1, x.r2, COUNT(*) AS n0,
+       |      SUM(CAST(sign((x.i1 - y.i1) * (x.i2 - y.i2)) AS BIGINT)) AS cd,
+       |      SUM(CASE WHEN x.i1 = y.i1 THEN 1 ELSE 0 END) AS t1,
+       |      SUM(CASE WHEN x.i2 = y.i2 THEN 1 ELSE 0 END) AS t2
+       |    FROM items x JOIN items y ON x.r1 = y.r1 AND x.r2 = y.r2
+       |      AND (x.q < y.q OR (x.q = y.q AND x.m < y.m))
+       |    GROUP BY x.r1, x.r2)),
+       |pairs AS (
+       |  SELECT kap.r1, kap.r2, kap.n_items, kap.kappa_s, ta.tau_s
+       |  FROM kap LEFT JOIN ta ON kap.r1 = ta.r1 AND kap.r2 = ta.r2)""".stripMargin
+
+  private val q64Sql =
+    s"""WITH $NormSql,
+       |$pairSql
+       |SELECT r1, r2, n_items,
+       |  CAST(kappa_s AS DOUBLE) / 100000.0 AS kappa,
+       |  CAST(tau_s AS DOUBLE) / 100000.0 AS tau
+       |FROM pairs ORDER BY r1, r2""".stripMargin
+
+  private val q65Sql =
+    s"""WITH $NormSql,
+       |$pairSql
+       |SELECT COUNT(*) AS n_pairs,
+       |  CAST(SUM(kappa_s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100000.0 AS avg_kappa,
+       |  CAST(SUM(tau_s) AS DOUBLE) / CAST(COUNT(tau_s) AS DOUBLE) / 100000.0 AS avg_tau
+       |FROM pairs""".stripMargin
+
+  override val all: Seq[QueryDef] = Seq(
+    QueryDef("q64_annotator_agreement", q64, Some(q64Sql)),
+    QueryDef("q65_agreement_summary", q65, Some(q65Sql)))
+}

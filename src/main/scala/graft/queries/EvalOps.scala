@@ -173,7 +173,9 @@ object EvalOps extends QueryModule {
   // oracle keeps the reference's four-CTE join shape as the spec.
   // With REAL prediction files the fold-of-equi-joins returns — four
   // slim tables the planner broadcasts while small, shuffles when
-  // corpus-scale.
+  // corpus-scale: that path is the callable [[mergePredictions]]
+  // operator below (MergePredictionsSpec drives it on variant tables
+  // that are NOT cmd_id-derivable).
   private def q63(s: SparkSession, dir: String): DataFrame = {
     val gold = concat(lit("!p"), col("cmd_id").cast("string"))
     val covered = PredVariants
@@ -193,6 +195,34 @@ object EvalOps extends QueryModule {
     }
     withVariants.orderBy(col("cmd_id"))
   }
+
+  /** The REAL-file prediction merge (reference:
+    * results/merge_results.py:62-112): each variant is an arbitrary
+    * prediction table — model-output files whose values are NOT
+    * derivable from the canonical side — and the merge is the fold of
+    * slim inner equi-joins on the key the q63 comment promises. Inner
+    * joins implement the reference's drop-if-any-missing ("missing
+    * some predictions, skipping"); the canonical row set and its gold
+    * column pass through untouched.
+    *
+    * Each variant `(name, df)` must expose `keyCol` and a prediction
+    * column named `name` (extra columns are dropped — the joins stay
+    * slim by construction); keys are assumed unique per variant table,
+    * like one prediction per test row in the reference's files.
+    *
+    * Scale: four key+string tables against a corpus-scale canonical —
+    * the planner broadcasts a variant while its stats are under the
+    * threshold and falls back to a shuffled hash/merge join when a
+    * variant is corpus-scale itself (MergePredictionsSpec gates both
+    * shapes; no hint pinned because NEITHER side is provably bounded
+    * here, unlike the roster broadcasts).
+    */
+  def mergePredictions(canonical: DataFrame,
+                       variants: Seq[(String, DataFrame)],
+                       keyCol: String = "cmd_id"): DataFrame =
+    variants.foldLeft(canonical) { case (acc, (name, v)) =>
+      acc.join(v.select(col(keyCol), col(name)), Seq(keyCol))
+    }
 
   private val q63Sql = {
     val variantCtes = PredVariants.map { case (name, salt, k) =>

@@ -20,7 +20,12 @@ class PlanSpec extends SparkTestBase {
     */
   private val quadraticBaselines =
     Set("q38_dedup_embedding", "q39_knn_brute", "q41_ivf_centroids",
-      "q58_regression_head")
+      "q58_regression_head",
+      // q64/q65: the ratings panel fans a bounded ≤10-row broadcast
+      // rater set across the scenario ids (the human-eval panel
+      // contract, AgreementOps scaladoc) — a bounded broadcast cross
+      // like q41's centroid assignment, not a data-scale cartesian.
+      "q64_annotator_agreement", "q65_agreement_summary")
 
   test("no nested-loop or cartesian join in any non-baseline query plan") {
     val offenders = SparkEntry.queries.toSeq
@@ -46,7 +51,11 @@ class PlanSpec extends SparkTestBase {
       // q61 is a single GLOBAL corpus aggregate exploded against an
       // 8-row literal model table: the SinglePartition exchange
       // carries one partially-aggregated row per upstream partition.
-      "q61_corpus_cost")
+      "q61_corpus_cost",
+      // q65 is the global average over the ≤C(10,2) pair rows; q64's
+      // panel pipeline aggregates the bounded rater set (its LIMIT
+      // and ≤45-row pair joins plan single-partition by design).
+      "q64_annotator_agreement", "q65_agreement_summary")
 
   test("no SinglePartition exchange in any multi-row query's executed plan") {
     // The scale-killer this guards: a global (no-partition) window or
