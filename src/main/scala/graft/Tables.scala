@@ -45,12 +45,24 @@ object Tables {
   // floors to 1e-7 resolution, so a float-generated double column
   // round-trips exactly.)
   def embeddings(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
     val df = load(s, d, "embeddings")
     df.schema("embedding").dataType match {
       case ArrayType(FloatType, _) => df
-      case _ => df.withColumn("embedding",
-        org.apache.spark.sql.functions.col("embedding").cast(ArrayType(FloatType)))
+      case at @ ArrayType(DoubleType, _) =>
+        // Loud, not silent: a genuinely double-precision drop loses
+        // bits here, and the oracle hash gate would flag it — surface
+        // the detected physical type so that failure is diagnosable.
+        org.slf4j.LoggerFactory.getLogger("graft.Tables").warn(
+          s"embeddings.embedding read as $at; casting to array<float>. " +
+          "Exact round-trip holds only for float-originated values — " +
+          "a true double-precision drop will lose precision.")
+        df.withColumn("embedding",
+          org.apache.spark.sql.functions.col("embedding").cast(ArrayType(FloatType)))
+      case other =>
+        throw new IllegalStateException(
+          s"embeddings.embedding has unsupported physical type $other " +
+          "(expected array<float> or array<double>)")
     }
   }
 }

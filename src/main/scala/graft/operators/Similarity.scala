@@ -176,13 +176,83 @@ object Similarity {
     val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i.toLong, c.toArray.toSeq.map(_.toFloat))
     }
-    ivfSearch(n, cents, queryPred, k, probes)
+    if (cells >= LargeCodebookCells) {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      ivfSearchJoin(n, cents.toSeq.toDF("cent_id", "cembedding"), queryPred, k, probes)
+    } else ivfSearch(n, cents, queryPred, k, probes)
+  }
+
+  /** Cell count at which the inlined-literal assignment ([[ivfSearch]])
+    * gives way to the broadcast-join shape: beyond ~10³ centroids the
+    * generated array_sort literal outgrows a single codegen method and
+    * the plan serialization itself gets heavy. */
+  val LargeCodebookCells = 1000
+
+  /** Exact rerank tail shared by both IVF assignment shapes:
+    * `q` = (cell, query_id, qe, qn) probe rows (small — broadcast),
+    * `members` = (cell, vec_id, embedding, nrm) home-cell corpus. */
+  private def probeRerank(members: DataFrame, q: DataFrame, k: Int): DataFrame =
+    broadcast(q).join(members, Seq("cell")).filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosineWithNorms(col("qe"), col("qn"), col("embedding"), col("nrm")))
+      // no dedup needed: every member has exactly one home cell, so a
+      // (query, member) pair can arise from at most one probed cell
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      .transform(rankTopK(_, k))
+
+  /** negsim of a corpus row (`embedding`/`nrm`) against a centroid
+    * (`cembedding`/`cnrm` columns) — the IDENTICAL arithmetic and
+    * zero-norm sentinels as [[ivfSearch]]'s literal path, so the two
+    * assignment shapes are value-equal (property-tested). */
+  private def negsimCol: Column =
+    when(col("cnrm") === 0.0, lit(Double.MaxValue))
+      .otherwise(when(col("nrm") === 0.0, lit(0.0))
+        .otherwise(-(dotQ(col("embedding"), col("cembedding")) / (col("nrm") * col("cnrm")))))
+
+  /** Broadcast-join IVF assignment for LARGE codebooks (≥
+    * [[LargeCodebookCells]] cells), where inlining every centroid as a
+    * plan literal would blow past codegen method limits. Centroids
+    * arrive as a DataFrame (cent_id, cembedding); the corpus side pays
+    * one broadcast-product scoring pass whose output is immediately
+    * projected to slim (vec_id, cent_id, negsim) rows, then ONE
+    * min-struct hash aggregation (map-side partial combine — the only
+    * corpus shuffle moves slim best-cell rows, never a sort window) and
+    * a keyed join back for member embeddings. Query probe ranking runs
+    * on the bounded query×cells side only. At true IVF scale a
+    * two-level coarse quantizer would cut the corpus×cells product
+    * itself; this shape is the single-level contract. */
+  private[graft] def ivfSearchJoin(n: DataFrame, cents: DataFrame,
+                                   queryPred: Column, k: Int, probes: Int): DataFrame = {
+    val c = broadcast(
+      cents.select(col("cent_id"), col("cembedding"),
+        normQ(col("cembedding")).as("cnrm")))
+    // corpus × cells product exists only map-side: the very next
+    // projection drops the 64-float embedding, so nothing wide moves.
+    val scored = n.join(c)
+      .select(col("vec_id"), negsimCol.as("negsim"), col("cent_id"))
+    val home = scored.groupBy(col("vec_id"))
+      .agg(min(struct(col("negsim"), col("cent_id"))).getField("cent_id").as("cell"))
+    val members = n.join(home, Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+    // query side is small by contract — score it separately so the
+    // corpus-wide product is NOT recomputed for probe ranking
+    val qn = n.filter(queryPred)
+    val qw = Window.partitionBy(col("vec_id")).orderBy(col("negsim"), col("cent_id"))
+    val q = qn.join(c)
+      .select(col("vec_id"), negsimCol.as("negsim"), col("cent_id"))
+      .withColumn("rk", row_number().over(qw))
+      .filter(col("rk") <= probes)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+      .join(qn.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("nrm").as("qn")), Seq("query_id"))
+      .select(col("cell"), col("query_id"), col("qe"), col("qn"))
+    probeRerank(members, q, k)
   }
 
   /** Shared IVF core: inline `cents` as plan literals, rank cells per
     * vector in one codegen'd projection, probe + exact-rerank. */
-  private def ivfSearch(n: DataFrame, cents: Array[(Long, Seq[Float])],
-                        queryPred: Column, k: Int, probes: Int): DataFrame = {
+  private[graft] def ivfSearch(n: DataFrame, cents: Array[(Long, Seq[Float])],
+                               queryPred: Column, k: Int, probes: Int): DataFrame = {
     require(cents.nonEmpty, "ivf: empty centroid set")
     // centroid norms driver-side with the IDENTICAL quantized
     // arithmetic (every term and the Dim-term sum stay < 2^53: the
@@ -216,12 +286,7 @@ object Similarity {
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), explode(slice(col("cells"), 1, probes)).as("pc"))
-      .select(col("query_id"), col("qe"), col("qn"), col("pc.cent_id").as("cell"))
-    broadcast(q).join(members, Seq("cell")).filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosineWithNorms(col("qe"), col("qn"), col("embedding"), col("nrm")))
-      // no dedup needed: every member has exactly one home cell, so a
-      // (query, member) pair can arise from at most one probed cell
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
-      .transform(rankTopK(_, k))
+      .select(col("pc.cent_id").as("cell"), col("query_id"), col("qe"), col("qn"))
+    probeRerank(members, q, k)
   }
 }

@@ -59,6 +59,54 @@ object EventLogSource {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(root)
 
+  /** Shard-aware, rate-limited streaming read — the Kinesis-consumer
+    * stand-in over a sharded landing tree (no network in this sandbox;
+    * the reference itself processes Firehose *dumps* of the stream,
+    * dataset/utils.py:16-50). Layout contract, mirroring what a
+    * Firehose delivery stream partitioned by shard writes:
+    *
+    * {{{ root/shardId=NNN/.../seq-<k>.jsonl.gz }}}
+    *
+    * Kinesis semantics reproduced here:
+    *  - `shard_id` / `shard_seq` columns (from the path) are the
+    *    (shardId, sequenceNumber) pair: `shard_seq` totally orders
+    *    each shard's records.
+    *  - Delivery is oldest-file-first (`latestFirst=false`), so the
+    *    per-shard sequence is nondecreasing ACROSS micro-batches —
+    *    with `maxFilesPerTrigger = 1` delivery order IS shard order;
+    *    at higher rates a micro-batch may interleave files, and a
+    *    consumer needing strict order sorts the batch by
+    *    (shard_id, shard_seq), exactly as a KCL worker processes its
+    *    per-shard record batches.
+    *  - The checkpointed shard iterator is the file-source commit log:
+    *    restarting a query on the same checkpoint resumes AFTER the
+    *    last processed file per shard, never re-emitting (asserted by
+    *    SourceSpec's replay test).
+    *  - `maxFilesPerTrigger` (+ optional `maxBytesPerTrigger`) is the
+    *    consumer's rate limit — the stand-in for Kinesis's
+    *    2 MB/s/shard read cap; it bounds every micro-batch so an
+    *    hours-deep backlog drains at a controlled pace instead of as
+    *    one giant batch.
+    */
+  def readShardedStream(spark: SparkSession, root: String,
+                        maxFilesPerTrigger: Int = 64,
+                        maxBytesPerTrigger: Option[String] = None): DataFrame = {
+    val reader = spark.readStream
+      .schema(schema.add(StructField("_corrupt_record", StringType)))
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.json*.gz")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .option("latestFirst", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    maxBytesPerTrigger.foreach(b => reader.option("maxBytesPerTrigger", b))
+    reader.json(root)
+      .withColumn("shard_id",
+        regexp_extract(input_file_name(), "shardId=(\\d+)", 1).cast("int"))
+      .withColumn("shard_seq",
+        regexp_extract(input_file_name(), "seq-(\\d+)", 1).cast("long"))
+  }
+
   /** Gzipped-JSONL sink — the reference's stage-output format (every
     * distill stage writes .jsonl.gz; reference: distill1_time_group.py
     * et al. write gzip JSON lines). One file per partition; callers

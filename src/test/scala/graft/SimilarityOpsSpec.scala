@@ -114,6 +114,25 @@ class SimilarityOpsSpec extends SparkTestBase {
       "full-probe learned IVF diverged from brute force")
   }
 
+  test("large-codebook join assignment == the inlined-literal core") {
+    // The cells >= LargeCodebookCells fallback (ivfSearchJoin) must be
+    // value-equal to ivfSearch on the SAME centroid set — including
+    // zero-norm sentinels on both the vector and the centroid side.
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = Similarity.withNorm(emb)
+    val cents: Array[(Long, Seq[Float])] =
+      emb.filter(col("vec_id") < 6).select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1) :+
+        (999L, Seq.fill(graft.functions.VectorFunctions.Dim)(0.0f))
+    val centsDf = cents.toSeq.toDF("cent_id", "cembedding")
+    val lit = Similarity.ivfSearch(n, cents, col("vec_id") < 10, k = 5, probes = 3)
+    val join = Similarity.ivfSearchJoin(n, centsDf, col("vec_id") < 10, k = 5, probes = 3)
+    assert(lit.exceptAll(join).isEmpty && join.exceptAll(lit).isEmpty,
+      "join-assignment IVF diverged from the literal core")
+  }
+
   test("learned-codebook IVF: partial probe keeps useful recall and is seed-deterministic") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sfDir)

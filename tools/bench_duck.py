@@ -14,6 +14,7 @@ deliberately quadratic correctness baselines (q35/q38), so drop them
 here too when computing a whole-suite ratio.
 """
 import json
+import re
 import sys
 import time
 
@@ -42,7 +43,11 @@ def main():
     for name in sorted(sql):
         q = sql[name]
         if ts_is_bigint:
-            q = q.replace("epoch_us(ts)", "(ts // 1000)")
+            # regex, not exact-string: tolerate alias qualification and
+            # whitespace (epoch_us( e.ts )), and fail loudly if any
+            # epoch_us( survives — a silent skip errors mid-suite later.
+            q = re.sub(r"epoch_us\(\s*(\w+\.)?ts\s*\)", r"(\1ts // 1000)", q)
+            assert "epoch_us(" not in q, f"unrewritten epoch_us in {name}"
         t0 = time.time()
         try:
             con.execute(q).fetchall()
