@@ -3,14 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Runs the headline query set once untimed (JVM JIT,
-  * parquet footer cache, catalog init) and then TWO timed passes,
-  * reporting each query's MINIMUM — the standard guard against
-  * transient interference: this host exhibits multi-x CPU-contention
-  * windows from outside the guest (round-5 bench measured 25x on
-  * queries that re-run at 1x minutes later), and min-of-passes keeps a
-  * spike in one pass from being read as a plan regression. Any query
-  * failure aborts with exit 1: a broken query must never contribute a
-  * fake timing.
+  * parquet footer cache, catalog init) and then PROBE-GATED timed
+  * passes until two are bracketed by healthy host probes (bounded
+  * attempts), reporting each query's MINIMUM across all recorded
+  * passes — the guard against transient interference: this host
+  * exhibits multi-x CPU-contention windows from outside the guest
+  * (round-5 bench measured 25x on queries that re-run at 1x minutes
+  * later), and gate+min keeps a spike from being read as a plan
+  * regression. Any query failure aborts with exit 1: a broken query
+  * must never contribute a fake timing.
   *
   * The JSON line also carries `probe_sec_*`: wall seconds for a fixed
   * single-threaded arithmetic loop run before warm-up and after the
@@ -57,7 +58,49 @@ object Bench {
 
     val probeBefore = probeSec()
     names.foreach(runOne(_, "warm-up"))
-    val passes = Seq.fill(2)(names.map(n => n -> runOne(n, "timed")))
+
+    // Probe-gated timed passes (the round-9 sf1 protocol, now built
+    // in): a pass only COUNTS when the fixed-work probe is healthy
+    // (≤ 0.8 s — ~0.6 s on an idle host) both immediately before and
+    // immediately after it; a hot before-probe skips the pass and
+    // backs off, a hot after-probe keeps the pass as dirty (min-combine
+    // still uses it if no clean pair materializes). Attempts are
+    // bounded so a permanently contended host still emits numbers —
+    // flagged by clean_passes < 2 — instead of hanging the driver.
+    val ProbeHealthySec = 0.8
+    val TargetCleanPasses = 2
+    val MaxAttempts = 6
+    val allPasses = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    val probePairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var cleanCount = 0
+    var skippedProbes = 0
+    var attempts = 0
+    while (cleanCount < TargetCleanPasses && attempts < MaxAttempts) {
+      attempts += 1
+      val pb = probeSec()
+      if (pb > ProbeHealthySec) {
+        skippedProbes += 1
+        System.err.println(
+          f"[bench] probe $pb%.2f s > $ProbeHealthySec — host contended, re-queueing pass")
+        Thread.sleep(10000)
+      } else {
+        val pass = names.map(n => n -> runOne(n, "timed"))
+        val pa = probeSec()
+        allPasses += pass
+        probePairs += ((pb, pa))
+        if (pa <= ProbeHealthySec) cleanCount += 1
+        else System.err.println(
+          f"[bench] after-probe $pa%.2f s — pass kept as dirty")
+      }
+    }
+    if (allPasses.isEmpty) {
+      // every attempt was probe-skipped: measure once ungated rather
+      // than emit nothing (clean_passes=0 flags the number as suspect)
+      val pass = names.map(n => n -> runOne(n, "timed"))
+      allPasses += pass
+      probePairs += ((-1.0, probeSec()))
+    }
+    val passes = allPasses.toSeq
     val probeAfter = probeSec()
 
     // per-query minimum across the timed passes
@@ -83,9 +126,13 @@ object Bench {
     // (BENCH_r07.json parsed: null). The headline stays compact and is
     // the LAST stdout line of the process.
     val passesJson = passes.map(obj).mkString("[", ",", "]")
+    val pairJson = probePairs
+      .map { case (b, a) => s"[${num(b)},${num(a)}]" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val detailLine =
-      s"""{"metric":"passes","timed_passes":2,"passes":$passesJson,""" +
+      s"""{"metric":"passes","timed_passes":${passes.size},""" +
+        s""""clean_passes":$cleanCount,"skipped_probes":$skippedProbes,""" +
+        s""""pass_probes":$pairJson,"passes":$passesJson,""" +
         s""""probe_sec_before":${num(probeBefore)},""" +
         s""""probe_sec_after":${num(probeAfter)}}"""
     val line =
