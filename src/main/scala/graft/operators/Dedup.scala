@@ -279,7 +279,25 @@ object Dedup {
     * per-document projection, and DedupSpec asserts pair uniqueness
     * on data with a planted near-dup clique.
     */
-  def simhashPairs(base: DataFrame, maxHamming: Int = 12): DataFrame = {
+  /** `maxBucketPop` (the sf10-soak lesson): on a SELF-SIMILAR corpus
+    * the block-pair keys lose their entropy — the 100x-replicated
+    * soak corpus put 25k documents in one (table, key) bucket, whose
+    * P²/2 candidate blow-up (9.9e9 candidates from 5e5 docs, ~8% of
+    * all-pairs) no key widening can fix because the colliding block
+    * BITS are genuinely equal. The guard drops buckets with more than
+    * `maxBucketPop` rows before the self-join — the same shape as the
+    * MinHash stop-shingle guard (per-key counts → tiny hot set,
+    * bounded at ≤ bandRows/cap keys, broadcast anti-join). Recall
+    * contract: a pair survives if ANY of its clean pair-tables keeps a
+    * cold bucket, so pair emission switches from first-clean-table
+    * ownership to a post-hamming distinct (the distinct shuffles true
+    * near-pairs only); pairs ALL of whose clean tables are hot are
+    * dropped — by construction those are members of a ≥cap-sized
+    * near-identical clique, which a production pipeline collapses via
+    * exact/minhash dedup FIRST rather than pair-listing (a k-clique
+    * lists k²/2 pairs — the output itself is the quadratic). */
+  def simhashPairs(base: DataFrame, maxHamming: Int = 12,
+                   maxBucketPop: Option[Long] = None): DataFrame = {
     val combos = SimPairCombos.zipWithIndex.map { case ((i, j), c) =>
       val (s1, w1) = (SimBlockShifts(i), SimBlockWidths(i))
       val (s2, w2) = (SimBlockShifts(j), SimBlockWidths(j))
@@ -300,9 +318,16 @@ object Dedup {
     // here; local[...] has no executor loss, so the cheap form is right
     // for this build's bench target.
     val pinned = Pin(base)
-    val bands = pinned
+    val allBands = pinned
       .select(col("doc_id"), col("simhash"), explode(array(combos: _*)).as("pc"))
       .select(col("doc_id"), col("simhash"), col("pc.b").as("b"), col("pc.bkey").as("bkey"))
+    val bands = maxBucketPop.fold(allBands) { cap =>
+      val hot = allBands.groupBy(col("b"), col("bkey"))
+        .agg(count(lit(1)).as("pop"))
+        .filter(col("pop") > cap)
+        .select(col("b"), col("bkey"))
+      allBands.join(broadcast(hot), Seq("b", "bkey"), "left_anti")
+    }
     // First-match ownership instead of a pair-dedup shuffle: a
     // candidate pair collides in EVERY table whose two blocks are
     // clean (identical on both sides) — up to all 28 for near-identical
@@ -314,7 +339,8 @@ object Dedup {
     // SQL chain gets inlined 12x into the join condition and falls out
     // of codegen). Every qualifying pair survives in exactly one
     // table: same set as the distinct, zero extra exchange.
-    bands.select(col("doc_id").as("a"), col("simhash").as("ha"), col("b"), col("bkey"))
+    val nearPairs = bands
+      .select(col("doc_id").as("a"), col("simhash").as("ha"), col("b"), col("bkey"))
       .join(bands.select(col("doc_id").as("b_id"), col("simhash").as("hb"),
         col("b"), col("bkey")), Seq("b", "bkey"))
       .filter(col("a") < col("b_id"))
@@ -323,8 +349,16 @@ object Dedup {
       // then runs only on true near-pairs
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= maxHamming)
-      .filter(col("b") === graft.plans.FirstCleanPair(
-        col("ha"), col("hb"), SimBlockShifts, SimBlockWidths))
-      .select(col("a"), col("b_id").as("b"), col("hamming"))
+    if (maxBucketPop.isEmpty)
+      nearPairs
+        .filter(col("b") === graft.plans.FirstCleanPair(
+          col("ha"), col("hb"), SimBlockShifts, SimBlockWidths))
+        .select(col("a"), col("b_id").as("b"), col("hamming"))
+    else
+      // with hot buckets dropped, a pair's FIRST clean table may be
+      // gone while a later one kept it — ownership would lose the
+      // pair, so the capped path dedups instead (shuffles only true
+      // near-pairs, which the cap has just bounded)
+      nearPairs.select(col("a"), col("b_id").as("b"), col("hamming")).distinct()
   }
 }

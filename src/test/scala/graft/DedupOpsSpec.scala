@@ -107,6 +107,35 @@ class DedupOpsSpec extends SparkTestBase {
     assert(got.toSet == expect, "ownership pair set differs from the distinct reference")
   }
 
+  test("simhash hot-bucket cap bounds candidates, keeps pairs with any cold clean table") {
+    import spark.implicits._
+    val h0 = 0x0ABCDEF123456789L & ((1L << 60) - 1)
+    // a 50-member IDENTICAL-hash clique: every bucket it touches holds
+    // 50 rows — the self-similar hot-bucket blow-up in miniature
+    val clique = (100L until 150L).map(_ -> h0)
+    // a planted near-pair OUTSIDE the clique (hamming 2, different
+    // base hash): all its buckets are cold, must survive the cap
+    val g0 = 0x0123456789ABCDEFL & ((1L << 60) - 1)
+    val planted = Seq(1L -> g0, 2L -> (g0 ^ (1L << 3) ^ (1L << 58)))
+    val base = (clique ++ planted).toDF("doc_id", "simhash")
+    val capped = Dedup.simhashPairs(base, maxBucketPop = Some(10L))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(capped.contains(1L -> 2L), "cold-bucket pair lost to the cap")
+    assert(!capped.exists { case (a, b) => a >= 100L && b >= 100L },
+      "clique pairs must be dropped: every clean table's bucket is hot")
+    // uncapped emits the full quadratic clique (the contract the cap
+    // exists to bound): C(50,2) + the planted pair
+    val full = Dedup.simhashPairs(base).count()
+    assert(full == 50L * 49 / 2 + 1)
+    // cap high enough to keep the clique buckets -> identical pair SET
+    // as ownership (the capped path dedups instead of owning)
+    val loose = Dedup.simhashPairs(base, maxBucketPop = Some(100L))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val owned = Dedup.simhashPairs(base)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(loose == owned, "loose cap must reproduce the ownership pair set")
+  }
+
   test("embedding top-pairs are ordered by similarity and well-formed") {
     val p = q("q38_dedup_embedding").collect()
     assert(p.length > 0 && p.length <= 100)
