@@ -42,20 +42,25 @@ object EventFunctions {
     * identity under the UTC session timezone). Both paths are exact
     * int64 µs with identical ns→µs truncation semantics.
     */
-  def norm(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    val tsUs: Column = events.schema("ts").dataType match {
-      case LongType         => expr("ts DIV 1000")
-      case TimestampNTZType => unix_micros(col("ts").cast("timestamp"))
-      case _                => unix_micros(col("ts"))
-    }
+  def norm(events: DataFrame): DataFrame =
     events.select(
       col("event_id"),
-      tsUs.as("ts_us"),
+      tsUs(events).as("ts_us"),
       col("user_id"),
       col("event_type"),
       col("value"),
       graft.plans.FirstInt(col("props")).as("instance_id"))
+
+  /** The schema-robust exact-µs timestamp column of [[norm]], exposed
+    * for projections that need extra source columns (q66 keeps props
+    * as the content stand-in). */
+  def tsUs(events: DataFrame): Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    events.schema("ts").dataType match {
+      case LongType         => expr("ts DIV 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast("timestamp"))
+      case _                => unix_micros(col("ts"))
+    }
   }
 
   /** Shared oracle-SQL CTE matching [[norm]] exactly (DuckDB side). */
