@@ -76,12 +76,12 @@ object HumanEvalOps extends QueryModule {
     val kept = ev.join(broadcast(insts), Seq("instance_id"), "left_semi")
       .filter(isMsg || isCmd)
 
-    val w = Window.partitionBy(col("instance_id"))
-      .orderBy(col("ts_us").asc, col("event_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // whole-partition max needs no sort order: a partition-only frame
+    // keeps this window off the (ts, id) sort entirely — the ONLY full
+    // sort in the query is the descending top-15 window below
+    val wPart = Window.partitionBy(col("instance_id"))
     val key = struct(col("ts_us"), col("event_id"))
-    // last command of the instance (whole-partition max over cmd rows)
-    val marked = kept.withColumn("last_cmd", max(when(isCmd, key)).over(w))
+    val marked = kept.withColumn("last_cmd", max(when(isCmd, key)).over(wPart))
     val msgs = marked.filter(isMsg && col("last_cmd").isNotNull)
 
     // "Player N" by first appearance over ALL the instance's messages
@@ -100,9 +100,7 @@ object HumanEvalOps extends QueryModule {
       .filter(key < col("last_cmd"))
       .withColumn("_rn", row_number().over(wDesc))
       .filter(col("_rn") <= HistLen)
-      .withColumn("seq",
-        (count(lit(1)).over(Window.partitionBy(col("instance_id"))) -
-          col("_rn") + 1).cast("int"))
+      .withColumn("seq", (count(lit(1)).over(wPart) - col("_rn") + 1).cast("int"))
 
     window15
       .join(firsts, Seq("instance_id", "user_id"), "left")
