@@ -76,34 +76,38 @@ object HumanEvalOps extends QueryModule {
     val kept = ev.join(broadcast(insts), Seq("instance_id"), "left_semi")
       .filter(isMsg || isCmd)
 
-    // whole-partition max needs no sort order: a partition-only frame
-    // keeps this window off the (ts, id) sort entirely — the ONLY full
-    // sort in the query is the descending top-15 window below
+    // ONE window pipeline over one hash exchange on instance_id (every
+    // window partition key below starts with instance_id, so the
+    // single exchange satisfies them all; only the per-window SORTS
+    // differ, and the whole-partition frames need no time order):
+    //  1. last_cmd — partition-only max over cmd rows;
+    //  2. first_key — partition-only min per (instance, user): each
+    //     author's first appearance over ALL the instance's messages;
+    //  3. player_n — dense_rank of first_key within the instance, the
+    //     bot user (id 0) ordered LAST so it never shifts the 0-based
+    //     player numbering (its own rank is unused — it renders as
+    //     "Avrae");
+    //  4. the descending top-15 window (the only (ts, id) sort that
+    //     moves the full message stream — WindowGroupLimit prunes it).
+    // The previous shape computed the scan + cap + window stack TWICE
+    // (a separate `firsts` aggregate joined back): 2x the corpus scan
+    // at scale for a column derivable inside the same pipeline.
     val wPart = Window.partitionBy(col("instance_id"))
+    val wUser = Window.partitionBy(col("instance_id"), col("user_id"))
     val key = struct(col("ts_us"), col("event_id"))
     val marked = kept.withColumn("last_cmd", max(when(isCmd, key)).over(wPart))
     val msgs = marked.filter(isMsg && col("last_cmd").isNotNull)
-
-    // "Player N" by first appearance over ALL the instance's messages
-    // (0-based; the bot id — user 0 — keeps its name and no number)
-    val firsts = msgs.filter(col("user_id") =!= 0)
-      .groupBy(col("instance_id"), col("user_id"))
-      .agg(min(key).as("first_key"))
+      .withColumn("first_key", min(key).over(wUser))
       .withColumn("player_n",
-        dense_rank().over(Window.partitionBy(col("instance_id"))
-          .orderBy(col("first_key"))) - 1)
-      .select(col("instance_id"), col("user_id"), col("player_n"))
+        dense_rank().over(wPart.orderBy(
+          (col("user_id") === 0).cast("int"), col("first_key"))) - 1)
 
-    val wDesc = Window.partitionBy(col("instance_id"))
-      .orderBy(col("ts_us").desc, col("event_id").desc)
-    val window15 = msgs
+    val wDesc = wPart.orderBy(col("ts_us").desc, col("event_id").desc)
+    msgs
       .filter(key < col("last_cmd"))
       .withColumn("_rn", row_number().over(wDesc))
       .filter(col("_rn") <= HistLen)
       .withColumn("seq", (count(lit(1)).over(wPart) - col("_rn") + 1).cast("int"))
-
-    window15
-      .join(firsts, Seq("instance_id", "user_id"), "left")
       .select(
         col("instance_id").as("scenario_id"),
         col("seq"),

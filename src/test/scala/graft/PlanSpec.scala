@@ -248,6 +248,16 @@ class PlanSpec extends SparkTestBase {
     assert(!q37.queryExecution.explainString(mode).contains("documents.parquet"),
       "q37 plan scans documents directly")
 
+    // q66 (round-10 fusion): the player numbering is derived INSIDE
+    // the single window pipeline — exactly two events scans total (the
+    // main msg∪cmd projection + the props-only instance-cap
+    // aggregate); the pre-fusion join-back shape doubled both.
+    val q66scans = SparkEntry.queries("q66_human_eval_prep")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("FileScan parquet"))
+    assert(q66scans <= 2,
+      s"q66 regrew a duplicated scan branch ($q66scans FileScans, expected 2)")
+
     // q59/q62's roster join must stay a BROADCAST hash join above the
     // hash boundary: the slim-shuffle discipline (only ids + short
     // strings cross the two exchanges; the per-instance actors_block
