@@ -161,6 +161,48 @@ object AgreementOps extends QueryModule {
         (sum(col("tau_s")).cast("double") / count(col("tau_s")).cast("double") / 100000.0)
           .as("avg_tau"))
 
+  // q69: pooled Krippendorff alpha over the binary ratings — the
+  // NLTK AnnotationTask.alpha() call of results_analysis.py:157-166:
+  // coders = raters, items = (scenario, model, metric) exactly like
+  // the reference's f"{metric}{question_idx}_{model}" item keys,
+  // labels = the 0/1 ratings. NLTK's nominal alpha reduces to
+  //   alpha = 1 − (N−1)·Σ_i[ones_i·zeros_i/(n_i−1)] / (N1·N0)
+  // over items with n_i ≥ 2 ratings (items rated once are ignored,
+  // matching its `labels_count < 2: continue`). Exactness: n_i ≤
+  // NRaters = 10, so every per-item denominator (n_i−1) ∈ 1..9
+  // divides LCM(1..9) = 2520 — the sum is computed as exact int64 at
+  // 2520 scale and alpha is ONE floored scaled division of two exact
+  // int64s, bit-identical in DuckDB. Zero-variance panels (all labels
+  // equal → De = 0, where NLTK raises) yield NULL.
+  private val AlphaLcm = 2520L
+
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val rt = ratings(s, dir)
+    val vals = rt.select(col("q"), col("m"), lit("sense").as("metric"),
+        col("sense").as("label"))
+      .unionAll(rt.select(col("q"), col("m"), lit("spec").as("metric"),
+        col("specific").as("label")))
+    val items = vals.groupBy(col("q"), col("m"), col("metric"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("ones"))
+      .filter(col("n") >= 2)
+    items.agg(
+      count(lit(1)).as("n_items"),
+      sum(col("n")).as("n_ratings"),
+      sum(col("ones")).as("n1"),
+      sum(col("ones") * (col("n") - col("ones")) *
+        (lit(AlphaLcm) / (col("n") - 1)).cast("long")).as("do_s"))
+      .select(
+        col("n_items"),
+        col("n_ratings"),
+        (when(col("n1") === 0 || col("n1") === col("n_ratings"),
+          lit(null).cast("bigint"))
+          .otherwise(floor(
+            (lit(100000L) * (lit(AlphaLcm) * col("n1") * (col("n_ratings") - col("n1"))
+              - col("do_s") * (col("n_ratings") - 1))).cast("double") /
+              (lit(AlphaLcm) * col("n1") * (col("n_ratings") - col("n1"))).cast("double")))
+          .cast("double") / 100000.0).as("alpha"))
+  }
+
   // ----------------------------------------------------------------
   // Oracle SQL (DuckDB) — identical panel, identical arithmetic.
 
@@ -234,7 +276,30 @@ object AgreementOps extends QueryModule {
        |  CAST(SUM(tau_s) AS DOUBLE) / CAST(COUNT(tau_s) AS DOUBLE) / 100000.0 AS avg_tau
        |FROM pairs""".stripMargin
 
+  private val q69Sql =
+    s"""WITH $NormSql,
+       |$pairSql,
+       |vals AS (
+       |  SELECT q, m, 'sense' AS metric, sense AS label FROM ratings
+       |  UNION ALL
+       |  SELECT q, m, 'spec' AS metric, specific AS label FROM ratings),
+       |it AS (
+       |  SELECT q, m, metric, COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS ones
+       |  FROM vals GROUP BY q, m, metric HAVING COUNT(*) >= 2),
+       |ag AS (
+       |  SELECT COUNT(*) AS n_items, CAST(SUM(n) AS BIGINT) AS n_ratings,
+       |    CAST(SUM(ones) AS BIGINT) AS n1,
+       |    CAST(SUM(ones * (n - ones) * ($AlphaLcm // (n - 1))) AS BIGINT) AS do_s
+       |  FROM it)
+       |SELECT n_items, n_ratings,
+       |  CAST(CASE WHEN n1 = 0 OR n1 = n_ratings THEN NULL
+       |    ELSE CAST(floor(CAST(100000 * ($AlphaLcm * n1 * (n_ratings - n1) - do_s * (n_ratings - 1)) AS DOUBLE)
+       |              / CAST($AlphaLcm * n1 * (n_ratings - n1) AS DOUBLE)) AS BIGINT)
+       |  END AS DOUBLE) / 100000.0 AS alpha
+       |FROM ag""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q64_annotator_agreement", q64, Some(q64Sql)),
-    QueryDef("q65_agreement_summary", q65, Some(q65Sql)))
+    QueryDef("q65_agreement_summary", q65, Some(q65Sql)),
+    QueryDef("q69_krippendorff_alpha", q69, Some(q69Sql)))
 }
