@@ -64,19 +64,79 @@ object Similarity {
     * on low-cosine neighbors; L tables of r planes give recall
     * 1-(1-p^r)^L — the standard amplification.
     *
-    * All 32 plane projections are one native-expression pass per row
+    * All plane projections are one native-expression pass per row
     * ([[graft.plans.LshBucketKeys]]: constant-size codegen loop over
     * the inlined integer plane matrix) followed by a posexplode of the
-    * 8 bucket keys — a pure map stage, NO shuffle. The previous shape
+    * L bucket keys — a pure map stage, NO shuffle. The previous shape
     * (explode(components) ⋈ broadcast(plane matrix) → two hash
     * aggregations) paid Dim·planes intermediate rows per vector and
     * two shuffles just to build the index; it survives as
     * [[lshEntriesJoin]], the property-test reference.
+    *
+    * SCALE DIAL (the sf10-soak lesson, BENCH_SF10.md): `planes` sets
+    * the per-table key space to 2^planes, and bucket population is
+    * ~N/2^planes — with the oracle default r=4 the key space is 16,
+    * so candidates grow LINEARLY with the corpus (measured: 32% of a
+    * 200k-vector corpus per query). Size r ≈ log2(N / targetBucket):
+    * a 10⁹-vector corpus at ~10³-vector buckets wants r ≈ 20 (with
+    * more tables to recover recall, since per-table collision
+    * probability is p^r). The default stays 8×4 because the oracle
+    * SQL mirrors that layout bit-for-bit on the small planted corpus.
     */
-  def lshEntries(corpus: DataFrame): DataFrame =
+  def lshEntries(corpus: DataFrame, tables: Int = NumTables,
+                 planes: Int = PlanesPerTable): DataFrame =
+    lshEntriesWith(corpus, tables, planes, Nil)
+
+  /** CENTERED index (the second sf10-soak lesson): sign planes through
+    * the ORIGIN lose key entropy when the corpus is biased off-center
+    * (measured: component-biased synthetic vectors put 8.2k of 200k
+    * vectors in one r=8 bucket — 10x the uniform expectation, because
+    * most projections share the mean's sign). Centering the planes on
+    * the corpus centroid restores per-plane ~50/50 splits. In
+    * quantized-integer space that is FREE at query time: bit_j =
+    * (dot(x, plane_j) > dot(μ_q, plane_j)) — the mean folds into one
+    * per-plane int64 THRESHOLD baked into the native expression, no
+    * per-row subtraction, no float drift (μ_q is the floor-div exact
+    * integer mean, so thresholds are exact int64 and the index stays
+    * bit-deterministic). Costs one extra aggregate pass over the
+    * corpus to compute μ_q — at 100 TB, fold it into whatever stats
+    * pass already scans the embeddings. Rerank is exact either way;
+    * centering only changes WHICH candidates surface. */
+  def lshEntriesCentered(corpus: DataFrame, tables: Int = NumTables,
+                         planes: Int = PlanesPerTable): DataFrame = {
+    val mean = quantizedMean(corpus)
+    val pm = planeMatrixOf(tables, planes)
+    val thresholds = pm.map(row => row.iterator.zip(mean.iterator).map {
+      case (c, m) => c * m
+    }.sum)
+    lshEntriesWith(corpus, tables, planes, thresholds)
+  }
+
+  /** Exact integer per-dimension corpus mean: floorDiv of the int64
+    * sums of quantized components — deterministic (no float
+    * summation), one aggregate pass, 64 longs to the driver. */
+  def quantizedMean(corpus: DataFrame): Seq[Long] = {
+    val sums = (0 until Dim).map(i =>
+      sum(floor(element_at(col("embedding"), i + 1).cast("double") * QScale)
+        .cast("long")).as(s"s$i"))
+    val row = corpus.agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+      .collect()(0)
+    val n = row.getLong(Dim)
+    require(n > 0, "quantizedMean: empty corpus")
+    (0 until Dim).map(i => Math.floorDiv(row.getLong(i), n))
+  }
+
+  private def planeMatrixOf(tables: Int, planes: Int): Seq[Seq[Long]] =
+    if (tables == NumTables && planes == PlanesPerTable) planeMatrix
+    else (0 until tables * planes).map(j => (0 until Dim).map(i => planeQ(j, i)))
+
+  private def lshEntriesWith(corpus: DataFrame, tables: Int, planes: Int,
+                             thresholds: Seq[Long]): DataFrame = {
+    val pm = planeMatrixOf(tables, planes)
     corpus.select(col("vec_id"),
-      posexplode(graft.plans.LshBucketKeys(col("embedding"), planeMatrix, PlanesPerTable)))
+      posexplode(graft.plans.LshBucketKeys(col("embedding"), pm, planes, thresholds)))
       .select(col("vec_id"), col("pos").cast("int").as("tbl"), col("col").as("bkey"))
+  }
 
   /** Built-ins-only reference implementation of [[lshEntries]] (the
     * original distributed matrix-product shape) — kept for the
@@ -109,9 +169,13 @@ object Similarity {
     * exact rerank over the unioned candidates only. The index side is
     * slim ids — embeddings join back only for the bounded candidate
     * set. */
-  def annLsh(corpus: DataFrame, queryPred: Column, k: Int): DataFrame = {
+  def annLsh(corpus: DataFrame, queryPred: Column, k: Int,
+             tables: Int = NumTables, planes: Int = PlanesPerTable,
+             centered: Boolean = false): DataFrame = {
     val n = withNorm(corpus)
-    val entries = lshEntries(corpus)
+    val entries =
+      if (centered) lshEntriesCentered(corpus, tables, planes)
+      else lshEntries(corpus, tables, planes)
     val qEnt = entries.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("tbl"), col("bkey"))
     val candIds = broadcast(qEnt).join(entries, Seq("tbl", "bkey"))

@@ -34,18 +34,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 case class LshBucketKeys(
     child: Expression,
     planes: Seq[Seq[Long]],
-    planesPerTable: Int)
+    planesPerTable: Int,
+    thresholds: Seq[Long] = Nil)
   extends UnaryExpression {
 
   require(planes.nonEmpty && planes.forall(_.size == planes.head.size),
     "plane matrix must be rectangular")
   require(planes.size % planesPerTable == 0,
     s"${planes.size} planes do not fill tables of $planesPerTable")
+  require(thresholds.isEmpty || thresholds.size == planes.size,
+    "one threshold per plane (or none for the through-origin default)")
 
   private val dim = planes.head.size
   private val numTables = planes.size / planesPerTable
   // flat row-major copy for both eval paths
   private lazy val flat: Array[Long] = planes.flatten.toArray
+  // per-plane sign thresholds: 0 = planes through the origin; a
+  // CENTERED index passes dot(mean, plane) here, shifting every plane
+  // to pass through the corpus centroid (bucket-entropy recovery on
+  // biased data — Similarity.lshEntries scaladoc)
+  private lazy val thr: Array[Long] =
+    if (thresholds.isEmpty) new Array[Long](planes.size) else thresholds.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -69,7 +78,7 @@ case class LshBucketKeys(
         dot += math.floor(v.getFloat(i).toDouble * 1.0e7).toLong * flat(j * dim + i)
         i += 1
       }
-      if (dot > 0) bkeys(j / planesPerTable) |= 1L << (j % planesPerTable)
+      if (dot > thr(j)) bkeys(j / planesPerTable) |= 1L << (j % planesPerTable)
       j += 1
     }
     new GenericArrayData(bkeys)
@@ -78,6 +87,7 @@ case class LshBucketKeys(
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       val planesRef = ctx.addReferenceObj("lshPlanes", flat, "long[]")
+      val thrRef = ctx.addReferenceObj("lshThresholds", thr, "long[]")
       val bkeys = ctx.freshName("bkeys")
       val dot = ctx.freshName("dot")
       val i = ctx.freshName("i")
@@ -94,7 +104,7 @@ case class LshBucketKeys(
          |      if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
          |      $dot += (long) java.lang.Math.floor(((double) $v.getFloat($i)) * 1.0E7D) * $planesRef[$j * $dim + $i];
          |    }
-         |    if ($dot > 0) $bkeys[$j / $planesPerTable] |= 1L << ($j % $planesPerTable);
+         |    if ($dot > $thrRef[$j]) $bkeys[$j / $planesPerTable] |= 1L << ($j % $planesPerTable);
          |  }
          |  if (!${ev.isNull}) {
          |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bkeys);
@@ -108,8 +118,14 @@ case class LshBucketKeys(
 }
 
 object LshBucketKeys {
-  /** DataFrame-API entry point. */
+  /** DataFrame-API entry point (through-origin planes). */
   def apply(embedding: Column, planes: Seq[Seq[Long]], planesPerTable: Int): Column =
     SparkSqlBridge.column(LshBucketKeys(
       SparkSqlBridge.expression(embedding), planes, planesPerTable))
+
+  /** Centered variant: per-plane integer thresholds (= dot(mean, plane)). */
+  def apply(embedding: Column, planes: Seq[Seq[Long]], planesPerTable: Int,
+            thresholds: Seq[Long]): Column =
+    SparkSqlBridge.column(LshBucketKeys(
+      SparkSqlBridge.expression(embedding), planes, planesPerTable, thresholds))
 }

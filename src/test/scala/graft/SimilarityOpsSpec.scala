@@ -114,6 +114,47 @@ class SimilarityOpsSpec extends SparkTestBase {
       "full-probe learned IVF diverged from brute force")
   }
 
+  test("centered LSH splits a mean-offset corpus that through-origin planes cannot") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val Dim = graft.functions.VectorFunctions.Dim
+    val rnd = new scala.util.Random(11)
+    // every component ~ N(+5, 0.3): all projections of all vectors
+    // share the mean's sign pattern, so through-origin sign planes put
+    // the WHOLE corpus in one bucket per table — zero key entropy
+    val corpus = (1L to 200L).map(i =>
+      (i, Seq.fill(Dim)(5.0f + rnd.nextGaussian().toFloat * 0.3f)))
+      .toDF("vec_id", "embedding")
+    def maxPop(e: org.apache.spark.sql.DataFrame): Long =
+      e.groupBy(col("tbl"), col("bkey")).count()
+        .agg(max(col("count"))).collect()(0).getLong(0)
+    val origin = maxPop(Similarity.lshEntries(corpus, tables = 4, planes = 6))
+    val centered = maxPop(Similarity.lshEntriesCentered(corpus, tables = 4, planes = 6))
+    // near-total collapse (a plane whose coefficients nearly cancel
+    // can still split off a few vectors via the noise term)
+    assert(origin >= 190L, s"biased corpus should collapse origin-plane buckets: $origin")
+    assert(centered < 100L,
+      s"centered planes must restore bucket entropy (max pop $centered)")
+    // centering only changes WHICH candidates surface; the exact
+    // rerank keeps ANN results well-formed and deterministic
+    val a = Similarity.annLsh(corpus, col("vec_id") <= 5, k = 3,
+      tables = 4, planes = 6, centered = true).collect().map(_.toString).sorted.toSeq
+    val b = Similarity.annLsh(corpus, col("vec_id") <= 5, k = 3,
+      tables = 4, planes = 6, centered = true).collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("empty thresholds == explicit zero thresholds (native expression)") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val pm = (0 until 8).map(j => (0 until graft.functions.VectorFunctions.Dim)
+      .map(i => 2L * ((j.toLong * 73856093L + i.toLong * 19349663L) % 1000003L) - 1000003L))
+    val d = emb.select(col("vec_id"),
+      graft.plans.LshBucketKeys(col("embedding"), pm, 4).as("a"),
+      graft.plans.LshBucketKeys(col("embedding"), pm, 4, Seq.fill(8)(0L)).as("b"))
+    assert(d.filter(not(col("a") === col("b"))).isEmpty)
+  }
+
   test("large-codebook join assignment == the inlined-literal core") {
     // The cells >= LargeCodebookCells fallback (ivfSearchJoin) must be
     // value-equal to ivfSearch on the SAME centroid set — including
