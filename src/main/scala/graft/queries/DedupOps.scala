@@ -258,15 +258,46 @@ object DedupOps extends QueryModule {
       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
       |SELECT a, b, sim FROM p ORDER BY sim DESC, a, b LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q70: pair list → duplicate CLUSTERS (connected components by
+  // min-label propagation over the q36 MinHash pairs) — the survivor-
+  // selection step after any near-dup pair generation: keep
+  // cluster_id == doc_id, drop the rest. The DuckDB oracle computes
+  // the same fixpoint as a recursive min-reachability closure (exact
+  // on the planted corpus's small components; the Spark loop is the
+  // shape that scales — see ConnectedComponents scaladoc).
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ConnectedComponents.clusters(minhashPairs(s, dir))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+
+  private val q70Sql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a, b FROM (
+       |$q36Sql
+       |  )),
+       |edges AS (
+       |  SELECT a AS x, b AS y FROM pairs
+       |  UNION ALL
+       |  SELECT b AS x, a AS y FROM pairs),
+       |r(node, m) AS (
+       |  SELECT DISTINCT x, x FROM edges
+       |  UNION
+       |  SELECT e.x, r.m FROM edges e JOIN r ON r.node = e.y)
+       |SELECT node AS doc_id, min(m) AS cluster_id
+       |FROM r GROUP BY node ORDER BY doc_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q34_dedup_exact", q34, Some(q34Sql)),
     QueryDef("q35_dedup_jaccard", q35, Some(q35Sql)),
     QueryDef("q36_dedup_minhash", q36, Some(q36Sql)),
     QueryDef("q37_dedup_simhash", q37, Some(q37Sql)),
-    QueryDef("q38_dedup_embedding", q38, Some(q38Sql)))
+    QueryDef("q38_dedup_embedding", q38, Some(q38Sql)),
+    QueryDef("q70_dedup_clusters", q70, Some(q70Sql)))
 
   /** q35/q38 are the quadratic correctness baselines — the headline
     * bench runs the bucketed scale paths instead. */
   override def headline: Seq[String] =
-    Seq("q34_dedup_exact", "q36_dedup_minhash", "q37_dedup_simhash")
+    Seq("q34_dedup_exact", "q36_dedup_minhash", "q37_dedup_simhash",
+      "q70_dedup_clusters")
 }

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ConnectedComponents
+
+/** Min-label propagation semantics on planted graphs (q70's oracle
+  * covers the event-data path; these pin the operator contract). */
+class ConnectedComponentsSpec extends SparkTestBase {
+
+  test("labels converge to the min id per component, incl. a long path") {
+    import spark.implicits._
+    // component A: path 10-20-30-40-50 (diameter 4 — needs >1 round),
+    // component B: triangle 100-101-102, component C: lone edge 7-8
+    val pairs = Seq(
+      (10L, 20L), (20L, 30L), (30L, 40L), (40L, 50L),
+      (100L, 101L), (101L, 102L), (100L, 102L),
+      (7L, 8L)).toDF("a", "b")
+    val got = ConnectedComponents.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(
+      10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L, 50L -> 10L,
+      100L -> 100L, 101L -> 100L, 102L -> 100L,
+      7L -> 7L, 8L -> 7L)
+    assert(got == want)
+  }
+
+  test("unconverged high-diameter graph fails loudly at maxIter") {
+    import spark.implicits._
+    val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
+    val boom = intercept[IllegalArgumentException] {
+      ConnectedComponents.clusters(chain, maxIter = 2).count()
+    }
+    assert(boom.getMessage.contains("did not converge"))
+    // and with room it converges to the single min label
+    val ok = ConnectedComponents.clusters(chain, maxIter = 20)
+    assert(ok.filter(col("cluster_id") =!= 1L).isEmpty)
+  }
+}
