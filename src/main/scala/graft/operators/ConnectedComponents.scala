@@ -57,4 +57,17 @@ object ConnectedComponents {
         "(pathological high-diameter component — raise maxIter)")
     labels.select(col("node"), col("lbl").as("cluster_id"))
   }
+
+  /** End-to-end dedup tail: drop every document that belongs to a
+    * near-dup cluster but is not its min-id representative. Docs in no
+    * pair pass through untouched (the anti-join side holds only
+    * clustered non-survivors — far smaller than the corpus, and the
+    * join is keyed on `idCol`). */
+  def survivors(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+                a: String = "a", b: String = "b"): DataFrame = {
+    val losers = clusters(pairs, a, b)
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
 }

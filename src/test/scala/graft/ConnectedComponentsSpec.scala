@@ -25,6 +25,16 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("survivors keeps min-id representatives and untouched docs") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 5L), (5L, 9L), (3L, 4L)).toDF("a", "b")
+    val kept = ConnectedComponents.survivors(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // clusters {2,5,9}->2 and {3,4}->3: drop 5, 9, 4
+    assert(kept == Seq(1L, 2L, 3L, 6L, 7L, 8L, 10L))
+  }
+
   test("unconverged high-diameter graph fails loudly at maxIter") {
     import spark.implicits._
     val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
