@@ -25,7 +25,9 @@ class PlanSpec extends SparkTestBase {
       // rater set across the scenario ids (the human-eval panel
       // contract, AgreementOps scaladoc) — a bounded broadcast cross
       // like q41's centroid assignment, not a data-scale cartesian.
-      "q64_annotator_agreement", "q65_agreement_summary")
+      "q64_annotator_agreement", "q65_agreement_summary",
+      // q69 shares q64/q65's bounded rater-broadcast panel
+      "q69_krippendorff_alpha")
 
   test("no nested-loop or cartesian join in any non-baseline query plan") {
     val offenders = SparkEntry.queries.toSeq
@@ -55,7 +57,9 @@ class PlanSpec extends SparkTestBase {
       // q65 is the global average over the ≤C(10,2) pair rows; q64's
       // panel pipeline aggregates the bounded rater set (its LIMIT
       // and ≤45-row pair joins plan single-partition by design).
-      "q64_annotator_agreement", "q65_agreement_summary")
+      "q64_annotator_agreement", "q65_agreement_summary",
+      // q69 is the single global alpha row over the same bounded panel
+      "q69_krippendorff_alpha")
 
   test("no SinglePartition exchange in any multi-row query's executed plan") {
     // The scale-killer this guards: a global (no-partition) window or
