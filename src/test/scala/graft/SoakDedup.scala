@@ -60,6 +60,14 @@ object SoakDedup {
       s"cand_pairs ${stats.getDouble(2).toLong}")
     val pairs36 = timed("q36.pairs")(Dedup.minhashPairsOwned(sig).count())
     println(s"SOAK q36 final_pairs $pairs36")
+    // q70 tail at scale: pair list -> clusters (min-label propagation)
+    val clusters = timed("q36.clusters")(
+      graft.operators.ConnectedComponents.clusters(Dedup.minhashPairsOwned(sig))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("clusters"), max(col("sz")).as("max_sz"),
+          sum(col("sz")).as("nodes")).collect()(0))
+    println(s"SOAK q70 clusters ${clusters.getLong(0)} " +
+      s"max_size ${clusters.getLong(1)} clustered_nodes ${clusters.getLong(2)}")
 
     // ---- q37 SimHash stages ---------------------------------------
     val base = docs
