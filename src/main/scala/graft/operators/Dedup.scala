@@ -150,6 +150,21 @@ object Dedup {
     }
   }
 
+  /** Benchmark decontamination core (q71): per training doc, the
+    * count of distinct word n-gram hashes it shares with the
+    * benchmark docs (`benchPred` side). The benchmark hash set is
+    * tiny by definition → broadcast; the corpus side is the same
+    * one-pass [[graft.plans.ShingleHashes]] map stage as MinHash. */
+  def contaminated(docs: DataFrame, benchPred: Column, n: Int = 5): DataFrame = {
+    val hashes = docs.select(col("doc_id"), benchPred.as("is_bench"),
+      explode(graft.plans.ShingleHashes(trim(col("text")), n, P)).as("h"))
+    val benchH = hashes.filter(col("is_bench")).select(col("h")).distinct()
+    hashes.filter(!col("is_bench"))
+      .join(broadcast(benchH), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared"))
+  }
+
   /** Explode signatures into (band, bkey) LSH buckets. */
   def lshBuckets(signed: DataFrame): DataFrame =
     signed

@@ -287,17 +287,47 @@ object DedupOps extends QueryModule {
        |SELECT node AS doc_id, min(m) AS cluster_id
        |FROM r GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q71: benchmark DECONTAMINATION — flag training docs that share
+  // any word 5-gram with the held-out benchmark set (the standard
+  // train/eval overlap check run before every pretraining job; 5-gram
+  // hash membership is the GPT-3/PaLM-style n-gram collision test).
+  // Stand-in benchmark = the first 20 doc_ids. Shapes for scale: the
+  // benchmark side is tiny by definition — its distinct 5-gram hash
+  // set BROADCASTS — and the corpus side is the same one-pass native
+  // ShingleHashes stream as q36 (map-only) feeding one per-doc
+  // aggregation; nothing shuffles but the flagged sliver.
+  private val BenchDocs = 20L
+  private val ContamN = 5
+
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    Dedup.contaminated(docs(s, dir), col("doc_id") < BenchDocs, ContamN)
+      .orderBy(col("doc_id"))
+
+  private val q71Sql =
+    s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+       |s AS (SELECT doc_id, list_transform(range(1, len(ws) - ${ContamN - 2}),
+       |        i -> CAST(('0x' || substr(md5(${(0 until ContamN).map(j => s"ws[i+$j]").mkString(" || ' ' || ")}), 1, 12)) AS BIGINT) % ${Dedup.P}) AS sh
+       |      FROM d WHERE len(ws) >= $ContamN),
+       |e AS (SELECT doc_id, unnest(sh) AS h FROM s),
+       |bench AS (SELECT DISTINCT h FROM e WHERE doc_id < $BenchDocs)
+       |SELECT doc_id, count(DISTINCT h) AS n_shared
+       |FROM e JOIN bench USING (h)
+       |WHERE doc_id >= $BenchDocs
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q34_dedup_exact", q34, Some(q34Sql)),
     QueryDef("q35_dedup_jaccard", q35, Some(q35Sql)),
     QueryDef("q36_dedup_minhash", q36, Some(q36Sql)),
     QueryDef("q37_dedup_simhash", q37, Some(q37Sql)),
     QueryDef("q38_dedup_embedding", q38, Some(q38Sql)),
-    QueryDef("q70_dedup_clusters", q70, Some(q70Sql)))
+    QueryDef("q70_dedup_clusters", q70, Some(q70Sql)),
+    QueryDef("q71_decontaminate", q71, Some(q71Sql)))
 
   /** q35/q38 are the quadratic correctness baselines — the headline
     * bench runs the bucketed scale paths instead. */
   override def headline: Seq[String] =
     Seq("q34_dedup_exact", "q36_dedup_minhash", "q37_dedup_simhash",
-      "q70_dedup_clusters")
+      "q70_dedup_clusters", "q71_decontaminate")
 }

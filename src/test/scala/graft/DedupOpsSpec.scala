@@ -107,6 +107,24 @@ class DedupOpsSpec extends SparkTestBase {
     assert(got.toSet == expect, "ownership pair set differs from the distinct reference")
   }
 
+  test("decontamination flags exactly the docs sharing a benchmark n-gram") {
+    import spark.implicits._
+    val benchPhrase = "the quick brown fox jumps over it"
+    val docs = Seq(
+      (1L, benchPhrase),                                // benchmark
+      (2L, "totally unrelated benchmark question here"), // benchmark
+      (10L, s"padding words then $benchPhrase and more"), // contaminated
+      (11L, "clean document with no overlap at all whatsoever"),
+      (12L, "the quick brown dog jumps over it")        // 4-gram overlap only
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminated(docs, col("doc_id") < 10, n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(10L), s"flag set wrong: $got")
+    // "the quick brown fox jumps over it" = 7 words -> 3 distinct
+    // 5-grams, all present verbatim in doc 10
+    assert(got(10L) == 3L)
+  }
+
   test("simhash hot-bucket cap bounds candidates, keeps pairs with any cold clean table") {
     import spark.implicits._
     val h0 = 0x0ABCDEF123456789L & ((1L << 60) - 1)
