@@ -192,6 +192,46 @@ object Similarity {
       .transform(rankTopK(_, k))
   }
 
+  /** Bucketed embedding near-dup PAIR LISTING — the scale path for
+    * q38's all-pairs baseline, and the vector analog of the MinHash
+    * band join (q36): candidates exist only inside (table, bucket-key)
+    * collisions of the sign-plane index, the exact quantized cosine
+    * filters them, and first-match-TABLE ownership emits each
+    * qualifying pair exactly once with no pair-distinct shuffle
+    * (the [[graft.operators.Dedup.minhashPairsOwned]] discipline —
+    * a pair colliding in several tables is kept only by the first
+    * table whose keys match on both sides).
+    *
+    * Recall is the L-table amplification 1−(1−p^r)^L with
+    * p = 1 − θ/π: near-dup pairs (cos ≥ 0.9 → p ≈ 0.86) are caught
+    * with ≥ 99% probability at the default 8×4; size (tables, planes)
+    * per the [[lshEntries]] key-width rule as the corpus grows. Rows
+    * carry their embedding through the band join (Dim floats ≈ 256 B
+    * — the slim-row + double join-back alternative pays two more
+    * keyed exchanges for less than it saves, same trade as the
+    * 16-byte simhash). PRECONDITION: vec_id-unique corpus rows. */
+  def nearDupPairs(corpus: DataFrame, minSim: Double,
+                   tables: Int = NumTables, planes: Int = PlanesPerTable): DataFrame = {
+    val pm = planeMatrixOf(tables, planes)
+    val keyed = withNorm(corpus)
+      .withColumn("bks", graft.plans.LshBucketKeys(col("embedding"), pm, planes))
+      .withColumn("tbl", explode(sequence(lit(0), lit(tables - 1))))
+      .withColumn("bkey", element_at(col("bks"), col("tbl") + 1))
+    val a = keyed.select(col("vec_id").as("a"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("bks").as("bksa"), col("tbl"), col("bkey"))
+    val b = keyed.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("bks").as("bksb"), col("tbl"), col("bkey"))
+    a.join(b, Seq("tbl", "bkey"))
+      .filter(col("a") < col("b_id"))
+      .filter(element_at(
+        filter(sequence(lit(0), lit(tables - 1)),
+          t => element_at(col("bksa"), t + 1) === element_at(col("bksb"), t + 1)),
+        1) === col("tbl"))
+      .withColumn("sim", cosineWithNorms(col("ea"), col("na"), col("eb"), col("nb")))
+      .filter(col("sim") >= minSim)
+      .select(col("a"), col("b_id").as("b"), col("sim"))
+  }
+
   /** IVF-style ANN. The centroid set is small and bounded by
     * construction (IVF probes a handful of cells), so it is collected
     * ONCE and inlined as plan literals: every vector then ranks the

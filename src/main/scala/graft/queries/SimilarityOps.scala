@@ -72,6 +72,44 @@ object SimilarityOps extends QueryModule {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
        |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  // q72: bucketed near-dup PAIR LISTING over the LSH index — q38's
+  // scale path (the vector analog of q36's band join). The output is
+  // "pairs the index catches at sim >= MinDupSim": the bucket keys
+  // are exact int64 arithmetic, so the caught-pair SET is
+  // deterministic and byte-reproducible in DuckDB (ownership emission
+  // == the oracle's DISTINCT — PropertySpec-style equality holds by
+  // the minhashPairsOwned argument; the spec pins subset-of-brute and
+  // planted-dup capture).
+  private val MinDupSim = 0.45
+
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(s, dir), MinDupSim)
+      .orderBy(col("a"), col("b"))
+
+  private val q72Sql =
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, qv,
+       |    sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+       |  FROM q),
+       |proj AS (SELECT v.vec_id, t.j,
+       |    list_sum(list_transform(range(1, 65), i ->
+       |      v.qv[i] * (2*((CAST(t.j AS BIGINT)*73856093 + CAST(i-1 AS BIGINT)*19349663) % 1000003) - 1000003))) AS dot
+       |  FROM q v, range(0, ${Similarity.NumTables * Similarity.PlanesPerTable}) t(j)),
+       |ent AS (SELECT vec_id, j // ${Similarity.PlanesPerTable} AS tbl,
+       |    sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << CAST(j % ${Similarity.PlanesPerTable} AS INT) ELSE 0 END) AS bkey
+       |  FROM proj GROUP BY vec_id, j // ${Similarity.PlanesPerTable}),
+       |cand AS (SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+       |  FROM ent a JOIN ent b ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+       |SELECT c.a, c.b,
+       |  CAST(list_sum(list_transform(range(1,65), i -> na.qv[i] * nb.qv[i])) AS DOUBLE)
+       |    / (na.nrm * nb.nrm) AS sim
+       |FROM cand c JOIN n na ON na.vec_id = c.a JOIN n nb ON nb.vec_id = c.b
+       |WHERE CAST(list_sum(list_transform(range(1,65), i -> na.qv[i] * nb.qv[i])) AS DOUBLE)
+       |    / (na.nrm * nb.nrm) >= $MinDupSim
+       |ORDER BY c.a, c.b""".stripMargin
+
   // q41: IVF-style seeded centroids, home-cell assignment, 2-probe.
   // Same determinism argument as q40: every similarity is a double
   // computed from exact int64 quantized sums, so cell assignment and
@@ -108,5 +146,6 @@ object SimilarityOps extends QueryModule {
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q39_knn_brute", q39, Some(q39Sql)),
     QueryDef("q40_ann_lsh", q40, Some(q40Sql)),
-    QueryDef("q41_ivf_centroids", q41, Some(q41Sql)))
+    QueryDef("q41_ivf_centroids", q41, Some(q41Sql)),
+    QueryDef("q72_embedding_neardup", q72, Some(q72Sql)))
 }

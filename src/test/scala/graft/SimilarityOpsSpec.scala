@@ -114,6 +114,33 @@ class SimilarityOpsSpec extends SparkTestBase {
       "full-probe learned IVF diverged from brute force")
   }
 
+  test("nearDupPairs: subset of brute >=threshold, planted dup caught, no duplicates") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val Dim = graft.functions.VectorFunctions.Dim
+    val rnd = new scala.util.Random(23)
+    def v(): Seq[Float] = Seq.fill(Dim)(rnd.nextGaussian().toFloat)
+    val base = v()
+    // planted near-dup pair (tiny perturbation -> cos ~ 0.999)
+    val dup = base.map(x => x + rnd.nextGaussian().toFloat * 0.01f)
+    val corpus = ((1L to 60L).map(i => (i, v())) :+ (100L, base) :+ (101L, dup))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.nearDupPairs(corpus, minSim = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSeq
+    assert(got.contains(100L -> 101L), s"planted near-dup missed: $got")
+    assert(got.size == got.distinct.size, "a pair was emitted from more than one table")
+    // every emitted pair really is >= threshold (exact brute check)
+    val n = Similarity.withNorm(corpus)
+    val brute = n.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+      .join(n.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb")),
+        col("a") < col("b"))
+      .withColumn("sim", graft.functions.VectorFunctions.cosineWithNorms(
+        col("ea"), col("na"), col("eb"), col("nb")))
+      .filter(col("sim") >= 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.toSet.subsetOf(brute), "emitted a pair below the similarity bar")
+  }
+
   test("centered LSH splits a mean-offset corpus that through-origin planes cannot") {
     import spark.implicits._
     import graft.operators.Similarity
