@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Quality
+
+/** Corpus-cleaning operators over `documents` — the Gopher-style
+  * repetition rules, PII redaction, and boilerplate heavy-hitter scan
+  * a pretraining pipeline runs alongside the dedup suite (§2.D). The
+  * reference's corpus hygiene is its distill filters (short/bot drop,
+  * distill3a scrub); these are the general-corpus analogs, carried as
+  * first-class operators like q71's decontamination.
+  */
+object CleanOps extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  // ---------------------------------------------------------------
+  // q73: Gopher repetition rules (Rae et al. 2021 Table A1): per-doc
+  // top-2-gram character coverage, duplicate-5-gram character
+  // coverage, mean word length, and the exact-integer keep decision.
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    Quality.gopherRepetition(docs(s, dir)).orderBy(col("doc_id"))
+
+  private val q73Sql =
+    """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws,
+      |             length(replace(text, ' ', '')) AS tot FROM documents),
+      |base AS (SELECT doc_id, tot, len(ws) AS nw FROM d),
+      |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |         i -> ws[i] || ' ' || ws[i+1])) AS g
+      |       FROM d WHERE len(ws) >= 2),
+      |c2 AS (SELECT doc_id, max(cnt * (length(g) - 1)) AS top2_cov
+      |       FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+      |       GROUP BY 1),
+      |g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+      |       FROM d WHERE len(ws) >= 5),
+      |c5 AS (SELECT doc_id, sum(cnt * (length(g) - 4)) AS dup5_cov
+      |       FROM (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2)
+      |       WHERE cnt > 1 GROUP BY 1)
+      |SELECT b.doc_id, b.nw AS n_words,
+      |  CAST(coalesce(top2_cov, 0) AS DOUBLE) / nullif(b.tot, 0) AS top2_frac,
+      |  CAST(coalesce(dup5_cov, 0) AS DOUBLE) / nullif(b.tot, 0) AS dup5_frac,
+      |  CAST(b.tot AS DOUBLE) / b.nw AS mean_word_len,
+      |  CAST(coalesce(top2_cov, 0) * 5 <= b.tot
+      |       AND coalesce(dup5_cov, 0) * 20 <= 3 * b.tot AS INT) AS keep
+      |FROM base b LEFT JOIN c2 USING (doc_id) LEFT JOIN c5 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q74: PII redaction. The synthetic corpus carries no PII, so —
+  // like q57's sampled labels and q59's actor sheets — a
+  // deterministic salted-md5 stand-in injects emails / phone numbers
+  // / IPv4 addresses into a known subset of docs IDENTICALLY on both
+  // engines; the operator under test is the detect+redact map stage.
+  private def piiAugmentedSpark(s: SparkSession, dir: String): DataFrame = {
+    def hx(from: Int, len: Int): String =
+      s"CAST(conv(substr(h, $from, $len), 16, 10) AS BIGINT)"
+    docs(s, dir)
+      .withColumn("h", md5(concat(lit("pii"), col("doc_id").cast("string"))))
+      .withColumn("aug", expr(
+        s"""concat(text, CASE ${hx(1, 4)} % 5
+           |  WHEN 0 THEN concat(' contact user', CAST(${hx(5, 4)} % 10000 AS STRING), '@example.com')
+           |  WHEN 1 THEN concat(' call 555-', lpad(CAST(${hx(9, 4)} % 10000 AS STRING), 4, '0'),
+           |                     '-', lpad(CAST(${hx(13, 4)} % 10000 AS STRING), 4, '0'))
+           |  WHEN 2 THEN concat(' node ', CAST(${hx(17, 2)} % 256 AS STRING), '.', CAST(${hx(19, 2)} % 256 AS STRING),
+           |                     '.', CAST(${hx(21, 2)} % 256 AS STRING), '.', CAST(${hx(23, 2)} % 256 AS STRING))
+           |  WHEN 3 THEN concat(' contact user', CAST(${hx(5, 4)} % 10000 AS STRING), '@example.com at ',
+           |                     CAST(${hx(17, 2)} % 256 AS STRING), '.', CAST(${hx(19, 2)} % 256 AS STRING),
+           |                     '.', CAST(${hx(21, 2)} % 256 AS STRING), '.', CAST(${hx(23, 2)} % 256 AS STRING))
+           |  ELSE '' END)""".stripMargin))
+  }
+
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    Quality.redactPii(piiAugmentedSpark(s, dir), col("aug"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        col("red_text"))
+      .orderBy(col("doc_id"))
+
+  private val q74Sql = {
+    def hx(from: Int, len: Int): String =
+      s"CAST(('0x' || substr(h, $from, $len)) AS BIGINT)"
+    s"""WITH d AS (SELECT doc_id, text,
+       |    md5('pii' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+       |a AS (SELECT doc_id, text || CASE ${hx(1, 4)} % 5
+       |    WHEN 0 THEN ' contact user' || CAST(${hx(5, 4)} % 10000 AS VARCHAR) || '@example.com'
+       |    WHEN 1 THEN ' call 555-' || lpad(CAST(${hx(9, 4)} % 10000 AS VARCHAR), 4, '0')
+       |                || '-' || lpad(CAST(${hx(13, 4)} % 10000 AS VARCHAR), 4, '0')
+       |    WHEN 2 THEN ' node ' || CAST(${hx(17, 2)} % 256 AS VARCHAR) || '.' || CAST(${hx(19, 2)} % 256 AS VARCHAR)
+       |                || '.' || CAST(${hx(21, 2)} % 256 AS VARCHAR) || '.' || CAST(${hx(23, 2)} % 256 AS VARCHAR)
+       |    WHEN 3 THEN ' contact user' || CAST(${hx(5, 4)} % 10000 AS VARCHAR) || '@example.com at '
+       |                || CAST(${hx(17, 2)} % 256 AS VARCHAR) || '.' || CAST(${hx(19, 2)} % 256 AS VARCHAR)
+       |                || '.' || CAST(${hx(21, 2)} % 256 AS VARCHAR) || '.' || CAST(${hx(23, 2)} % 256 AS VARCHAR)
+       |    ELSE '' END AS aug FROM d)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(aug, '${Quality.EmailRe}')) AS n_email,
+       |  len(regexp_extract_all(aug, '${Quality.PhoneRe}')) AS n_phone,
+       |  len(regexp_extract_all(aug, '${Quality.IpRe}')) AS n_ip,
+       |  regexp_replace(regexp_replace(regexp_replace(aug,
+       |    '${Quality.EmailRe}', '<EMAIL>', 'g'),
+       |    '${Quality.IpRe}', '<IP>', 'g'),
+       |    '${Quality.PhoneRe}', '<PHONE>', 'g') AS red_text
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q75: corpus boilerplate heavy-hitters — top-20 word 3-grams by
+  // occurrence count with distinct-doc spread (the scan you run
+  // before writing a template-removal rule).
+  private val TopK = 20
+
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    Quality.topNgrams(docs(s, dir), 3, TopK)
+
+  private val q75Sql =
+    s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+       |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+       |      FROM d WHERE len(ws) >= 3)
+       |SELECT gram, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+       |FROM g GROUP BY gram ORDER BY cnt DESC, gram LIMIT $TopK""".stripMargin
+
+  override val all: Seq[QueryDef] = Seq(
+    QueryDef("q73_gopher_repetition", q73, Some(q73Sql)),
+    QueryDef("q74_pii_redact", q74, Some(q74Sql)),
+    QueryDef("q75_boilerplate_ngrams", q75, Some(q75Sql)))
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quality
+import graft.queries.CleanOps
+
+class CleanOpsSpec extends SparkTestBase {
+
+  private def q(name: String) =
+    CleanOps.all.find(_.name == name).get.run(spark, sfDir)
+
+  private def docsOf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("gopher repetition: hand-computed coverage on a pathological doc") {
+    // "spam spam spam spam spam spam": tot=24 non-space chars, 6 words.
+    // 2-grams: 5x "spam spam" (8 chars) -> top2_cov = 5*8 = 40.
+    // 5-grams: 2 occurrences of the same gram (20 chars) -> dup5_cov = 40.
+    // Both fractions deliberately exceed 1 (overlap double-counting is
+    // the documented semantics); keep = 0.
+    val r = Quality.gopherRepetition(docsOf(1L -> "spam spam spam spam spam spam"))
+      .collect().head
+    assert(r.getAs[Int]("n_words") == 6)
+    assert(math.abs(r.getAs[Double]("top2_frac") - 40.0 / 24) < 1e-12)
+    assert(math.abs(r.getAs[Double]("dup5_frac") - 40.0 / 24) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_word_len") - 4.0) < 1e-12)
+    assert(r.getAs[Int]("keep") == 0)
+  }
+
+  test("gopher repetition: clean doc has zero dup5 and integer-exact keep") {
+    // All 2-grams and 5-grams unique; top 2-gram by char coverage is
+    // "honorificabilitudinitatibus b" (27+1 non-space chars):
+    // top2_cov = 1*28 over tot = 37.
+    val text = "honorificabilitudinitatibus b c d e f g h i j k"
+    val r = Quality.gopherRepetition(docsOf(1L -> text)).collect().head
+    assert(r.getAs[Double]("dup5_frac") == 0.0)
+    assert(math.abs(r.getAs[Double]("top2_frac") - 28.0 / 37) < 1e-12)
+    // 28*5 > 37 -> fails the 0.20 top-2-gram rule
+    assert(r.getAs[Int]("keep") == 0)
+  }
+
+  test("gopher repetition: docs shorter than the gram sizes still emit rows") {
+    val r = Quality.gopherRepetition(docsOf(1L -> "one", 2L -> "two words here four"))
+      .orderBy("doc_id").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Double]("top2_frac") == 0.0)
+    assert(r(0).getAs[Double]("dup5_frac") == 0.0)
+    assert(r(1).getAs[Double]("top2_frac") > 0.0) // has 2-grams
+    assert(r(1).getAs[Double]("dup5_frac") == 0.0) // but no 5-grams
+  }
+
+  test("pii redaction: counts and placeholders on crafted rows; redacted text is match-free") {
+    val d = docsOf(
+      1L -> "mail me at bob.smith+x@foo-bar.example.org today",
+      2L -> "call 555-1234-5678 or 555-0000-9999 now",
+      3L -> "host 10.0.0.1 and 192.168.254.3",
+      4L -> "nothing sensitive here",
+      5L -> "mixed a@b.co at 1.2.3.4 call 123-4567-8901")
+    val r = Quality.redactPii(d, col("text")).orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Int]("n_email")).toSeq == Seq(1, 0, 0, 0, 1))
+    assert(r.map(_.getAs[Int]("n_phone")).toSeq == Seq(0, 2, 0, 0, 1))
+    assert(r.map(_.getAs[Int]("n_ip")).toSeq == Seq(0, 0, 2, 0, 1))
+    assert(r(0).getAs[String]("red_text") == "mail me at <EMAIL> today")
+    assert(r(1).getAs[String]("red_text") == "call <PHONE> or <PHONE> now")
+    assert(r(2).getAs[String]("red_text") == "host <IP> and <IP>")
+    assert(r(4).getAs[String]("red_text") == "mixed <EMAIL> at <IP> call <PHONE>")
+    // idempotence: nothing PII-shaped survives redaction
+    val again = Quality.redactPii(
+      Quality.redactPii(d, col("text")).select(col("doc_id"), col("red_text")),
+      col("red_text"))
+    assert(again.filter(col("n_email") + col("n_phone") + col("n_ip") > 0).isEmpty)
+  }
+
+  test("q74 augmentation plants every pii kind and redaction strips each") {
+    val out = q("q74_pii_redact")
+    // buckets 0/3 plant emails, 1 phones, 2/3 ips — md5 spreads ~uniform,
+    // so each kind appears in a 500-doc corpus
+    assert(out.filter(col("n_email") > 0).count() > 0)
+    assert(out.filter(col("n_phone") > 0).count() > 0)
+    assert(out.filter(col("n_ip") > 0).count() > 0)
+    // and the redacted text carries the placeholder whenever counted
+    assert(out.filter(col("n_email") > 0 && !col("red_text").contains("<EMAIL>")).isEmpty)
+    assert(out.filter(col("n_phone") > 0 && !col("red_text").contains("<PHONE>")).isEmpty)
+    assert(out.filter(col("n_ip") > 0 && !col("red_text").contains("<IP>")).isEmpty)
+  }
+
+  test("top ngrams: deterministic heavy-hitter order on a crafted corpus") {
+    val d = docsOf(
+      1L -> "to be or not to be",
+      2L -> "to be or to be or",
+      3L -> "be or not")
+    val r = Quality.topNgrams(d, 3, 3).collect()
+    // counts: "to be or" 3 (d1:1, d2:2), "be or not" 2 (d1, d3),
+    // "be or to" 1, "or not to" 1, "not to be" 1, "or to be" 1
+    assert(r(0).getAs[String]("gram") == "to be or" && r(0).getAs[Long]("cnt") == 3)
+    assert(r(0).getAs[Long]("n_docs") == 2)
+    assert(r(1).getAs[String]("gram") == "be or not" && r(1).getAs[Long]("cnt") == 2)
+    // rank-3 is a cnt=1 tie broken by gram ascending
+    assert(r(2).getAs[String]("gram") == "be or to")
+  }
+
+  test("q73/q75 cover every doc / exactly top-k on the real table") {
+    assert(q("q73_gopher_repetition").count() ==
+      Tables.documents(spark, sfDir).count())
+    assert(q("q75_boilerplate_ngrams").count() == 20)
+  }
+}
