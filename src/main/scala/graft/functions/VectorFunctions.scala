@@ -32,6 +32,17 @@ object VectorFunctions {
   private def qComp(v: Column, i: Int): Column =
     floor(element_at(v, i + 1).cast("double") * QScale).cast("long")
 
+  /** The whole quantized vector as `array<long>` — the exact-integer
+    * identity of an embedding. Two embeddings with equal quantized
+    * vectors are indistinguishable to every oracle-checked similarity
+    * here (dot products and norms are functions of the quantized
+    * components only), which makes this array THE exact-dup family
+    * key for dedup-before-indexing ([[graft.operators.Similarity
+    * .nearDupPairs]]). Plain `transform` — groupable/joinable in both
+    * Spark and DuckDB with identical semantics. */
+  def quantizeQ(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * QScale).cast("long"))
+
   /** Exact integer dot product of two quantized vectors, as DOUBLE.
     * Backed by the native [[graft.plans.QuantizedDotProduct]] Catalyst
     * expression (constant-size codegen loop, any Dim).

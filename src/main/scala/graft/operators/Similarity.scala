@@ -54,6 +54,15 @@ object Similarity {
   val NumTables = 8
   val PlanesPerTable = 4
 
+  /** Default key width for the [[nearDupPairs]] REP-level index:
+    * wider than the ANN default because pair listing pays for every
+    * bucket collision on BOTH sides (candidates ~ Σ popᵢ²/2 per
+    * table), where a query-side index only pays per query. 2^8 = 256
+    * keys/table suits the 10³-10⁴-rep corpora here; size up with the
+    * [[lshEntries]] rule (planes ≈ log2(reps / targetBucket)) as the
+    * distinct-content count grows. */
+  val DupPlanes = 8
+
   /** The integer hyperplane matrix, row-major: planes(j)(i) = coef of
     * dim i in plane j. */
   private lazy val planeMatrix: Seq[Seq[Long]] =
@@ -194,42 +203,93 @@ object Similarity {
 
   /** Bucketed embedding near-dup PAIR LISTING — the scale path for
     * q38's all-pairs baseline, and the vector analog of the MinHash
-    * band join (q36): candidates exist only inside (table, bucket-key)
-    * collisions of the sign-plane index, the exact quantized cosine
-    * filters them, and first-match-TABLE ownership emits each
-    * qualifying pair exactly once with no pair-distinct shuffle
-    * (the [[graft.operators.Dedup.minhashPairsOwned]] discipline —
-    * a pair colliding in several tables is kept only by the first
-    * table whose keys match on both sides).
+    * band join (q36) — with DEDUP-BEFORE-INDEXING, the sf10-soak
+    * remedy (BENCH_SF10.md) made structural:
     *
-    * Recall is the L-table amplification 1−(1−p^r)^L with
-    * p = 1 − θ/π: near-dup pairs (cos ≥ 0.9 → p ≈ 0.86) are caught
-    * with ≥ 99% probability at the default 8×4; size (tables, planes)
-    * per the [[lshEntries]] key-width rule as the corpus grows. Rows
-    * carry their embedding through the band join (Dim floats ≈ 256 B
-    * — the slim-row + double join-back alternative pays two more
-    * keyed exchanges for less than it saves, same trade as the
-    * 16-byte simhash). PRECONDITION: vec_id-unique corpus rows. */
+    *  1. Exact-dup FAMILIES first: group on the quantized int64
+    *     vector ([[graft.functions.VectorFunctions.quantizeQ]] — the
+    *     exact identity every similarity here is a function of), one
+    *     window pass assigning each row its family representative
+    *     (min vec_id). Replicated corpora collapse by the duplication
+    *     factor BEFORE any index exists.
+    *  2. The sign-plane LSH pair index runs over REPRESENTATIVES
+    *     only. Identical vectors collide in every table of every
+    *     layout — no key width can split them (the soak's measured
+    *     negative) — so indexing them once per family is the only
+    *     shape whose candidate count tracks DISTINCT content, not raw
+    *     rows. Candidates exist only inside (table, bucket-key)
+    *     collisions; the exact quantized cosine filters them;
+    *     first-match-TABLE ownership emits each rep pair exactly once
+    *     with no pair-distinct shuffle (the
+    *     [[graft.operators.Dedup.minhashPairsOwned]] discipline).
+    *  3. EXPAND families back: every member×member pair across a
+    *     caught rep pair (keyed equi-joins on the rep), plus every
+    *     within-family pair (sim = self-cosine = 1 by construction) —
+    *     so exact duplicates are listed with recall 1, not left to
+    *     hash luck.
+    *
+    * Cross-family recall is the L-table amplification 1−(1−p^r)^L
+    * with p = 1 − θ/π at REP level (cos ≥ 0.9 → p ≈ 0.86, caught
+    * ≥ 98% at the default 8×8); size (tables, planes) per the
+    * [[lshEntries]] key-width rule in the REP count. The measured
+    * motivation: at sf1 (20k rows = 10 exact copies of 2k vectors)
+    * the rep-level index is 2k rows — the old whole-corpus 8×4 join
+    * generated 122M candidate pairs and 122 s of rerank for the same
+    * output. The within-family expansion is quadratic in family size
+    * because the OUTPUT is (the pair listing is the quadratic
+    * object); for survivor-style dedup at 100 TB, consume `fam`
+    * (rep != vec_id → drop) and skip pair listing entirely.
+    * PRECONDITION: vec_id-unique corpus rows. */
   def nearDupPairs(corpus: DataFrame, minSim: Double,
-                   tables: Int = NumTables, planes: Int = PlanesPerTable): DataFrame = {
+                   tables: Int = NumTables, planes: Int = DupPlanes): DataFrame = {
+    val fam = corpus
+      .withColumn("qv", quantizeQ(col("embedding")))
+      .withColumn("rep", min(col("vec_id")).over(Window.partitionBy(col("qv"))))
+    val members = fam.select(col("vec_id"), col("rep"))
+    val reps = fam.filter(col("vec_id") === col("rep"))
+      .select(col("vec_id"), col("embedding"))
+
     val pm = planeMatrixOf(tables, planes)
-    val keyed = withNorm(corpus)
+    val keyed = withNorm(reps)
       .withColumn("bks", graft.plans.LshBucketKeys(col("embedding"), pm, planes))
       .withColumn("tbl", explode(sequence(lit(0), lit(tables - 1))))
       .withColumn("bkey", element_at(col("bks"), col("tbl") + 1))
-    val a = keyed.select(col("vec_id").as("a"), col("embedding").as("ea"),
+    val a = keyed.select(col("vec_id").as("ra"), col("embedding").as("ea"),
       col("nrm").as("na"), col("bks").as("bksa"), col("tbl"), col("bkey"))
-    val b = keyed.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+    val b = keyed.select(col("vec_id").as("rb"), col("embedding").as("eb"),
       col("nrm").as("nb"), col("bks").as("bksb"), col("tbl"), col("bkey"))
-    a.join(b, Seq("tbl", "bkey"))
-      .filter(col("a") < col("b_id"))
+    val repPairs = a.join(b, Seq("tbl", "bkey"))
+      .filter(col("ra") < col("rb"))
       .filter(element_at(
         filter(sequence(lit(0), lit(tables - 1)),
           t => element_at(col("bksa"), t + 1) === element_at(col("bksb"), t + 1)),
         1) === col("tbl"))
       .withColumn("sim", cosineWithNorms(col("ea"), col("na"), col("eb"), col("nb")))
       .filter(col("sim") >= minSim)
-      .select(col("a"), col("b_id").as("b"), col("sim"))
+      .select(col("ra"), col("rb"), col("sim"))
+
+    // Within-family pairs: self-cosine of the representative (1.0
+    // exactly as both engines compute it; 0.0 for a zero vector,
+    // which the >= minSim filter then drops in both).
+    val selfSim = withNorm(reps)
+      .select(col("vec_id").as("rep"),
+        cosineWithNorms(col("embedding"), col("nrm"), col("embedding"), col("nrm")).as("sim"))
+      .filter(col("sim") >= minSim)
+    val same = members.as("m1")
+      .join(members.as("m2"),
+        col("m1.rep") === col("m2.rep") && col("m1.vec_id") < col("m2.vec_id"))
+      .join(selfSim.withColumnRenamed("rep", "srep"), col("m1.rep") === col("srep"))
+      .select(col("m1.vec_id").as("a"), col("m2.vec_id").as("b"), col("sim"))
+
+    // Cross-family expansion: members of the two families, re-ordered
+    // (families are disjoint, so least/greatest never ties).
+    val cross = repPairs
+      .join(members.select(col("rep").as("ra"), col("vec_id").as("ma")), Seq("ra"))
+      .join(members.select(col("rep").as("rb"), col("vec_id").as("mb")), Seq("rb"))
+      .select(least(col("ma"), col("mb")).as("a"),
+        greatest(col("ma"), col("mb")).as("b"), col("sim"))
+
+    same.union(cross)
   }
 
   /** IVF-style ANN. The centroid set is small and bounded by

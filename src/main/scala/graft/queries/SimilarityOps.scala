@@ -72,43 +72,62 @@ object SimilarityOps extends QueryModule {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
        |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
-  // q72: bucketed near-dup PAIR LISTING over the LSH index — q38's
-  // scale path (the vector analog of q36's band join). The output is
-  // "pairs the index catches at sim >= MinDupSim": the bucket keys
-  // are exact int64 arithmetic, so the caught-pair SET is
-  // deterministic and byte-reproducible in DuckDB (ownership emission
-  // == the oracle's DISTINCT — PropertySpec-style equality holds by
-  // the minhashPairsOwned argument; the spec pins subset-of-brute and
-  // planted-dup capture).
+  // q72: bucketed near-dup PAIR LISTING — q38's scale path (the
+  // vector analog of q36's band join), DEDUP-BEFORE-INDEXING shape:
+  // exact-dup families collapse on the quantized vector first, the
+  // LSH index joins only family representatives, and caught rep
+  // pairs + within-family pairs expand back to member pairs. The
+  // output is "pairs the index catches at sim >= MinDupSim": bucket
+  // keys are exact int64 arithmetic and the family key is the exact
+  // quantized vector, so the caught-pair SET is deterministic and
+  // byte-reproducible in DuckDB (ownership emission == the oracle's
+  // DISTINCT by the minhashPairsOwned argument; the spec pins
+  // subset-of-brute and planted-dup capture).
   private val MinDupSim = 0.45
+  private val DupT = Similarity.NumTables
+  private val DupP = Similarity.DupPlanes
 
   private def q72(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(s, dir), MinDupSim)
       .orderBy(col("a"), col("b"))
 
   private val q72Sql =
-    s"""WITH q AS (SELECT vec_id,
+    s"""WITH qall AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qv
        |  FROM embeddings),
+       |fam AS (SELECT vec_id, qv, min(vec_id) OVER (PARTITION BY qv) AS rep FROM qall),
+       |q AS (SELECT vec_id, qv FROM fam WHERE vec_id = rep),
        |n AS (SELECT vec_id, qv,
        |    sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
        |  FROM q),
        |proj AS (SELECT v.vec_id, t.j,
        |    list_sum(list_transform(range(1, 65), i ->
        |      v.qv[i] * (2*((CAST(t.j AS BIGINT)*73856093 + CAST(i-1 AS BIGINT)*19349663) % 1000003) - 1000003))) AS dot
-       |  FROM q v, range(0, ${Similarity.NumTables * Similarity.PlanesPerTable}) t(j)),
-       |ent AS (SELECT vec_id, j // ${Similarity.PlanesPerTable} AS tbl,
-       |    sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << CAST(j % ${Similarity.PlanesPerTable} AS INT) ELSE 0 END) AS bkey
-       |  FROM proj GROUP BY vec_id, j // ${Similarity.PlanesPerTable}),
-       |cand AS (SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
-       |  FROM ent a JOIN ent b ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
-       |SELECT c.a, c.b,
-       |  CAST(list_sum(list_transform(range(1,65), i -> na.qv[i] * nb.qv[i])) AS DOUBLE)
-       |    / (na.nrm * nb.nrm) AS sim
-       |FROM cand c JOIN n na ON na.vec_id = c.a JOIN n nb ON nb.vec_id = c.b
-       |WHERE CAST(list_sum(list_transform(range(1,65), i -> na.qv[i] * nb.qv[i])) AS DOUBLE)
-       |    / (na.nrm * nb.nrm) >= $MinDupSim
-       |ORDER BY c.a, c.b""".stripMargin
+       |  FROM q v, range(0, ${DupT * DupP}) t(j)),
+       |ent AS (SELECT vec_id, j // $DupP AS tbl,
+       |    sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << CAST(j % $DupP AS INT) ELSE 0 END) AS bkey
+       |  FROM proj GROUP BY vec_id, j // $DupP),
+       |cand AS (SELECT DISTINCT a.vec_id AS ra, b.vec_id AS rb
+       |  FROM ent a JOIN ent b ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+       |rp AS (SELECT c.ra, c.rb,
+       |    CAST(list_sum(list_transform(range(1,65), i -> na.qv[i] * nb.qv[i])) AS DOUBLE)
+       |      / (na.nrm * nb.nrm) AS sim
+       |  FROM cand c JOIN n na ON na.vec_id = c.ra JOIN n nb ON nb.vec_id = c.rb
+       |  WHERE CAST(list_sum(list_transform(range(1,65), i -> na.qv[i] * nb.qv[i])) AS DOUBLE)
+       |      / (na.nrm * nb.nrm) >= $MinDupSim),
+       |selfsim AS (SELECT vec_id AS rep,
+       |    CASE WHEN nrm = 0 THEN 0.0
+       |         ELSE CAST(list_sum(list_transform(range(1,65), i -> qv[i] * qv[i])) AS DOUBLE) / (nrm * nrm)
+       |    END AS sim
+       |  FROM n),
+       |same AS (SELECT m1.vec_id AS a, m2.vec_id AS b, s.sim
+       |  FROM fam m1 JOIN fam m2 ON m1.rep = m2.rep AND m1.vec_id < m2.vec_id
+       |  JOIN selfsim s ON s.rep = m1.rep WHERE s.sim >= $MinDupSim),
+       |crossx AS (SELECT least(ma.vec_id, mb.vec_id) AS a,
+       |    greatest(ma.vec_id, mb.vec_id) AS b, rp.sim
+       |  FROM rp JOIN fam ma ON ma.rep = rp.ra JOIN fam mb ON mb.rep = rp.rb)
+       |SELECT a, b, sim FROM (SELECT * FROM same UNION ALL SELECT * FROM crossx)
+       |ORDER BY a, b""".stripMargin
 
   // q41: IVF-style seeded centroids, home-cell assignment, 2-probe.
   // Same determinism argument as q40: every similarity is a double
