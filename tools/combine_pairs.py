@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Min-combine sf1 bench pairs into the committed artifacts.
+
+Usage:
+  python3 tools/combine_pairs.py <note> spark_run.json [spark_run...] -- duck_run.json [duck_run...]
+
+Each spark_run.json is a graft.Bench output (probe-gated, contains
+"passes": [{query: sec}, ...]); each duck_run.json a tools/bench_duck.py
+output ({"total": s, "queries": {query: sec}}). Takes the per-query MIN
+across every pass of every run (the established min-combine protocol:
+both engines keep their best clean pass per query, so host-contention
+noise can only hurt, never flatter, either side), restricts DuckDB to
+the Spark headline set, and writes bench_sf1_out.json /
+duck_sf1_out.json plus a ratio table for queries where DuckDB does
+>= 0.3 s of work.
+"""
+import json
+import sys
+
+
+def main():
+    note = sys.argv[1]
+    split = sys.argv.index("--")
+    spark_files, duck_files = sys.argv[2:split], sys.argv[split + 1:]
+
+    smin = {}
+    for f in spark_files:
+        j = json.load(open(f))
+        for p in j["passes"]:
+            for q, t in p.items():
+                smin[q] = min(smin.get(q, 1e9), t)
+
+    dmin = {}
+    for f in duck_files:
+        j = json.load(open(f))
+        for q, t in j["queries"].items():
+            if q in smin:
+                dmin[q] = min(dmin.get(q, 1e9), t)
+
+    missing = sorted(set(smin) - set(dmin))
+    if missing:
+        print(f"WARNING: no duck timing for {missing}", file=sys.stderr)
+
+    stot = round(sum(smin.values()), 3)
+    dtot = round(sum(dmin.values()), 3)
+    with open("bench_sf1_out.json", "w") as f:
+        f.write(json.dumps({"metric": "passes", "note": note}) + "\n")
+        f.write(json.dumps({"metric": "total", "value": stot, "unit": "sec",
+                            "queries": {q: round(t, 3) for q, t in sorted(smin.items())}}) + "\n")
+    with open("duck_sf1_out.json", "w") as f:
+        f.write(json.dumps({"total": dtot,
+                            "queries": {q: round(t, 3) for q, t in sorted(dmin.items())}}) + "\n")
+
+    print(f"Spark {stot:.1f} s vs DuckDB {dtot:.1f} s -> {stot/dtot:.2f}x over {len(smin)} queries")
+    print("\n| query | Spark s | DuckDB s | ratio |")
+    print("| --- | --- | --- | --- |")
+    for q in sorted(dmin, key=lambda q: -dmin[q]):
+        if dmin[q] >= 0.3:
+            print(f"| {q} | {smin[q]:.2f} | {dmin[q]:.2f} | {smin[q]/dmin[q]:.2f} |")
+
+
+if __name__ == "__main__":
+    main()
