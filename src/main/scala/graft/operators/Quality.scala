@@ -22,17 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
-  /** Tagged word n-gram stream column: array of (n, gram) structs for
-    * each requested n, empty when the document is shorter than n
-    * words. `ws` must be the split word array column. */
-  private def taggedGrams(ws: Column, ns: Seq[Int]): Column =
-    concat(ns.map { n =>
-      when(size(ws) >= n,
-        transform(sequence(lit(1), size(ws) - (n - 1)),
-          i => struct(lit(n).as("n"), concat_ws(" ", slice(ws, i, lit(n))).as("g"))))
-        .otherwise(array().cast("array<struct<n:int,g:string>>"))
-    }: _*)
-
   /** Plain word n-gram array for a single n (empty below n words). */
   def wordNgrams(ws: Column, n: Int): Column =
     when(size(ws) >= n,
@@ -59,54 +48,27 @@ object Quality {
     * cov*20 <= 3*tot) so the threshold comparison can never disagree
     * across engines on a float ulp.
     *
-    * One explode + two keyed aggregations + one doc_id-keyed stitch
-    * join; the grouping keys carry (tot, nw) — functionally dependent
-    * on doc_id — so no extra columns shuffle separately.
-    */
+    * Repetition is a WITHIN-document property, so the whole rule set
+    * is one native byte-scan per row ([[graft.plans.RepetitionStats]]
+    * — per-row hash counting, the TextStats discipline) and the
+    * operator is a pure map stage: no exchange at any size. The
+    * original explode → gram-shuffle → re-join shape (preserved as
+    * the oracle's composed SQL) shuffled ~2 gram rows per word —
+    * 2.8 s at sf1 vs one scan, and at 100 TB the corpus's largest
+    * shuffle for a quantity that never leaves its row. */
   def gopherRepetition(docs: DataFrame): DataFrame = {
-    val d = docs.select(
-      col("doc_id"),
-      split(trim(col("text")), " ").as("ws"),
-      length(translate(col("text"), " ", "")).as("tot"))
-    val base = d.select(col("doc_id"), col("tot"), size(col("ws")).as("nw"))
-
-    val grams = d.select(
-      col("doc_id"), col("tot"), size(col("ws")).as("nw"),
-      explode(taggedGrams(col("ws"), Seq(2, 5))).as("t"))
-
-    val cnts = grams
-      .groupBy(col("doc_id"), col("tot"), col("nw"),
-        col("t.n").as("n"), col("t.g").as("g"))
-      .agg(count(lit(1)).as("cnt"))
-
-    val perDoc = cnts
-      .groupBy(col("doc_id"), col("tot"), col("nw"))
-      .agg(
-        max(when(col("n") === 2, col("cnt") * (length(col("g")) - 1)))
-          .as("top2_cov"),
-        sum(when(col("n") === 5 && col("cnt") > 1,
-          col("cnt") * (length(col("g")) - 4))).as("dup5_cov"))
-      .select(col("doc_id"), col("tot"), col("nw"),
-        coalesce(col("top2_cov"), lit(0L)).as("top2_cov"),
-        coalesce(col("dup5_cov"), lit(0L)).as("dup5_cov"))
-
-    val totNz = when(col("tot") === 0, lit(null)).otherwise(col("tot"))
-    // join on all three keys — (tot, nw) are functionally dependent on
-    // doc_id and already in the aggregate's HashPartitioning, so the
-    // probe side needs no re-exchange
-    base
-      .hint("shuffle_hash")
-      .join(perDoc, Seq("doc_id", "tot", "nw"), "left")
+    val totNz = when(col("st.tot") === 0, lit(null)).otherwise(col("st.tot"))
+    docs
+      .select(col("doc_id"),
+        graft.plans.RepetitionStats(trim(col("text"))).as("st"))
       .select(
         col("doc_id"),
-        col("nw").as("n_words"),
-        (coalesce(col("top2_cov"), lit(0L)).cast("double") / totNz)
-          .as("top2_frac"),
-        (coalesce(col("dup5_cov"), lit(0L)).cast("double") / totNz)
-          .as("dup5_frac"),
-        (col("tot").cast("double") / col("nw")).as("mean_word_len"),
-        (coalesce(col("top2_cov"), lit(0L)) * 5 <= col("tot") &&
-          coalesce(col("dup5_cov"), lit(0L)) * 20 <= col("tot") * 3)
+        col("st.n_words").as("n_words"),
+        (col("st.top2_cov").cast("double") / totNz).as("top2_frac"),
+        (col("st.dup5_cov").cast("double") / totNz).as("dup5_frac"),
+        (col("st.tot").cast("double") / col("st.n_words")).as("mean_word_len"),
+        (col("st.top2_cov") * 5 <= col("st.tot") &&
+          col("st.dup5_cov") * 20 <= col("st.tot") * 3)
           .cast("int").as("keep"))
   }
 
@@ -139,15 +101,37 @@ object Quality {
   /** Corpus-level top-k word n-grams by occurrence count (boilerplate
     * / template detection — the heavy-hitter scan run before writing
     * a cleaning rule). Deterministic total order (count desc, gram
-    * asc). Shape: explode → gram-keyed hash agg (map-side combine
-    * absorbs within-partition repetition) → two-phase distinct-doc
-    * count → TakeOrdered top-k; no global sort materializes. */
+    * asc).
+    *
+    * Two passes, expensive stat LAST: pass 1 finds the top-k by pure
+    * occurrence count — the one aggregate with full map-side combine
+    * (the shuffle carries (gram, partial_cnt), within-partition
+    * repetition already collapsed) — then pass 2 computes the
+    * distinct-doc spread ONLY for those k winners via a broadcast
+    * semi-filter of the re-derived gram stream. The single-pass
+    * count+countDistinct alternative shuffles every (gram, doc_id)
+    * pair in the corpus to count documents for grams that can't
+    * place; per-gram distinct-counting the whole vocabulary is
+    * exactly what a 100 TB heavy-hitter scan must never do. On a
+    * natural Zipf corpus the count-only exchange combines map-side to
+    * one row per (partition, gram) while (gram, doc_id) pairs can
+    * only dedup to one per (doc, gram) — the gap grows with corpus
+    * size and head skew. Honest measurement: the SYNTHETIC sf1 corpus
+    * is the adversarial case (GenSf's per-copy marker words make most
+    * grams corpus-unique, so nothing combines) and the two scans cost
+    * 1.8 s vs the fused shape's 1.6 s there; the shape is chosen for
+    * the scale regime, not the microbench. */
   def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame = {
     val d = docs.select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
-    d.select(col("doc_id"), explode(wordNgrams(col("ws"), n)).as("gram"))
-      .groupBy(col("gram"))
-      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs"))
+    val grams = d.select(col("doc_id"), explode(wordNgrams(col("ws"), n)).as("gram"))
+    val top = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram"))
       .limit(k)
+    grams.join(broadcast(top), Seq("gram"))
+      .groupBy(col("gram"), col("cnt"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .select(col("gram"), col("cnt"), col("n_docs"))
+      .orderBy(col("cnt").desc, col("gram"))
   }
 }

@@ -107,4 +107,43 @@ class CleanOpsSpec extends SparkTestBase {
       Tables.documents(spark, sfDir).count())
     assert(q("q75_boilerplate_ngrams").count() == 20)
   }
+
+  test("RepetitionStats: native byte scan equals the composed reference on adversarial strings") {
+    import spark.implicits._
+    // plain-Scala reference of the composed split/gram-count shape —
+    // code POINTS (length() semantics), split keeping empty segments
+    def ref(trimmed: String): (Int, Long, Long, Long) = {
+      val ws = trimmed.split(" ", -1)
+      val cp = (s: String) => s.codePointCount(0, s.length).toLong
+      val tot = cp(trimmed) - (ws.length - 1)
+      def grams(n: Int): Map[String, Long] =
+        if (ws.length < n) Map.empty
+        else ws.sliding(n).map(_.mkString(" ")).toSeq.groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+      val top2 = grams(2).map { case (g, c) => c * (cp(g) - 1) }.maxOption.getOrElse(0L)
+      val dup5 = grams(5).collect { case (g, c) if c > 1 => c * (cp(g) - 4) }.sum
+      (ws.length, tot, top2, dup5)
+    }
+    val rnd = new scala.util.Random(37)
+    // vocab stresses multibyte (2-, 3-, 4-byte = surrogate pair) chars
+    // and repeats; joins use occasional double spaces (empty segments)
+    val vocab = Vector("a", "spam", "héllo", "日本語", "👍👍", "x y".take(1), "bb")
+    val texts = (1 to 300).map { _ =>
+      val k = rnd.nextInt(12)
+      (1 to k).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(if (rnd.nextBoolean()) " " else "  ")
+    } :+ "" :+ " " :+ "  " :+ "spam spam spam spam spam spam spam"
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = df
+      .select(col("doc_id"), graft.plans.RepetitionStats(trim(col("text"))).as("st"))
+      .select(col("doc_id"), col("st.n_words"), col("st.tot"),
+        col("st.top2_cov"), col("st.dup5_cov"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val trimmed = { var s = t; while (s.startsWith(" ")) s = s.substring(1)
+        while (s.endsWith(" ")) s = s.substring(0, s.length - 1); s }
+      assert(got(i.toLong) == ref(trimmed), s"mismatch on ${trimmed.take(60)}")
+    }
+  }
 }

@@ -25,10 +25,14 @@ def main():
 
     smin = {}
     for f in spark_files:
-        j = json.load(open(f))
-        for p in j["passes"]:
-            for q, t in p.items():
-                smin[q] = min(smin.get(q, 1e9), t)
+        # graft.Bench emits two JSON LINES (passes line, then headline);
+        # take every pass dict found on any line
+        for line in open(f):
+            j = json.loads(line)
+            for p in j.get("passes", []):
+                if isinstance(p, dict):
+                    for q, t in p.items():
+                        smin[q] = min(smin.get(q, 1e9), t)
 
     dmin = {}
     for f in duck_files:
