@@ -123,8 +123,43 @@ object CleanOps extends QueryModule {
        |SELECT gram, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
        |FROM g GROUP BY gram ORDER BY cnt DESC, gram LIMIT $TopK""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q76: the fitted DSIR selection model (Xie et al. 2023) — hashed
+  // unigram+bigram occurrence counts per bucket for the target slice
+  // (q29's stopword-ratio "en" predicate) and the raw corpus. The
+  // model IS the data-shaped surface (exact int64 counts on the
+  // 48-bit-md5 stream, byte-reproducible); the float log-ratio /
+  // Gumbel resampling tail is spec-gated (`Dsir.logWeights/select`,
+  // CleanOpsSpec) — the q58 design-matrix precedent.
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.functions.TextFunctions.textStats(col("text"))
+    val enPred =
+      (st.getField("n_stop") / st.getField("n_words")) >= 0.05
+    graft.operators.Dsir.bucketModel(docs(s, dir), enPred)
+      .orderBy(col("bucket"))
+  }
+
+  private val q76Sql = {
+    import graft.functions.TextFunctions.StopwordsSql
+    val k = graft.operators.Dsir.NumBuckets
+    s"""WITH t AS (SELECT doc_id, text,
+       |    (len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN $StopwordsSql))
+       |       / len(string_split(lower(trim(text)), ' '))) >= 0.05 AS is_t
+       |  FROM documents),
+       |d AS (SELECT is_t, string_split(trim(text), ' ') AS ws FROM t),
+       |u1 AS (SELECT is_t, unnest(list_transform(range(1, len(ws) + 1),
+       |    i -> CAST(('0x' || substr(md5(ws[i]), 1, 12)) AS BIGINT) % $k)) AS bucket FROM d),
+       |u2 AS (SELECT is_t, unnest(list_transform(range(1, len(ws)),
+       |    i -> CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 12)) AS BIGINT) % $k)) AS bucket FROM d),
+       |a AS (SELECT * FROM u1 UNION ALL SELECT * FROM u2)
+       |SELECT bucket, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_target,
+       |  count(*) AS n_raw
+       |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q73_gopher_repetition", q73, Some(q73Sql)),
     QueryDef("q74_pii_redact", q74, Some(q74Sql)),
-    QueryDef("q75_boilerplate_ngrams", q75, Some(q75Sql)))
+    QueryDef("q75_boilerplate_ngrams", q75, Some(q75Sql)),
+    QueryDef("q76_dsir_model", q76, Some(q76Sql)))
 }

@@ -108,6 +108,59 @@ class CleanOpsSpec extends SparkTestBase {
     assert(q("q75_boilerplate_ngrams").count() == 20)
   }
 
+  test("DSIR: hand-computed log weights on a tiny corpus") {
+    import graft.operators.Dsir
+    // target = docs containing stopword mass; weights must equal the
+    // add-one-smoothed multinomial log-likelihood ratio computed by
+    // hand from the same bucket counts
+    val d = docsOf(
+      1L -> "the cat", 2L -> "the dog", 3L -> "zq xv", 4L -> "zq zq")
+    val pred = col("text").startsWith("the")
+    val model = Dsir.bucketModel(d, pred).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dt = model.values.map(_._1).sum.toDouble + Dsir.NumBuckets
+    val dr = model.values.map(_._2).sum.toDouble + Dsir.NumBuckets
+    def h(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val dig = md.digest(g.getBytes("UTF-8"))
+      val v = (0 until 6).foldLeft(0L)((a, i) => (a << 8) | (dig(i) & 0xffL))
+      v % Dsir.NumBuckets
+    }
+    def refW(text: String): Double = {
+      val ws = text.split(" ", -1)
+      val feats = ws.toSeq ++ ws.sliding(2).map(_.mkString(" ")).toSeq
+      feats.map { g =>
+        val (nt, nr) = model(h(g))
+        math.log(nt + 1.0) - math.log(dt) - math.log(nr + 1.0) + math.log(dr)
+      }.sum
+    }
+    val got = Dsir.logWeights(d, pred).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Seq(1L -> "the cat", 2L -> "the dog", 3L -> "zq xv", 4L -> "zq zq")
+      .foreach { case (id, t) =>
+        assert(math.abs(got(id) - refW(t)) < 1e-9, s"doc $id: ${got(id)} vs ${refW(t)}")
+      }
+    // target-like docs carry strictly higher weight
+    assert(got(1L) > got(3L) && got(2L) > got(4L))
+  }
+
+  test("DSIR: deterministic Gumbel top-m prefers the target-like slice") {
+    import spark.implicits._
+    import graft.operators.Dsir
+    // 40 stopword-rich docs vs 40 marker-noise docs; target = en-like
+    val rows = (1L to 40L).map(i => (i, s"the cat and the dog of m$i")) ++
+      (41L to 80L).map(i => (i, s"zq$i xv$i qk$i wj$i yb$i nn$i pp$i rr$i"))
+    val d = rows.toDF("doc_id", "text")
+    val st = graft.functions.TextFunctions.textStats(col("text"))
+    val pred = (st.getField("n_stop") / st.getField("n_words")) >= 0.05
+    val s1 = Dsir.select(d, pred, 20, seed = 7L).collect()
+    val s2 = Dsir.select(d, pred, 20, seed = 7L).collect()
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq,
+      "selection not deterministic across runs")
+    val enPicked = s1.count(_.getLong(0) <= 40L)
+    assert(enPicked >= 16, s"expected the en-like slice to dominate, got $enPicked/20")
+  }
+
   test("RepetitionStats: native byte scan equals the composed reference on adversarial strings") {
     import spark.implicits._
     // plain-Scala reference of the composed split/gram-count shape —
