@@ -320,6 +320,33 @@ class PlanSpec extends SparkTestBase {
     assert(windows == 2, s"q13: expected 2 Window operators, got $windows:\n$plan")
   }
 
+  test("q73 is a pure map stage: zero joins, zero aggregates, one scan, only the protocol sort's exchange") {
+    // Round-10 structure lock: Gopher repetition is a within-document
+    // property computed by the native RepetitionStats byte scan — a
+    // reintroduced gram explode shows up as an Aggregate or Join
+    // before the final deterministic orderBy.
+    val plan = SparkEntry.queries("q73_gopher_repetition")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"q73 plans a join:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"q73 plans an aggregate:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"q73 reads the corpus $scans times:\n$plan")
+  }
+
+  test("q76's model fit aggregates on the bucket key: no join, bounded key space") {
+    // The DSIR bucket model is explode -> ONE bucket-keyed hash
+    // aggregation (partial + final); its exchange carries at most
+    // partitions x 1024 rows at any corpus size. A join or window
+    // here means the model fit started shuffling data rows.
+    val plan = SparkEntry.queries("q76_dsir_model")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"q76 plans a join:\n$plan")
+    assert(!plan.contains("Window"), s"q76 plans a window:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"q76 lost its two-phase aggregate:\n$plan")
+  }
+
   test("scans prune columns: no query reads all event/document columns for a narrow projection") {
     val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     // q17 counts events per instance: must not read `value`&co beyond

@@ -174,6 +174,32 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming embedding dedup: exact-dup families pass once; near-but-not-equal vectors both pass") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamDedup
+    import graft.streaming.StreamDedup.Vec
+    val base = (1 to 64).map(_.toFloat / 64f)
+    // 1e-3 is far above the floor(x*1e7) quantum: a distinct family
+    val distinct = base.map(x => x + 1e-3f)
+    def v(id: Long, sec: Long, e: Seq[Float]): Vec =
+      Vec(id, new Timestamp(sec * 1000), e)
+    val input = MemoryStream[Vec]
+    val query = StreamDedup.distinctByEmbedding(input.toDS(), "10 seconds")
+      .writeStream.format("memory").queryName("vdedup_out").outputMode("append").start()
+    try {
+      // in-batch family dup under a DIFFERENT vec id
+      input.addData(v(1, 100, base), v(2, 101, base), v(3, 101, distinct))
+      query.processAllAvailable()
+      input.addData(v(4, 103, base)) // cross-batch family redelivery
+      query.processAllAvailable()
+      val got = spark.table("vdedup_out")
+        .select("vecId").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 3L),
+        s"expected one survivor per exact-dup family, got $got")
+    } finally query.stop()
+  }
+
   test("running heuristics accumulate across micro-batches per instance") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
