@@ -376,4 +376,43 @@ object Dedup {
       // near-pairs, which the cap has just bounded)
       nearPairs.select(col("a"), col("b_id").as("b"), col("hamming")).distinct()
   }
+
+  /** Exact-substring duplication signal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * long verbatim substrings shared ACROSS documents are the
+    * duplication mode word-level shingles miss): per document, how
+    * many of its L-character windows also occur in at least one other
+    * document.
+    *
+    * Shape: one native [[graft.plans.RollingHashes]] pass per row
+    * (O(chars) rolling recurrence — the suffix-array fingerprint
+    * stream without the suffix array), explode to slim (doc_id, h)
+    * int64 rows, ONE (h, doc_id)-keyed count (map-side combine
+    * absorbs within-doc window repetition), per-hash doc counts from
+    * its own partitioning, and a hash-keyed join back — every
+    * exchange keyed and linear in the window count. Windows are keyed
+    * on the 40-bit-range polynomial hash, never the substring: the
+    * shuffle carries 8-byte longs instead of L-char strings (same
+    * trade as ShingleHashes), at a ~n²/2M false-positive rate both
+    * engines share bit-for-bit. */
+  def dupSubstringStats(docs: DataFrame, l: Int = 40): DataFrame = {
+    val occ = docs.select(col("doc_id"),
+      explode(graft.plans.RollingHashes(col("text"), l)).as("h"))
+    val perDoc = occ.groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val multi = perDoc.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val dups = perDoc.join(multi, Seq("h"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("dup_windows"))
+    val nw = greatest(length(col("text")) - (l - 1), lit(0)).cast("long")
+    docs.select(col("doc_id"), nw.as("n_windows"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        (coalesce(col("dup_windows"), lit(0L)).cast("double") /
+          when(col("n_windows") === 0, lit(null)).otherwise(col("n_windows")))
+          .as("dup_frac"))
+  }
 }

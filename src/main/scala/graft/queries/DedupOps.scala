@@ -316,6 +316,43 @@ object DedupOps extends QueryModule {
        |WHERE doc_id >= $BenchDocs
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q77: exact-substring duplication signal (Lee et al. 2022) — per
+  // doc, how many of its 40-char windows occur in at least one other
+  // document. The duplication mode word shingles miss: long verbatim
+  // spans. Spark keys windows on the one-pass ROLLING polynomial
+  // hash (`plans/RollingHashes`, O(chars)); the oracle computes the
+  // identical hash as a direct per-window sum over unicode code
+  // points with the power table inlined as literals (O(chars·L) —
+  // SQL cannot express the rolling reuse without recursion). Both
+  // engines key everything on h, so the ~n²/2M hash collisions are
+  // shared bit-for-bit.
+  private val SubL = 40
+
+  private def q77(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSubstringStats(docs(s, dir), SubL).orderBy(col("doc_id"))
+
+  private val q77Sql = {
+    val m = graft.plans.RollingHashes.M
+    val pows = graft.plans.RollingHashes.powersSqlList(SubL)
+    s"""WITH cps AS (SELECT doc_id, length(text) AS n,
+       |    list_transform(range(1, length(text) + 1), i -> CAST(unicode(text[i]) AS BIGINT)) AS c
+       |  FROM documents),
+       |w AS (SELECT doc_id, unnest(list_transform(range(1, n - ${SubL - 1} + 1), i ->
+       |    list_sum(list_transform(range(0, $SubL), j -> (c[i+j] * ($pows)[j+1]) % $m)) % $m)) AS h
+       |  FROM cps WHERE n >= $SubL),
+       |perdoc AS (SELECT h, doc_id, count(*) AS cw FROM w GROUP BY 1, 2),
+       |multi AS (SELECT h FROM perdoc GROUP BY h HAVING count(*) >= 2),
+       |dups AS (SELECT doc_id, CAST(sum(cw) AS BIGINT) AS dup_windows
+       |  FROM perdoc JOIN multi USING (h) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(greatest(length(d.text) - ${SubL - 1}, 0) AS BIGINT) AS n_windows,
+       |  coalesce(dup_windows, 0) AS dup_windows,
+       |  CAST(coalesce(dup_windows, 0) AS DOUBLE)
+       |    / nullif(greatest(length(d.text) - ${SubL - 1}, 0), 0) AS dup_frac
+       |FROM documents d LEFT JOIN dups USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q34_dedup_exact", q34, Some(q34Sql)),
     QueryDef("q35_dedup_jaccard", q35, Some(q35Sql)),
@@ -323,11 +360,12 @@ object DedupOps extends QueryModule {
     QueryDef("q37_dedup_simhash", q37, Some(q37Sql)),
     QueryDef("q38_dedup_embedding", q38, Some(q38Sql)),
     QueryDef("q70_dedup_clusters", q70, Some(q70Sql)),
-    QueryDef("q71_decontaminate", q71, Some(q71Sql)))
+    QueryDef("q71_decontaminate", q71, Some(q71Sql)),
+    QueryDef("q77_dup_substrings", q77, Some(q77Sql)))
 
   /** q35/q38 are the quadratic correctness baselines — the headline
     * bench runs the bucketed scale paths instead. */
   override def headline: Seq[String] =
     Seq("q34_dedup_exact", "q36_dedup_minhash", "q37_dedup_simhash",
-      "q70_dedup_clusters", "q71_decontaminate")
+      "q70_dedup_clusters", "q71_decontaminate", "q77_dup_substrings")
 }

@@ -201,4 +201,55 @@ class DedupOpsSpec extends SparkTestBase {
     val fromRows = Dedup.shingleRows(d)
     assert(fromArrays.except(fromRows).isEmpty && fromRows.except(fromArrays).isEmpty)
   }
+
+  test("RollingHashes: rolling recurrence equals the direct polynomial sum on adversarial strings") {
+    import spark.implicits._
+    import graft.plans.RollingHashes.{B, M}
+    val L = 5
+    def direct(text: String): Seq[Long] = {
+      val cps = text.codePoints().toArray.map(_.toLong)
+      if (cps.length < L) Seq.empty
+      else (0 to cps.length - L).map { i =>
+        (0 until L).foldLeft(0L)((h, j) => (h * B + cps(i + j)) % M)
+      }
+    }
+    val rnd = new scala.util.Random(61)
+    // whole code points only (a .take on UTF-16 chars would split the
+    // surrogate pair into an invalid lone surrogate no real corpus
+    // contains)
+    val alphabet = Vector("a", "b", " ", "日", "👍", "é")
+    val texts = (1 to 200).map { _ =>
+      val n = rnd.nextInt(14)
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+    } :+ "" :+ "abcd" :+ "abcde" :+ "👍👍👍👍👍" :+ "aaaaaaaaaa"
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), graft.plans.RollingHashes(col("text"), L).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == direct(t), s"mismatch on '$t'")
+    }
+  }
+
+  test("dupSubstringStats: planted cross-doc span found, unique docs read zero") {
+    import spark.implicits._
+    // 60-char span; the docs' boundary characters around it differ
+    // (Q/W vs Z/K) so the SHARED substring is exactly the span
+    val span = "the quick brown fox jumps over the lazy dog again and again!"
+    val d = Seq(
+      (1L, s"alphaQ${span}Womega"),
+      (2L, s"totally different prefixZ${span}Ksuffix"),
+      (3L, "no shared spans in this one at all just unique words qqq"),
+      (4L, "xy")) // shorter than L: zero windows
+      .toDF("doc_id", "text")
+    val r = Dedup.dupSubstringStats(d, 40).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // 60-char shared span yields 60-40+1 = 21 shared windows in each
+    assert(r(1L)._2 == 21 && r(2L)._2 == 21,
+      s"expected 21 shared windows, got ${r(1L)} / ${r(2L)}")
+    assert(r(3L)._2 == 0)
+    assert(r(4L) == (0L, 0L))
+    // windows counted per doc: chars - L + 1
+    assert(r(1L)._1 == s"alphaQ${span}Womega".length - 39)
+  }
 }
