@@ -415,4 +415,38 @@ object Dedup {
           when(col("n_windows") === 0, lit(null)).otherwise(col("n_windows")))
           .as("dup_frac"))
   }
+
+  /** The SURGERY half of exact-substring dedup (Lee et al. 2022 §3:
+    * "remove all but one occurrence of each duplicated span"):
+    * KEEP-FIRST ownership — for every cross-document window hash, the
+    * globally first occurrence (min (doc_id, pos)) keeps its span and
+    * every other occurrence is cut from its document. Overlapping cut
+    * windows merge (a code point is dropped once, however many
+    * windows cover it — [[graft.plans.RemoveSpans]]).
+    *
+    * Shape: the same slim (doc_id, pos, h) stream as
+    * [[dupSubstringStats]]; per-hash owner = one min-struct
+    * aggregation (map-side combinable); removal positions flow back
+    * as a per-doc sorted array (bounded by the doc's own window
+    * count) into one native span-cut pass per row. Returns
+    * (doc_id, clean_text) for every input doc. */
+  def stripDupSpans(docs: DataFrame, l: Int = 40): DataFrame = {
+    val occ = docs.select(col("doc_id"),
+      posexplode(graft.plans.RollingHashes(col("text"), l)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+    val owners = occ.groupBy(col("h")).agg(
+      countDistinct(col("doc_id")).as("nd"),
+      min(struct(col("doc_id"), col("pos"))).as("owner"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), col("owner.doc_id").as("odoc"), col("owner.pos").as("opos"))
+    val removals = occ.join(owners, Seq("h"))
+      .filter(!(col("doc_id") === col("odoc") && col("pos") === col("opos")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("ps"))
+    docs.join(removals, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ps").isNull, col("text"))
+          .otherwise(graft.plans.RemoveSpans(col("text"), col("ps"), l))
+          .as("clean_text"))
+  }
 }

@@ -231,6 +231,27 @@ class DedupOpsSpec extends SparkTestBase {
     }
   }
 
+  test("stripDupSpans: keep-first ownership cuts the span from later docs only") {
+    import spark.implicits._
+    val span = "the quick brown fox jumps over the lazy dog again and again!"
+    val d = Seq(
+      (1L, s"alphaQ${span}Womega"),            // global first: keeps it
+      (2L, s"totally different prefixZ${span}Ksuffix"),
+      (3L, s"thirdçcopy日${span}👍end"),        // multibyte around the span
+      (4L, "no shared spans in this one at all just unique words qqq"))
+      .toDF("doc_id", "text")
+    val r = Dedup.stripDupSpans(d, 40).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == s"alphaQ${span}Womega", "owner doc must keep its span")
+    assert(r(4L) == "no shared spans in this one at all just unique words qqq")
+    // later docs lose exactly the covered region: every removed code
+    // point lies in the span, no span chars survive
+    assert(!r(2L).contains("quick brown") && r(2L).startsWith("totally different prefixZ")
+      && r(2L).endsWith("Ksuffix"), s"doc2 surgery wrong: '${r(2L)}'")
+    assert(r(3L).startsWith("thirdçcopy日") && r(3L).endsWith("👍end")
+      && !r(3L).contains("lazy dog"), s"doc3 surgery wrong: '${r(3L)}'")
+  }
+
   test("dupSubstringStats: planted cross-doc span found, unique docs read zero") {
     import spark.implicits._
     // 60-char span; the docs' boundary characters around it differ
