@@ -14,7 +14,8 @@ import graft.operators.Dedup
   * embedding-cosine, in increasing robustness; only the Jaccard
   * baseline (q35) and pair-listing (q38) touch candidate sets wider
   * than a hash bucket, and both exist as correctness baselines for
-  * the bucketed scale paths (q36/q37, and q40's LSH for vectors).
+  * the bucketed scale paths (q36/q37, and q72's dedup-first pair
+  * listing for vectors).
   */
 object DedupOps extends QueryModule {
 
@@ -231,7 +232,8 @@ object DedupOps extends QueryModule {
 
   // ---------------------------------------------------------------
   // q38: embedding-cosine near-dup pairs — top-100 all-pairs baseline
-  // (the bucketed scale path for vectors is q40's hyperplane LSH).
+  // (the bucketed scale path for vectors is q72's dedup-first
+  // nearDupPairs listing; q40's hyperplane LSH is the query-side path).
   // Integer-quantized dot/norm → bit-identical float64 vs the oracle.
   private def q38(s: SparkSession, dir: String): DataFrame = {
     val n = Tables.embeddings(s, dir)
