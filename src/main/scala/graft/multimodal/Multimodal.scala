@@ -10,7 +10,11 @@ import org.apache.spark.sql.types._
   * a real decoder (JNI image lib, ONNX runtime session, …) is
   * initialized once per partition and fed fixed-size batches — the
   * Spark-side contract (schema, partitioning, batch shape) is real
-  * and tested; only the innermost decode is stubbed.
+  * and tested. IMAGE decode/resize is REAL (the JDK ships
+  * javax.imageio — PNG/JPEG/BMP/GIF, headless-safe:
+  * [[extractImageFeatures]], [[resizeImagesDecoded]]); only
+  * audio/video codecs, which the JDK does not carry, remain stubbed
+  * behind the same tested batch plumbing.
   */
 object Multimodal {
 
@@ -59,6 +63,56 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode (no stub): `javax.imageio` ships in the JDK
+    * (PNG/JPEG/BMP/GIF, headless-safe), so image rows need no
+    * external codec at all. Features are exact integer statistics of
+    * the decoded pixels — width, height, per-channel means, mean
+    * luma (the integer (r+g+b)/3 average), pixel count, byte size —
+    * so the spec can assert values to the bit from a known PNG.
+    * Rows whose payload ImageIO cannot decode (or non-image kinds)
+    * fall back to [[decodeBatchStub]]'s payload-fold features — the
+    * real/fallback split per ROW, batched per partition exactly like
+    * the stub path. */
+  def extractImageFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { r =>
+          decodedImage(r) match {
+            case Some(img) =>
+              val w = img.getWidth; val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val px = img.getRGB(x, y)
+                  sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              MediaFeatures(r.mediaId, r.kind, r.payload.length.toLong,
+                Array(w.toFloat, h.toFloat,
+                  (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+                  ((sr + sg + sb) / (3 * n)).toFloat,
+                  n.toFloat, r.payload.length.toFloat))
+            case None => decodeBatchStub(Seq(r)).head
+          }
+        }
+      }
+    }
+  }
+
+  private def decodedImage(r: MediaRecord): Option[java.awt.image.BufferedImage] =
+    if (r.kind != "image" || r.payload.isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload)))
+      catch { case _: java.io.IOException => None }
+
   /** ===================== STUB (decode) =====================
     * Image resize for image rows: recomputes the metadata exactly
     * (aspect-preserving fit into `maxDim` — the part a real pipeline
@@ -100,6 +154,45 @@ object Multimodal {
     require(maxDim > 0, "maxDim must be positive")
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap(resizeBatchStub(_, maxDim))
+    }
+  }
+
+  /** REAL image resize (no stub): decode via the JDK's ImageIO,
+    * bilinear resample into the same aspect-preserving integer fit as
+    * [[resizeImages]] (larger edge exactly maxDim), re-encode as PNG
+    * (lossless — a repeated resize to the same maxDim is a no-op on
+    * the DIMENSIONS, which is what downstream batch shapes key on).
+    * Undecodable payloads and non-image rows pass through untouched.
+    * Same per-partition batching as every media stage. */
+  def resizeImagesDecoded(media: Dataset[MediaRecord], maxDim: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(maxDim > 0, "maxDim must be positive")
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { r =>
+          decodedImage(r) match {
+            case Some(img) if img.getWidth > maxDim || img.getHeight > maxDim =>
+              val (w, h) =
+                if (img.getWidth >= img.getHeight)
+                  (maxDim, math.max(1, (img.getHeight.toLong * maxDim / img.getWidth).toInt))
+                else
+                  (math.max(1, (img.getWidth.toLong * maxDim / img.getHeight).toInt), maxDim)
+              val out = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              r.copy(payload = bos.toByteArray, width = w, height = h)
+            case _ => r
+          }
+        }
+      }
     }
   }
 

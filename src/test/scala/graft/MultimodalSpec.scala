@@ -70,6 +70,51 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.zip(again).forall { case (a, b) => a.payload.sameElements(b.payload) })
   }
 
+  private def pngBytes(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real image decode: exact pixel statistics from a known PNG; undecodable falls back") {
+    import spark.implicits._
+    // 2x1: red (255,0,0) and blue (0,0,255) -> means r=127,g=0,b=127
+    val png = pngBytes(2, 1)((x, _) => if (x == 0) 0xFF0000 else 0x0000FF)
+    val junk = Array.tabulate(20)(_.toByte)
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, "image", png, 2, 1, 0L),
+      MediaRecord(2L, "image", junk, 4, 4, 0L),     // not decodable
+      MediaRecord(3L, "audio", png, 0, 0, 1000L)))  // wrong kind -> stub
+    val f = Multimodal.extractImageFeatures(ds).collect()
+      .map(r => r.mediaId -> r.features).toMap
+    assert(f(1L).toSeq == Seq(2f, 1f, 127f, 0f, 127f, 85f, 2f, png.length.toFloat),
+      s"decoded stats wrong: ${f(1L).toSeq}")
+    // fallback rows carry the stub's payload-fold features (same as decodeBatchStub)
+    val stub = Multimodal.extractFeatures(ds).collect()
+      .map(r => r.mediaId -> r.features).toMap
+    assert(f(2L).sameElements(stub(2L)) && f(3L).sameElements(stub(3L)))
+  }
+
+  test("real image resize: output decodes at the fitted dimensions, solid color survives") {
+    import spark.implicits._
+    val png = pngBytes(100, 40)((_, _) => 0x11AA55)
+    val ds = spark.createDataset(Seq(MediaRecord(7L, "image", png, 100, 40, 0L)))
+    val out = Multimodal.resizeImagesDecoded(ds, 10).collect().head
+    assert(out.width == 10 && out.height == 4)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.payload))
+    assert(back.getWidth == 10 && back.getHeight == 4)
+    // bilinear resample of a constant image is the same constant
+    assert((back.getRGB(5, 2) & 0xFFFFFF) == 0x11AA55)
+    // already-fitting images pass through byte-identically
+    val small = Multimodal.resizeImagesDecoded(
+      spark.createDataset(Seq(MediaRecord(8L, "image", png, 100, 40, 0L))), 100)
+      .collect().head
+    assert(small.payload.sameElements(png))
+  }
+
   test("asMedia validates the physical schema") {
     import spark.implicits._
     val df = spark.createDataset(media(3)).toDF()
