@@ -115,6 +115,39 @@ class MultimodalSpec extends SparkTestBase {
     assert(small.payload.sameElements(png))
   }
 
+  test("real audio decode: exact PCM statistics from a generated WAV; non-audio falls back") {
+    import spark.implicits._
+    // 100 Hz sawtooth-ish alternating block wave at 8 kHz, 16-bit
+    // mono little-endian: 800 samples, +1000 for 40 samples then
+    // -1000 for 40, repeating -> mean |amp| 1000, peak 1000, and a
+    // zero crossing at every 40-sample block boundary after the first
+    val rate = 8000f
+    val n = 800
+    val samples = Array.tabulate(n)(i => if ((i / 40) % 2 == 0) 1000 else -1000)
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, "audio", wav, 0, 0, 100L),
+      MediaRecord(2L, "audio", Array.tabulate(16)(_.toByte), 0, 0, 1L), // junk
+      MediaRecord(3L, "image", wav, 0, 0, 0L)))                         // wrong kind
+    val f = Multimodal.extractAudioFeatures(ds).collect()
+      .map(r => r.mediaId -> r.features).toMap
+    assert(f(1L).toSeq == Seq(rate, 1f, 800f, 0.1f, 1000f, 1000f, 19f, wav.length.toFloat),
+      s"decoded PCM stats wrong: ${f(1L).toSeq}")
+    val stub = Multimodal.extractFeatures(ds).collect()
+      .map(r => r.mediaId -> r.features).toMap
+    assert(f(2L).sameElements(stub(2L)) && f(3L).sameElements(stub(3L)))
+  }
+
   test("asMedia validates the physical schema") {
     import spark.implicits._
     val df = spark.createDataset(media(3)).toDF()
