@@ -34,6 +34,16 @@ object Multimodal {
   val FeatureDim = 8
   val BatchSize = 32
 
+  /** Aspect-preserving integer fit shared by BOTH resize paths (stub
+    * and decoded — the scaladoc promises they agree): the larger edge
+    * lands EXACTLY on maxDim, the smaller scales by the same ratio
+    * (floor, min 1) — deterministic, no float accumulation. */
+  private def fitDims(width: Int, height: Int, maxDim: Int): (Int, Int) =
+    if (width >= height)
+      (maxDim, math.max(1, (height.toLong * maxDim / width).toInt))
+    else
+      (math.max(1, (width.toLong * maxDim / height).toInt), maxDim)
+
   /** ========================= STUB =========================
     * Deterministic FAKE decoder standing in for a real image/audio
     * decode + feature extraction (codec libraries are not available
@@ -109,9 +119,12 @@ object Multimodal {
   private def decodedImage(r: MediaRecord): Option[java.awt.image.BufferedImage] =
     if (r.kind != "image" || r.payload.isEmpty) None
     else
+      // NonFatal, not just IOException: ImageIO throws RuntimeExceptions
+      // (CMMException, IndexOutOfBounds, IllegalArgument) on corrupt
+      // bytes — a crawled bad row must fall back, never kill the task
       try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.payload)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
 
   /** REAL audio decode (no stub): `javax.sound.sampled` ships in the
     * JDK (WAV/AIFF/AU container parsing + PCM decoding, headless), so
@@ -168,7 +181,9 @@ object Multimodal {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(r.payload))
         val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16) { in.close(); None }
+        // frame size can be 0 or NOT_SPECIFIED (-1) on malformed-but-
+        // parseable headers — treat as undecodable, don't divide by it
+        if (fmt.getSampleSizeInBits != 16 || fmt.getFrameSize <= 0) { in.close(); None }
         else {
           val bytes = in.readAllBytes(); in.close()
           val frameBytes = fmt.getFrameSize
@@ -185,10 +200,7 @@ object Multimodal {
           }
           Some((fmt, out))
         }
-      } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
-      }
+      } catch { case scala.util.control.NonFatal(_) => None }
 
   /** ===================== STUB (decode) =====================
     * Image resize for image rows: recomputes the metadata exactly
@@ -207,14 +219,7 @@ object Multimodal {
       if (r.kind != "image" || r.width <= 0 || r.height <= 0 || r.payload.isEmpty ||
           (r.width <= maxDim && r.height <= maxDim)) r
       else {
-        // aspect-preserving integer fit; the larger edge lands
-        // EXACTLY on maxDim, the smaller scales by the same ratio
-        // (floor, min 1) — deterministic, no float accumulation
-        val (w, h) =
-          if (r.width >= r.height)
-            (maxDim, math.max(1, (r.height.toLong * maxDim / r.width).toInt))
-          else
-            (math.max(1, (r.width.toLong * maxDim / r.height).toInt), maxDim)
+        val (w, h) = fitDims(r.width, r.height, maxDim)
         val out = new Array[Byte](math.max(1, r.payload.length / 4))
         var i = 0
         while (i < out.length) {
@@ -250,11 +255,7 @@ object Multimodal {
         batch.map { r =>
           decodedImage(r) match {
             case Some(img) if img.getWidth > maxDim || img.getHeight > maxDim =>
-              val (w, h) =
-                if (img.getWidth >= img.getHeight)
-                  (maxDim, math.max(1, (img.getHeight.toLong * maxDim / img.getWidth).toInt))
-                else
-                  (math.max(1, (img.getWidth.toLong * maxDim / img.getHeight).toInt), maxDim)
+              val (w, h) = fitDims(img.getWidth, img.getHeight, maxDim)
               val out = new java.awt.image.BufferedImage(
                 w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
               val g = out.createGraphics()

@@ -67,15 +67,21 @@ object Dsir {
     * yields the empty-string unigram, so only NULL text) keep
     * logw = 0. */
   def logWeights(docs: DataFrame, targetPred: Column): DataFrame = {
-    val model = bucketModel(docs, targetPred)
-    val totals = model.agg(
-      sum(col("n_target")).as("dt"), sum(col("n_raw")).as("dr"))
-      .collect()(0)
-    val dt = totals.getLong(0).toDouble + NumBuckets
-    val dr = totals.getLong(1).toDouble + NumBuckets
-    val lr = model.select(col("bucket"),
-      (log(col("n_target").cast("double") + 1.0) - lit(math.log(dt))
-        - log(col("n_raw").cast("double") + 1.0) + lit(math.log(dr))).as("lr"))
+    // the model is ≤ NumBuckets rows by construction — collect it
+    // ONCE and re-emit as a local relation, so the fit pays one
+    // corpus scan, not two (one for the totals, one recomputed
+    // lazily under the scoring join)
+    val rows = bucketModel(docs, targetPred).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(rows.nonEmpty,
+      "Dsir.logWeights: empty bucket model (empty corpus or all-NULL text)")
+    val dt = rows.map(_._2).sum.toDouble + NumBuckets
+    val dr = rows.map(_._3).sum.toDouble + NumBuckets
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lr = rows.toSeq.map { case (b, nt, nr) =>
+      (b, math.log(nt + 1.0) - math.log(dt) - math.log(nr + 1.0) + math.log(dr))
+    }.toDF("bucket", "lr")
     docs.select(col("doc_id"))
       .join(
         docs.select(col("doc_id"),

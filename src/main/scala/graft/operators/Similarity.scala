@@ -268,12 +268,15 @@ object Similarity {
       .filter(col("sim") >= minSim)
       .select(col("ra"), col("rb"), col("sim"))
 
-    // Within-family pairs: self-cosine of the representative (1.0
-    // exactly as both engines compute it; 0.0 for a zero vector,
-    // which the >= minSim filter then drops in both).
+    // Within-family pairs: sim is EXACTLY 1.0 by definition (members
+    // are quantization-identical), not the computed dot/(nrm·nrm) —
+    // sqrt-then-square is 1 ± ulp and would silently drop exact
+    // duplicates at minSim == 1.0. Zero vectors pin 0.0 (the cosine
+    // convention), which the >= minSim filter then drops; the oracle
+    // mirrors the same CASE.
     val selfSim = withNorm(reps)
       .select(col("vec_id").as("rep"),
-        cosineWithNorms(col("embedding"), col("nrm"), col("embedding"), col("nrm")).as("sim"))
+        when(col("nrm") === 0.0, lit(0.0)).otherwise(lit(1.0)).as("sim"))
       .filter(col("sim") >= minSim)
     val same = members.as("m1")
       .join(members.as("m2"),

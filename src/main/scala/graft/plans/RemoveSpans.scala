@@ -53,8 +53,13 @@ object RemoveSpans {
     val drop = new Array[Boolean](n)
     var k = 0
     while (k < positions.length) {
-      var i = Math.max(0L, positions(k)).toInt
-      val end = Math.min(n.toLong, positions(k) + l).toInt
+      // clip the window's INTERSECTION with [0, n) in LONG space
+      // before narrowing: a position >= 2^32 must clip to the string
+      // end (not wrap through .toInt), a negative one keeps only the
+      // in-range tail of its window
+      val p = positions(k)
+      var i = Math.min(Math.max(0L, p), n.toLong).toInt
+      val end = Math.max(0L, Math.min(n.toLong, p + l)).toInt
       while (i < end) { drop(i) = true; i += 1 }
       k += 1
     }

@@ -116,9 +116,7 @@ object SimilarityOps extends QueryModule {
        |  WHERE CAST(list_sum(list_transform(range(1,65), i -> na.qv[i] * nb.qv[i])) AS DOUBLE)
        |      / (na.nrm * nb.nrm) >= $MinDupSim),
        |selfsim AS (SELECT vec_id AS rep,
-       |    CASE WHEN nrm = 0 THEN 0.0
-       |         ELSE CAST(list_sum(list_transform(range(1,65), i -> qv[i] * qv[i])) AS DOUBLE) / (nrm * nrm)
-       |    END AS sim
+       |    CASE WHEN nrm = 0 THEN 0.0 ELSE 1.0 END AS sim
        |  FROM n),
        |same AS (SELECT m1.vec_id AS a, m2.vec_id AS b, s.sim
        |  FROM fam m1 JOIN fam m2 ON m1.rep = m2.rep AND m1.vec_id < m2.vec_id

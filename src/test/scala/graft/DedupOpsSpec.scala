@@ -252,6 +252,15 @@ class DedupOpsSpec extends SparkTestBase {
       && !r(3L).contains("lazy dog"), s"doc3 surgery wrong: '${r(3L)}'")
   }
 
+  test("RemoveSpans clips out-of-range long positions instead of wrapping through toInt") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val s = UTF8String.fromString("hello world")
+    // 2^32 wraps to 0 via toInt: an unclipped narrow would delete everything
+    val out = graft.plans.RemoveSpans.compute(s, Array(4294967296L), 5)
+    assert(out.toString == "hello world", s"wrapped position mutated text: '$out'")
+    assert(graft.plans.RemoveSpans.compute(s, Array(-3L), 5).toString == "llo world")
+  }
+
   test("dupSubstringStats: planted cross-doc span found, unique docs read zero") {
     import spark.implicits._
     // 60-char span; the docs' boundary characters around it differ

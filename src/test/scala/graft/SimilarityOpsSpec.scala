@@ -141,6 +141,22 @@ class SimilarityOpsSpec extends SparkTestBase {
     assert(got.toSet.subsetOf(brute), "emitted a pair below the similarity bar")
   }
 
+  test("nearDupPairs at minSim = 1.0 keeps exact-duplicate families (self-sim is literal 1.0)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val Dim = graft.functions.VectorFunctions.Dim
+    val rnd = new scala.util.Random(29)
+    val v1 = Seq.fill(Dim)(rnd.nextGaussian().toFloat)
+    val v2 = Seq.fill(Dim)(rnd.nextGaussian().toFloat)
+    // ids 1/2 are bit-identical; 3 is unrelated
+    val corpus = Seq((1L, v1), (2L, v1), (3L, v2)).toDF("vec_id", "embedding")
+    val got = Similarity.nearDupPairs(corpus, minSim = 1.0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // sqrt-then-square self-cosine is 1 ± ulp — a computed sim here
+    // would drop the exact-dup pair at the == 1.0 threshold
+    assert(got == Set(1L -> 2L), s"exact family lost at minSim=1.0: $got")
+  }
+
   test("centered LSH splits a mean-offset corpus that through-origin planes cannot") {
     import spark.implicits._
     import graft.operators.Similarity
