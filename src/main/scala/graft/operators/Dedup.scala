@@ -394,10 +394,26 @@ object Dedup {
     * on the 40-bit-range polynomial hash, never the substring: the
     * shuffle carries 8-byte longs instead of L-char strings (same
     * trade as ShingleHashes), at a ~n²/2M false-positive rate both
-    * engines share bit-for-bit. */
-  def dupSubstringStats(docs: DataFrame, l: Int = 40): DataFrame = {
-    val occ = docs.select(col("doc_id"),
+    * engines share bit-for-bit.
+    *
+    * `anchorMod` is the SCALE DIAL (sf10 soak, BENCH_SF10.md): at
+    * s > 1 only windows with h % s == 0 enter the aggregation —
+    * CONTENT-DEFINED anchoring, so both copies of a duplicated span
+    * select the SAME ~1/s of its windows (a doc_id- or
+    * position-based stride would misalign across copies and miss
+    * everything). Detection of spans ≥ L + s·E chars survives w.h.p.
+    * (an anchor lands every ~s windows); `dup_windows` then counts
+    * anchored windows only — scale the fraction by s for the
+    * corpus-level signal. s = 1 (default, the oracle setting) keeps
+    * every window. */
+  def dupSubstringStats(docs: DataFrame, l: Int = 40,
+                        anchorMod: Int = 1): DataFrame = {
+    require(anchorMod >= 1, "anchorMod must be >= 1")
+    val allOcc = docs.select(col("doc_id"),
       explode(graft.plans.RollingHashes(col("text"), l)).as("h"))
+    val occ =
+      if (anchorMod == 1) allOcc
+      else allOcc.filter(col("h") % anchorMod === 0)
     val perDoc = occ.groupBy(col("h"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
     val multi = perDoc.groupBy(col("h"))
