@@ -252,6 +252,23 @@ class DedupOpsSpec extends SparkTestBase {
       && !r(3L).contains("lazy dog"), s"doc3 surgery wrong: '${r(3L)}'")
   }
 
+  test("anchorMod keeps content-aligned windows: a long shared span is still flagged in both docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    // a 400-char shared span: ~361 windows, ~90 expected anchors at s=4
+    val span = (1 to 80).map(_ => ('a' + rnd.nextInt(26)).toChar.toString * 4).mkString(" ").take(400)
+    val d = Seq(
+      (1L, s"prefixQ${span}Wsuffix"),
+      (2L, s"otherZ${span}Ktail"),
+      (3L, "entirely unrelated content with no duplication anywhere at all"))
+      .toDF("doc_id", "text")
+    val r = Dedup.dupSubstringStats(d, 40, anchorMod = 4).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r(1L) > 0 && r(2L) > 0, s"anchored signal missed the shared span: $r")
+    assert(r(1L) == r(2L), "the two copies must anchor the same windows")
+    assert(r(3L) == 0)
+  }
+
   test("RemoveSpans clips out-of-range long positions instead of wrapping through toInt") {
     import org.apache.spark.unsafe.types.UTF8String
     val s = UTF8String.fromString("hello world")
