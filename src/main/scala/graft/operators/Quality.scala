@@ -85,13 +85,42 @@ object Quality {
     * digit runs inside a matched address can't be re-matched). Pure
     * map stage — at 100 TB this saturates scan bandwidth, nothing
     * shuffles. */
-  def redactPii(df: DataFrame, textCol: Column): DataFrame = {
-    val red =
+  /** The clean-corpus pipeline (q78): exact-dedup survivors (q34's
+    * fingerprint window, min-doc_id canonical) → Gopher repetition
+    * keep (the [[gopherRepetition]] rules as an inline map filter, no
+    * gram shuffle) → PII redaction → BPE-ish token count. ONE scan,
+    * ONE exchange (the fingerprint window) + the protocol sort;
+    * everything else fused map work — corpus hygiene at scan
+    * bandwidth. */
+  def cleanCorpus(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val st = graft.plans.RepetitionStats(trim(col("text")))
+    docs
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .withColumn("canon_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("canon_id"))
+      .withColumn("st", st)
+      .filter(col("st.top2_cov") * 5 <= col("st.tot") &&
+        col("st.dup5_cov") * 20 <= col("st.tot") * 3)
+      .withColumn("red_text", redacted(col("text")))
+      .select(col("doc_id"), col("red_text"),
+        TextFunctions.bpeTokenCount(col("red_text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The redaction column alone (email first so digit runs inside a
+    * matched address can't be re-matched) — shared by [[redactPii]]
+    * and pipeline compositions (q78). */
+  def redacted(textCol: Column): Column =
+    regexp_replace(
       regexp_replace(
-        regexp_replace(
-          regexp_replace(textCol, EmailRe, "<EMAIL>"),
-          IpRe, "<IP>"),
-        PhoneRe, "<PHONE>")
+        regexp_replace(textCol, EmailRe, "<EMAIL>"),
+        IpRe, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  def redactPii(df: DataFrame, textCol: Column): DataFrame = {
+    val red = redacted(textCol)
     df.withColumn("n_email", regexp_count(textCol, lit(EmailRe)))
       .withColumn("n_phone", regexp_count(textCol, lit(PhoneRe)))
       .withColumn("n_ip", regexp_count(textCol, lit(IpRe)))

@@ -157,9 +157,57 @@ object CleanOps extends QueryModule {
        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q78: the CLEAN-CORPUS capstone — the composed pipeline a
+  // pretraining job actually materializes: exact-dedup survivors
+  // (q34's fingerprint window) → Gopher repetition keep (q73's rules
+  // as an inline RepetitionStats map filter — no gram shuffle) → PII
+  // redaction (q74's map stage) → BPE-ish token count (q28's native
+  // counter) per surviving document. Spark shape: ONE scan, ONE
+  // window exchange (the dedup fingerprint), everything else fused
+  // map work — the whole corpus-hygiene pipeline at scan bandwidth.
+  private def q78(s: SparkSession, dir: String): DataFrame =
+    Quality.cleanCorpus(docs(s, dir))
+
+  private val q78Sql = {
+    import graft.functions.TextFunctions.{BpeTokenRe, WsPlusRe}
+    val red = s"""regexp_replace(regexp_replace(regexp_replace(text,
+       |    '${Quality.EmailRe}', '<EMAIL>', 'g'),
+       |    '${Quality.IpRe}', '<IP>', 'g'),
+       |    '${Quality.PhoneRe}', '<PHONE>', 'g')""".stripMargin
+    s"""WITH f AS (SELECT doc_id, text,
+       |    md5(lower(trim(regexp_replace(text, '$WsPlusRe', ' ', 'g')))) AS fp
+       |  FROM documents),
+       |surv AS (SELECT doc_id, text FROM
+       |  (SELECT doc_id, text, min(doc_id) OVER (PARTITION BY fp) AS canon FROM f)
+       |  WHERE doc_id = canon),
+       |d AS (SELECT doc_id, text, string_split(trim(text), ' ') AS ws,
+       |    length(replace(text, ' ', '')) AS tot FROM surv),
+       |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+       |         i -> ws[i] || ' ' || ws[i+1])) AS g
+       |       FROM d WHERE len(ws) >= 2),
+       |c2 AS (SELECT doc_id, max(cnt * (length(g) - 1)) AS top2_cov
+       |       FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+       |       GROUP BY 1),
+       |g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+       |       FROM d WHERE len(ws) >= 5),
+       |c5 AS (SELECT doc_id, sum(cnt * (length(g) - 4)) AS dup5_cov
+       |       FROM (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2)
+       |       WHERE cnt > 1 GROUP BY 1),
+       |keepd AS (SELECT d.doc_id, d.text
+       |  FROM d LEFT JOIN c2 USING (doc_id) LEFT JOIN c5 USING (doc_id)
+       |  WHERE coalesce(top2_cov, 0) * 5 <= d.tot
+       |    AND coalesce(dup5_cov, 0) * 20 <= 3 * d.tot)
+       |SELECT doc_id, $red AS red_text,
+       |  CAST(len(regexp_extract_all($red, '$BpeTokenRe')) AS BIGINT) AS n_tokens
+       |FROM keepd ORDER BY doc_id""".stripMargin
+  }
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q73_gopher_repetition", q73, Some(q73Sql)),
     QueryDef("q74_pii_redact", q74, Some(q74Sql)),
     QueryDef("q75_boilerplate_ngrams", q75, Some(q75Sql)),
-    QueryDef("q76_dsir_model", q76, Some(q76Sql)))
+    QueryDef("q76_dsir_model", q76, Some(q76Sql)),
+    QueryDef("q78_clean_corpus", q78, Some(q78Sql)))
 }

@@ -108,6 +108,26 @@ class CleanOpsSpec extends SparkTestBase {
     assert(q("q75_boilerplate_ngrams").count() == 20)
   }
 
+  test("q78 clean-corpus pipeline: dedup survivors only, repetition rules enforced, redaction applied") {
+    import spark.implicits._
+    // Gopher's 2-gram rule needs realistic LENGTH: in a short doc one
+    // 2-gram trivially covers >20% of the characters
+    val ordinary = (1 to 60).map(i => s"w$i").mkString(" ")
+    val withPii = (1 to 50).map(i => s"v$i").mkString(" ") +
+      " mail bob.smith@example.org or ping 10.0.0.1 today"
+    val spam = ("spam " * 40).trim
+    val d = docsOf(
+      1L -> ordinary,
+      2L -> ordinary,  // exact dup of 1
+      3L -> spam,      // fails the 2-gram rule
+      4L -> withPii)
+    val r = Quality.cleanCorpus(d)
+    val rows = r.collect().map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(rows.keySet == Set(1L, 4L), s"survivor set wrong: ${rows.keySet}")
+    assert(rows(4L)._1.contains("<EMAIL>") && rows(4L)._1.contains("<IP>"))
+    assert(rows(1L)._2 > 0)
+  }
+
   test("DSIR: hand-computed log weights on a tiny corpus") {
     import graft.operators.Dsir
     // target = docs containing stopword mass; weights must equal the
