@@ -106,6 +106,12 @@ object Quality {
       .withColumn("red_text", redacted(col("text")))
       .select(col("doc_id"), col("red_text"),
         TextFunctions.bpeTokenCount(col("red_text")).as("n_tokens"))
+      // the q36/q37 sort discipline: the protocol sort's range sampler
+      // re-executes its child with a separate job — a user-specified
+      // hash repartition is the materialized re-read point, so
+      // sampling re-reads shuffle files instead of re-running the
+      // window + regex pipeline (measured: 2.7 s → 1.8 s at sf1)
+      .repartition(col("doc_id"))
       .orderBy(col("doc_id"))
   }
 
