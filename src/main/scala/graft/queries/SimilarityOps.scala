@@ -87,8 +87,15 @@ object SimilarityOps extends QueryModule {
   private val DupT = Similarity.NumTables
   private val DupP = Similarity.DupPlanes
 
+  // the q36/q37/q78 sort discipline: the protocol sort's range
+  // sampler re-executes its child (the union of expansion joins) —
+  // the hash repartition is the materialized re-read point
+  // (measured 1.45 s → 0.95 s at sf1; q77 tested the same pin and
+  // LOST 0.5 s — its sort child resamples from existing shuffle
+  // files cheaply, so the extra exchange only costs there)
   private def q72(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(s, dir), MinDupSim)
+      .repartition(col("a"))
       .orderBy(col("a"), col("b"))
 
   private val q72Sql =
