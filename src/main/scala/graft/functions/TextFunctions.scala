@@ -118,7 +118,12 @@ object TextFunctions {
     * lowercased, trimmed text (reference: scripts/anonymize.py:24
     * hash-of-normalized-identity analog). */
   def fingerprint(text: Column): Column =
-    md5(lower(trim(regexp_replace(text, WsPlusRe, " "))))
+    md5(lower(trim(graft.plans.WsCollapse(text))))
+
+  /** The regex form of the fingerprint's normalization — kept as the
+    * property-test reference for [[graft.plans.WsCollapse]]. */
+  def wsCollapseRegex(text: Column): Column =
+    regexp_replace(text, WsPlusRe, " ")
 
   /** Deterministic anonymous id: 16 hex chars of salted md5
     * (reference: scripts/anonymize.py:24-29 md5(id) → numeric id). */

@@ -74,63 +74,92 @@ object Quality {
 
   // PII patterns — portable between Java regex (Spark) and RE2
   // (DuckDB): character classes, bounded repetition and \b only, no
-  // backrefs or lookaround.
+  // backrefs or lookaround. These are the ORACLE surface; Spark-side
+  // evaluation is the native byte-scan [[graft.plans.PiiScan]],
+  // property-pinned to these exact patterns.
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\b\\d{3}-\\d{4}-\\d{4}\\b"
+
+  /** Separator-delimited phone shapes: 3-3-4 (`555-123-4567`,
+    * `555.123.4567`) and 3-4-4 (the synthetic corpus's injected
+    * format). Parenthesized forms like `(555) 123-4567` are out of
+    * scope: a leading `\b\(` can never match after a space (the `\b`
+    * would need a WORD char before the paren), and the alternation
+    * that fixes it isn't portable to the same leftmost-greedy shape
+    * across Java regex and RE2 without lookaround — documented
+    * limitation rather than a subtly engine-divergent pattern. */
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
   val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  /** PII detection + redaction over a text column: per-row match
-    * counts for email / phone / IPv4 patterns and the redacted text
-    * (`<EMAIL>`/`<IP>`/`<PHONE>` placeholders; email replaced first so
-    * digit runs inside a matched address can't be re-matched). Pure
-    * map stage — at 100 TB this saturates scan bandwidth, nothing
-    * shuffles. */
-  /** The clean-corpus pipeline (q78): exact-dedup survivors (q34's
-    * fingerprint window, min-doc_id canonical) → Gopher repetition
-    * keep (the [[gopherRepetition]] rules as an inline map filter, no
-    * gram shuffle) → PII redaction → BPE-ish token count. ONE scan,
-    * ONE exchange (the fingerprint window) + the protocol sort;
-    * everything else fused map work — corpus hygiene at scan
-    * bandwidth. */
+  /** The clean-corpus pipeline (q78): exact-dedup survivors
+    * (min-doc_id canonical per normalized fingerprint, q34's
+    * semantics) → Gopher repetition keep (the [[gopherRepetition]]
+    * rules as an inline map filter, no gram shuffle) → PII redaction
+    * (native [[graft.plans.PiiScan]]) → BPE-ish token count. ONE
+    * scan, ONE exchange (the fingerprint min_by aggregate) + the
+    * protocol sort; everything else fused map work — corpus hygiene
+    * at scan bandwidth, zero regex passes end to end. */
   def cleanCorpus(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     val st = graft.plans.RepetitionStats(trim(col("text")))
     docs
-      .withColumn("fp", TextFunctions.fingerprint(col("text")))
-      .withColumn("canon_id", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("canon_id"))
+      // exact-dedup survivors as a min_by AGGREGATE on the
+      // fingerprint, not a window: identical result rows (the min
+      // doc_id's row per fp — the oracle SQL keeps the window form),
+      // but partial aggregation collapses duplicate texts MAP-SIDE
+      // before the exchange, so a pathologically duplicated document
+      // (the sf10 simhash soak's cliquey-corpus lesson) ships one row
+      // per map partition instead of funneling every copy through one
+      // reducer's window partition. Same single exchange, no
+      // within-partition sort, skew-proof by construction.
+      .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
       .withColumn("st", st)
       .filter(col("st.top2_cov") * 5 <= col("st.tot") &&
         col("st.dup5_cov") * 20 <= col("st.tot") * 3)
-      .withColumn("red_text", redacted(col("text")))
+      // withCounts=false: q78 consumes only red_text, so the two
+      // independent count scans are skipped (PiiScan scaladoc)
+      .withColumn("red_text",
+        graft.plans.PiiScan(col("text"), withCounts = false)
+          .getField("red_text"))
       .select(col("doc_id"), col("red_text"),
         TextFunctions.bpeTokenCount(col("red_text")).as("n_tokens"))
       // the q36/q37 sort discipline: the protocol sort's range sampler
       // re-executes its child with a separate job — a user-specified
       // hash repartition is the materialized re-read point, so
       // sampling re-reads shuffle files instead of re-running the
-      // window + regex pipeline (measured: 2.7 s → 1.8 s at sf1)
+      // dedup + scan pipeline (measured: 2.7 s → 1.8 s at sf1)
       .repartition(col("doc_id"))
       .orderBy(col("doc_id"))
   }
 
-  /** The redaction column alone (email first so digit runs inside a
-    * matched address can't be re-matched) — shared by [[redactPii]]
-    * and pipeline compositions (q78). */
-  def redacted(textCol: Column): Column =
+  /** The regex-chain redaction column (email first so digit runs
+    * inside a matched address can't be re-matched). Reference form
+    * only — kept as the spec surface [[graft.plans.PiiScan]] is
+    * property-pinned against; query paths use the native scan. */
+  def redactedRegex(textCol: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(textCol, EmailRe, "<EMAIL>"),
         IpRe, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** PII detection + redaction over a text column: per-row match
+    * counts for email / phone / IPv4 patterns on the original text
+    * and the redacted text (`<EMAIL>`/`<IP>`/`<PHONE>` placeholders;
+    * email replaced first so digit runs inside a matched address
+    * can't be re-matched). One native byte scan per row
+    * ([[graft.plans.PiiScan]]) instead of six regex traversals. Pure
+    * map stage — at 100 TB this saturates scan bandwidth, nothing
+    * shuffles. */
   def redactPii(df: DataFrame, textCol: Column): DataFrame = {
-    val red = redacted(textCol)
-    df.withColumn("n_email", regexp_count(textCol, lit(EmailRe)))
-      .withColumn("n_phone", regexp_count(textCol, lit(PhoneRe)))
-      .withColumn("n_ip", regexp_count(textCol, lit(IpRe)))
-      .withColumn("red_text", red)
+    val pii = graft.plans.PiiScan(textCol)
+    df.withColumn("pii", pii)
+      .withColumn("n_email", col("pii.n_email"))
+      .withColumn("n_phone", col("pii.n_phone"))
+      .withColumn("n_ip", col("pii.n_ip"))
+      .withColumn("red_text", col("pii.red_text"))
+      .drop("pii")
   }
 
   /** Corpus-level top-k word n-grams by occurrence count (boilerplate

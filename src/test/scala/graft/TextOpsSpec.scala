@@ -134,6 +134,32 @@ class TextOpsSpec extends SparkTestBase {
     assert(nulls.head.isNullAt(0) && nulls.head.isNullAt(1))
   }
 
+  test("byte-scan ws_collapse == regexp_replace(WsPlusRe, ' ') on adversarial and random text") {
+    import spark.implicits._
+    val crafted = Seq(
+      "", " ", "  ", "a", " a ", "a  b", "a \t b", "\t", "\t\t",
+      "a\tb\ncd\fe\rf", "", "ab", " \t\n\f\r ",
+      "no runs here", "café  touché", "日本語\t\tabc", "a😀  b", "tail  ")
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab z09 !.\t\n\f\ré日"
+    val random = (1 to 300).map { _ =>
+      Array.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val df = (crafted ++ random).toDF("text")
+      .select(graft.plans.WsCollapse(col("text")).as("fast"),
+        wsCollapseRegex(col("text")).as("ref"), col("text"))
+    val bad = df.filter(col("fast") =!= col("ref")).collect()
+    assert(bad.isEmpty, s"mismatch on: ${bad.map(_.getString(2)).take(5).toSeq}")
+    // null in -> null out; fingerprint stays md5-stable through the swap
+    val nulls = Seq(Option.empty[String]).toDF("text")
+      .select(graft.plans.WsCollapse(col("text")).as("c")).collect()
+    assert(nulls.head.isNullAt(0))
+    val fp = (crafted ++ random).toDF("text").select(
+      fingerprint(col("text")).as("fast"),
+      md5(lower(trim(wsCollapseRegex(col("text"))))).as("ref"))
+    assert(fp.filter(col("fast") =!= col("ref")).isEmpty)
+  }
+
   test("one-pass text_stats == composed split/translate/filter forms") {
     import spark.implicits._
     // stopword-adversarial: cased stopwords (must match), stopwords
