@@ -427,35 +427,66 @@ object Dedup {
       .join(dups, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_windows"),
         coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
-        (coalesce(col("dup_windows"), lit(0L)).cast("double") /
+        // dup_windows counts ANCHORED windows when anchorMod > 1 but
+        // n_windows is un-anchored, so rescale by the sampling rate:
+        // dup_frac is then a w.h.p. ESTIMATE of the true fraction
+        // (exact at the default anchorMod = 1, the oracle setting)
+        (coalesce(col("dup_windows"), lit(0L)).cast("double") * anchorMod /
           when(col("n_windows") === 0, lit(null)).otherwise(col("n_windows")))
           .as("dup_frac"))
   }
 
   /** The SURGERY half of exact-substring dedup (Lee et al. 2022 §3:
     * "remove all but one occurrence of each duplicated span"):
-    * KEEP-FIRST ownership — for every cross-document window hash, the
-    * globally first occurrence (min (doc_id, pos)) keeps its span and
-    * every other occurrence is cut from its document. Overlapping cut
-    * windows merge (a code point is dropped once, however many
-    * windows cover it — [[graft.plans.RemoveSpans]]).
+    * KEEP-FIRST ownership — for every L-char substring that occurs in
+    * ≥2 documents, the globally first occurrence (min (doc_id, pos))
+    * keeps its span and every other occurrence is cut from its
+    * document. Overlapping cut windows merge (a code point is dropped
+    * once, however many windows cover it —
+    * [[graft.plans.RemoveSpans]]).
     *
-    * Shape: the same slim (doc_id, pos, h) stream as
-    * [[dupSubstringStats]]; per-hash owner = one min-struct
-    * aggregation (map-side combinable); removal positions flow back
-    * as a per-doc sorted array (bounded by the doc's own window
-    * count) into one native span-cut pass per row. Returns
-    * (doc_id, clean_text) for every input doc. */
+    * EXACT on substrings, unlike [[dupSubstringStats]]'s hash-keyed
+    * SIGNAL: a stats false positive misprices one window, but a
+    * surgery false positive would silently delete L chars of
+    * unrelated text (expected collisions at the 2^40-range hash are
+    * ~n²/2M — already ~hundreds at sf1's 20M windows), so cuts must
+    * never trust the hash alone. Two-level shape:
+    *
+    *   1. slim (doc_id, pos, h) int64 stream → hashes with ≥2
+    *      distinct docs. A PRE-FILTER with no false negatives (equal
+    *      content ⇒ equal hash); collisions only admit extra
+    *      candidates.
+    *   2. candidates only re-derive their actual L-char slice
+    *      (one keyed join back to the text) and re-group by the
+    *      SLICE: ownership and the ≥2-docs test are decided on
+    *      content, so a collision's mixed group splits apart and
+    *      can never cut a non-duplicate (Lee et al.'s suffix-array
+    *      surgery semantics, reached without the suffix array).
+    *
+    * The corpus-wide exchanges stay 8-byte longs; L-char slices ship
+    * only for the candidate sliver (true dups + ~n²/2M collisions).
+    * Removal positions flow back as a per-doc sorted array (bounded
+    * by the doc's own window count) into one native span-cut pass per
+    * row. Returns (doc_id, clean_text) for every input doc. */
   def stripDupSpans(docs: DataFrame, l: Int = 40): DataFrame = {
     val occ = docs.select(col("doc_id"),
       posexplode(graft.plans.RollingHashes(col("text"), l)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
-    val owners = occ.groupBy(col("h")).agg(
-      countDistinct(col("doc_id")).as("nd"),
-      min(struct(col("doc_id"), col("pos"))).as("owner"))
+    val dupH = occ.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
-      .select(col("h"), col("owner.doc_id").as("odoc"), col("owner.pos").as("opos"))
-    val removals = occ.join(owners, Seq("h"))
+      .select(col("h"))
+    val candS = occ.join(dupH, Seq("h"))
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), col("h"),
+        expr(s"substring(text, pos + 1, $l)").as("slice"))
+    val groups = candS.groupBy(col("h"), col("slice")).agg(
+      countDistinct(col("doc_id")).as("nd2"),
+      min(struct(col("doc_id"), col("pos"))).as("owner"))
+      .filter(col("nd2") >= 2)
+      .select(col("h"), col("slice"),
+        col("owner.doc_id").as("odoc"), col("owner.pos").as("opos"))
+    val removals = candS.join(groups, Seq("h", "slice"))
       .filter(!(col("doc_id") === col("odoc") && col("pos") === col("opos")))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("ps"))

@@ -355,6 +355,43 @@ object DedupOps extends QueryModule {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q79: the SURGERY half of exact-substring dedup — stripDupSpans'
+  // OUTPUT text (not just q77's stats) pinned cross-engine. The
+  // operator decides ownership on actual slice content (hash is only
+  // Spark's pre-filter), so the oracle needs no hash at all: group
+  // windows by their literal 40-char substring, keep-first, merge
+  // overlapping cut intervals (gaps-and-islands), stitch the kept
+  // segments. ORDER BY inside string_agg keeps segment order exact.
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripDupSpans(docs(s, dir), SubL).orderBy(col("doc_id"))
+
+  private val q79Sql =
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |occ AS (SELECT doc_id, text, unnest(range(0, greatest(n - ${SubL - 1}, 0))) AS pos FROM d),
+       |o2 AS (SELECT doc_id, pos, substr(text, CAST(pos + 1 AS INT), $SubL) AS slice FROM occ),
+       |g AS (SELECT slice, min(struct_pack(doc_id := doc_id, pos := pos)) AS owner
+       |      FROM o2 GROUP BY slice HAVING count(DISTINCT doc_id) >= 2),
+       |rem AS (SELECT o2.doc_id, o2.pos FROM o2 JOIN g USING (slice)
+       |        WHERE NOT (o2.doc_id = g.owner.doc_id AND o2.pos = g.owner.pos)),
+       |rem2 AS (SELECT doc_id, pos,
+       |    CASE WHEN pos <= coalesce(max(pos + $SubL) OVER (PARTITION BY doc_id ORDER BY pos
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 0 ELSE 1 END AS brk
+       |  FROM rem),
+       |rem3 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM rem2),
+       |iv AS (SELECT doc_id, min(pos) AS s, max(pos) + $SubL AS e FROM rem3 GROUP BY doc_id, grp),
+       |tails AS (SELECT doc_id, max(e) AS ks FROM iv GROUP BY doc_id),
+       |segs AS (
+       |  SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ks, s AS ke FROM iv
+       |  UNION ALL
+       |  SELECT t.doc_id, t.ks, d.n AS ke FROM tails t JOIN d USING (doc_id)
+       |),
+       |cleaned AS (SELECT s.doc_id,
+       |    string_agg(substr(d.text, CAST(s.ks + 1 AS INT), CAST(greatest(s.ke - s.ks, 0) AS INT)), '' ORDER BY s.ks) AS clean_text
+       |  FROM segs s JOIN d USING (doc_id) GROUP BY s.doc_id)
+       |SELECT d.doc_id, CASE WHEN c.clean_text IS NULL THEN d.text ELSE c.clean_text END AS clean_text
+       |FROM d LEFT JOIN cleaned c USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q34_dedup_exact", q34, Some(q34Sql)),
     QueryDef("q35_dedup_jaccard", q35, Some(q35Sql)),
@@ -363,10 +400,14 @@ object DedupOps extends QueryModule {
     QueryDef("q38_dedup_embedding", q38, Some(q38Sql)),
     QueryDef("q70_dedup_clusters", q70, Some(q70Sql)),
     QueryDef("q71_decontaminate", q71, Some(q71Sql)),
-    QueryDef("q77_dup_substrings", q77, Some(q77Sql)))
+    QueryDef("q77_dup_substrings", q77, Some(q77Sql)),
+    QueryDef("q79_strip_dup_spans", q79, Some(q79Sql)))
 
-  /** q35/q38 are the quadratic correctness baselines — the headline
-    * bench runs the bucketed scale paths instead. */
+  /** q35/q38 are the quadratic correctness baselines and q79's oracle
+    * mirror materializes every window's 40-char slice (fine at the
+    * sf0.01 correctness gate, pathological as a DuckDB TIMING side) —
+    * the headline bench runs the bucketed/hashed scale paths
+    * instead. */
   override def headline: Seq[String] =
     Seq("q34_dedup_exact", "q36_dedup_minhash", "q37_dedup_simhash",
       "q70_dedup_clusters", "q71_decontaminate", "q77_dup_substrings")

@@ -252,6 +252,30 @@ class DedupOpsSpec extends SparkTestBase {
       && !r(3L).contains("lazy dog"), s"doc3 surgery wrong: '${r(3L)}'")
   }
 
+  test("stripDupSpans: a hash COLLISION between different substrings cuts nothing") {
+    import spark.implicits._
+    // Engineered collider for the 2^40-range polynomial hash: raising
+    // position 0 by 1 adds B^39, raising position 1 by B adds the same
+    // B^39 — so these two DIFFERENT 40-char windows share rolling hash
+    // 440698971042 (verified below against the production expression).
+    val s1 = "b" + "a" * 39
+    val s2 = "a" + new String(Character.toChars(97 + 1000003)) + "a" * 38
+    val h1 = graft.plans.RollingHashes.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s1), 40)
+    val h2 = graft.plans.RollingHashes.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s2), 40)
+    assert(s1 != s2 && h1.toSeq == h2.toSeq,
+      "collider constants drifted — rebuild them against RollingHashes")
+    // hash-keyed surgery would see one cross-doc hash (nd=2), crown
+    // doc 1 owner, and DELETE doc 2's unique text; the content-level
+    // regroup must leave both untouched
+    val d = Seq((1L, s1), (2L, s2)).toDF("doc_id", "text")
+    val r = Dedup.stripDupSpans(d, 40).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == s1 && r(2L) == s2,
+      s"collision caused a cut: $r")
+  }
+
   test("anchorMod keeps content-aligned windows: a long shared span is still flagged in both docs") {
     import spark.implicits._
     val rnd = new scala.util.Random(83)
