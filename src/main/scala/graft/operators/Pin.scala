@@ -22,4 +22,17 @@ object Pin {
   def apply(df: DataFrame, eager: Boolean = false): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
     else df.localCheckpoint(eager)
+
+  /** Release the block-manager storage behind a pinned DataFrame.
+    * Iterative drivers (ConnectedComponents' label loop) pin every
+    * round; without an explicit release each round's slim label set
+    * stays resident for the job's lifetime — O(rounds) copies on a
+    * high-diameter input. Only call once nothing still referenced
+    * depends on the pin (a localCheckpoint's blocks ARE its data). */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -39,11 +39,28 @@ class ConnectedComponentsSpec extends SparkTestBase {
     import spark.implicits._
     val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
     val boom = intercept[IllegalArgumentException] {
-      ConnectedComponents.clusters(chain, maxIter = 2).count()
+      ConnectedComponents.clusters(chain, maxIter = 1).count()
     }
     assert(boom.getMessage.contains("did not converge"))
     // and with room it converges to the single min label
     val ok = ConnectedComponents.clusters(chain, maxIter = 20)
     assert(ok.filter(col("cluster_id") =!= 1L).isEmpty)
+  }
+
+  test("pointer halving: diameter-64 path converges in O(log d) rounds with bounded storage") {
+    import spark.implicits._
+    val chain = (0L to 64L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val (df, rounds) = ConnectedComponents.clustersWithRounds(chain, "a", "b", maxIter = 20)
+    assert(df.filter(col("cluster_id") =!= 0L).isEmpty, "all 65 nodes label 0")
+    // min-propagation alone walks one hop per round (64 rounds);
+    // the shortcut closes a 64-diameter path in <= 10
+    assert(rounds <= 10, s"shortcut missing: took $rounds rounds")
+    // storage bound: every superseded round's pin was released —
+    // at most the final labels pin (+ the edges pin's released-but-
+    // not-yet-gc'd entry) may remain registered
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedAfter - persistedBefore <= 2,
+      s"pins leaked: $persistedBefore -> $persistedAfter with $rounds rounds")
   }
 }
