@@ -307,6 +307,102 @@ object Multimodal {
     }
   }
 
+  /** Perceptual dHash grid: 6 rows × 11 columns of box-averaged luma
+    * → 10 left-vs-right comparisons per row = 60 bits, deliberately
+    * the SAME width as the text SimHash so
+    * [[graft.operators.Dedup.simhashPairs]]'s block-pair banding,
+    * hot-bucket cap, and first-clean-pair ownership apply to images
+    * VERBATIM (the classic 8×8 dHash is 64-bit; dropping to 10×6
+    * comparisons loses nothing the hamming threshold cares about). */
+  val DHashCols = 11
+  val DHashRows = 6
+
+  /** REAL perceptual image hash (dHash, difference hash): decode via
+    * ImageIO, box-average integer luma (r+g+b sums — no float, no
+    * Java2D resampling, so the value is bit-exact across JVMs) into
+    * the [[DHashRows]]×[[DHashCols]] grid, emit bit 1 where a cell's
+    * mean luma exceeds its right neighbor's (cross-multiplied integer
+    * compare — cells may cover unequal pixel counts). Near-identical
+    * images — recompressed, mildly resized — keep most bits; distinct
+    * images land ~30 bits apart (spec plants both). Returns
+    * (doc_id, simhash) rows for DECODABLE image rows only, named to
+    * feed [[graft.operators.Dedup.simhashPairs]] directly.
+    *
+    * Test-gated, not an oracle row: the driver's tables carry no
+    * image payloads and DuckDB ships no image codec, so there is no
+    * cross-engine surface to pin — same standing as the other
+    * multimodal decode components (§2.F). */
+  def imageDHash(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          decodedImage(r).map { img => (r.mediaId, dhash60(img)) }
+        }
+      }
+    }.toDF("doc_id", "simhash")
+  }
+
+  /** The 60-bit dHash of one decoded image (see [[imageDHash]]). */
+  private[multimodal] def dhash60(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    // integer box bounds; degenerate dims (w < cols, h < rows) clamp
+    // to a nonempty 1-pixel cell so tiny images still hash
+    val cols = DHashCols
+    val rows = DHashRows
+    val sums = Array.ofDim[Long](rows, cols)
+    val cnts = Array.ofDim[Long](rows, cols)
+    var cy = 0
+    while (cy < rows) {
+      val y0 = math.min((h.toLong * cy / rows).toInt, h - 1)
+      val y1 = math.max(y0 + 1, (h.toLong * (cy + 1) / rows).toInt)
+      var cx = 0
+      while (cx < cols) {
+        val x0 = math.min((w.toLong * cx / cols).toInt, w - 1)
+        val x1 = math.max(x0 + 1, (w.toLong * (cx + 1) / cols).toInt)
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val px = img.getRGB(x, y)
+            s += ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        sums(cy)(cx) = s
+        cnts(cy)(cx) = (y1 - y0).toLong * (x1 - x0)
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L
+    cy = 0
+    while (cy < rows) {
+      var cx = 0
+      while (cx < cols - 1) {
+        // mean(cx) > mean(cx+1) without division: cross-multiply
+        val gt = sums(cy)(cx) * cnts(cy)(cx + 1) > sums(cy)(cx + 1) * cnts(cy)(cx)
+        bits = (bits << 1) | (if (gt) 1L else 0L)
+        cx += 1
+      }
+      cy += 1
+    }
+    bits
+  }
+
+  /** Image near-dup pairs: [[imageDHash]] → the q37 block-pair
+    * machinery (guaranteed recall for hamming ≤ maxHamming via
+    * pigeonhole over block pairs, optional hot-bucket cap for
+    * self-similar corpora — both inherited from
+    * [[graft.operators.Dedup.simhashPairs]] unchanged). */
+  def imageNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 10,
+                        maxBucketPop: Option[Long] = None): DataFrame =
+    graft.operators.Dedup.simhashPairs(imageDHash(media), maxHamming, maxBucketPop)
+
   /** Loads a parquet/DataFrame of media rows into the typed Dataset,
     * validating the expected physical schema. */
   def asMedia(df: DataFrame): Dataset[MediaRecord] = {

@@ -148,6 +148,59 @@ class MultimodalSpec extends SparkTestBase {
     assert(f(2L).sameElements(stub(2L)) && f(3L).sameElements(stub(3L)))
   }
 
+  test("image dHash: recompressed/resized copies collide, distinct images diverge, pairs found") {
+    import spark.implicits._
+    def gray(g0: Int): Int = { val g = math.max(0, math.min(255, g0)); (g << 16) | (g << 8) | g }
+    // photo-like deterministic pattern: sine along x, phase drifts by row
+    def pat(freq: Double, phase: Double)(w: Int, h: Int)(x: Int, y: Int): Int =
+      gray((128 + 100 * math.sin(2 * math.Pi * (x.toDouble / w * freq + y.toDouble / h + phase))).toInt)
+    def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    def render(w: Int, h: Int)(px: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+      img
+    }
+    val base = render(128, 96)(pat(3.0, 0.0)(128, 96))
+    val png = encode(base, "png")
+    val jpg = encode(base, "jpg") // lossy recompression of the SAME pixels
+    // mild resize: 2x subsample of the same pattern
+    val small = encode(render(64, 48)((x, y) => base.getRGB(x * 2, y * 2)), "png")
+    val otherA = encode(render(128, 96)(pat(5.0, 0.7)(128, 96)), "png")
+    val otherB = encode(render(96, 128)(pat(2.0, 0.31)(96, 128)), "png")
+    val rows = Seq(
+      MediaRecord(1L, "image", png, 128, 96, 0L),
+      MediaRecord(2L, "image", jpg, 128, 96, 0L),
+      MediaRecord(3L, "image", small, 64, 48, 0L),
+      MediaRecord(4L, "image", otherA, 128, 96, 0L),
+      MediaRecord(5L, "image", otherB, 96, 128, 0L),
+      MediaRecord(6L, "image", Array.tabulate(9)(_.toByte), 3, 3, 0L), // undecodable
+      MediaRecord(7L, "audio", png, 0, 0, 1L))                         // wrong kind
+    val ds = spark.createDataset(rows).repartition(3)
+    val hashes = Multimodal.imageDHash(ds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L, 4L, 5L), "decodable images only")
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes(1L), hashes(2L)) <= 10,
+      s"jpeg recompression drifted ${ham(hashes(1L), hashes(2L))} bits")
+    assert(ham(hashes(1L), hashes(3L)) <= 10,
+      s"2x resize drifted ${ham(hashes(1L), hashes(3L))} bits")
+    assert(ham(hashes(1L), hashes(4L)) > 10 && ham(hashes(1L), hashes(5L)) > 10
+      && ham(hashes(4L), hashes(5L)) > 10,
+      s"distinct images too close: ${Seq(ham(hashes(1L), hashes(4L)), ham(hashes(1L), hashes(5L)), ham(hashes(4L), hashes(5L)))}")
+    // end-to-end: the q37 banding finds exactly the planted trio
+    val pairs = Multimodal.imageNearDupPairs(ds, maxHamming = 10)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"pairs: $pairs")
+    // determinism across partitionings
+    val again = Multimodal.imageDHash(spark.createDataset(rows).repartition(1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == hashes)
+  }
+
   test("asMedia validates the physical schema") {
     import spark.implicits._
     val df = spark.createDataset(media(3)).toDF()

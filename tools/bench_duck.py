@@ -48,7 +48,22 @@ def main():
     # the hash approximates); time THAT as the fair proxy (5.6 s at
     # sf1 vs Spark's 3.8 s hash-keyed shape).
     sql = dict(sql)
+    overrides = []
+    # q79's oracle mirror materializes every 40-char window slice —
+    # fine at the sf0.01 correctness gate, pathological as a TIMING
+    # side at sf1 (and Spark's bench headline excludes q79 anyway, so
+    # combine_pairs would drop the number regardless). Skip, loudly.
+    skipped = sorted(n for n in ("q79_strip_dup_spans",) if n in sql)
+    for n in skipped:
+        print(f"NOTE: skipping non-headline {n} (slice-materializing "
+              "oracle mirror is a correctness surface, not a timing one)",
+              file=sys.stderr)
+        del sql[n]
     if "q77_dup_substrings" in sql:
+        overrides.append("q77_dup_substrings")
+        print("NOTE: q77_dup_substrings TIMED via the idiomatic "
+              "substring-GROUP-BY override, not the oracle's lambda "
+              "hash mirror (see comment above)", file=sys.stderr)
         sql["q77_dup_substrings"] = """
 WITH w AS (SELECT doc_id, unnest(list_transform(range(1, length(text)-39+1), i -> substr(text, i, 40))) AS g
            FROM documents WHERE length(text) >= 40),
@@ -77,7 +92,9 @@ FROM documents d LEFT JOIN dups USING (doc_id) ORDER BY d.doc_id"""
             print(f"ERR {name}: {str(e)[:120]}")
         res[name] = round(dt, 3)
         total += max(dt, 0.0)
-    json.dump({"total": round(total, 3), "queries": res}, open(out_path, "w"))
+    json.dump({"total": round(total, 3), "queries": res,
+               "overrides": overrides, "skipped": skipped},
+              open(out_path, "w"))
     print(f"duckdb total {total:.2f} s over {len(res)} queries -> {out_path}")
 
 
