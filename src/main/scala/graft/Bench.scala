@@ -23,8 +23,10 @@ import org.apache.spark.sql.SparkSession
   * bench_out.json in the cwd for log-noise-proof parsing).
   */
 object Bench {
-  /** Fixed-work host-health probe: 500M-step LCG, single thread. */
-  private def probeSec(): Double = {
+  /** Fixed-work host-health probe: 500M-step LCG, single thread.
+    * Shared with BenchGuardSpec so the guard gates on the identical
+    * health signal the bench protocol uses. */
+  private[graft] def probeSec(): Double = {
     val t0 = System.nanoTime()
     var x = 0L
     var i = 0

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** The clean-corpus pipeline (q78) as an always-on STREAM — the
+  * live-ingest hygiene a training-data firehose consumer runs instead
+  * of periodic batch sweeps. Every q78 stage except the dedup is a
+  * stateless map over native expressions, so the streaming plan is
+  * the batch plan with exactly ONE stateful operator swapped in:
+  *
+  *   - exact dedup: `dropDuplicatesWithinWatermark` on the SAME
+  *     normalized fingerprint batch q34/q78 group on
+  *     ([[graft.functions.TextFunctions.fingerprint]]), with
+  *     [[StreamDedup]]'s bounded-state contract (state ∝ arrival rate
+  *     × watermark delay, never stream lifetime). Canonical-row
+  *     choice differs by construction: batch keeps the min doc_id,
+  *     the stream keeps the FIRST ARRIVAL — identical output when
+  *     arrival order follows doc_id (the replay test), and the
+  *     at-scale trade (late duplicates beyond the horizon re-admit)
+  *     is inherited and documented there.
+  *   - Gopher repetition keep: [[graft.plans.RepetitionStats]] inline
+  *     filter — pure map, no gram shuffle, streams unchanged.
+  *   - PII redaction: [[graft.plans.PiiScan]] (withCounts=false —
+  *     only the redacted text flows on), pure map.
+  *   - BPE-ish token count: [[graft.plans.BpeTokenCount]], pure map.
+  *
+  * No protocol sort (streams have no total order — consumers key on
+  * docId); otherwise the emitted columns match q78's
+  * (doc_id, red_text, n_tokens) plus the event time. */
+object StreamClean {
+
+  /** Streaming q78: dedup-within-watermark → repetition keep → PII
+    * redaction → token count. Input rows are [[StreamDedup.Doc]]
+    * (docId, event-time ts, text). */
+  def cleanCorpusStream(docs: Dataset[StreamDedup.Doc],
+                        watermarkDelay: String = "10 seconds"): DataFrame = {
+    val st = graft.plans.RepetitionStats(trim(col("text")))
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+      .withColumn("st", st)
+      .filter(col("st.top2_cov") * 5 <= col("st.tot") &&
+        col("st.dup5_cov") * 20 <= col("st.tot") * 3)
+      .withColumn("red_text",
+        graft.plans.PiiScan(col("text"), withCounts = false)
+          .getField("red_text"))
+      .select(col("docId").as("doc_id"), col("ts"), col("red_text"),
+        graft.functions.TextFunctions.bpeTokenCount(col("red_text")).as("n_tokens"))
+  }
+}

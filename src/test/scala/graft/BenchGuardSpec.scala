@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Perf REGRESSION gate over the committed sf1 envelope
+  * (`bench_envelope_sf1.conf`: `query=seconds` lines, the min-combined
+  * protocol numbers of the round that last touched performance) —
+  * PlanSpec catches shape regressions, this catches the silent
+  * constant-factor ones (a Janino fallback, a codegen cache miss, an
+  * accidental O(n²) inside one row) that leave the plan intact.
+  *
+  * Opt-in (`GRAFT_BENCH_GUARD=1 sbt "testOnly graft.BenchGuardSpec"` —
+  * minutes of wall-clock and it needs the sf1 tables + an otherwise
+  * idle JVM, so it must not run inside the ordinary suite). Probe-gated
+  * like graft.Bench: a pass counts only when the fixed-work host probe
+  * is healthy on both sides, because this host shows multi-x external
+  * contention windows; with no clean pass the test CANCELS (no signal)
+  * rather than failing on machine noise.
+  *
+  * A query fails the gate at > 2× its envelope. Calibration, measured
+  * when this gate was built: envelope lines are BEST-EVER protocol
+  * minimums (16-pair min-combine on an idle host), and probe-CLEAN
+  * guard passes on this host still read 1.1–1.5× of those mins
+  * (q11 1.11×, q36 1.37×, q59 1.47× same-session, no code change) —
+  * the single-thread probe can't see the memory-bandwidth class of
+  * contention that stretches the parallel queries. 1.5× slack over
+  * best-ever mins would therefore fail on host drift; 2× stays
+  * silent through drift while still catching the step-function
+  * regressions this gate exists for (a Janino fallback is 3–10×, an
+  * accidental quadratic worse). Refresh the envelope whenever a
+  * round's final sf1 pair is produced (tools/combine_pairs prints the
+  * per-query mins that become these lines).
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  private val Slack = 2.0
+
+  test("sf1 headline queries stay within 2x of the committed envelope") {
+    assume(sys.env.get("GRAFT_BENCH_GUARD").contains("1"),
+      "opt-in: set GRAFT_BENCH_GUARD=1")
+    val envPath = Paths.get("bench_envelope_sf1.conf")
+    assume(Files.exists(envPath), s"no committed envelope at $envPath")
+    val sfDir = sys.env.getOrElse("GRAFT_BENCH_SF_DIR", "/root/repo/.bench/sf1")
+    assume(Files.isDirectory(Paths.get(sfDir)), s"sf1 tables missing at $sfDir")
+
+    val envelope: Map[String, Double] = {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(envPath).asScala
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val Array(k, v) = l.split("=", 2)
+          k.trim -> v.trim.toDouble
+        }.toMap
+    }
+    val names = SparkEntry.headline.filter(envelope.contains)
+    assert(names.nonEmpty, "envelope names none of the headline queries")
+
+    val spark = GraftSession.local("32", "32", logLevel = "ERROR")
+    try {
+      val queries = SparkEntry.queries
+      def runOne(n: String): Double = {
+        val t0 = System.nanoTime()
+        queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      names.foreach(runOne) // warm-up: JIT, footer cache, codegen cache
+
+      val ProbeHealthySec = 0.8
+      var passes = List.empty[Map[String, Double]]
+      var attempts = 0
+      while (passes.size < 2 && attempts < 5) {
+        attempts += 1
+        if (Bench.probeSec() <= ProbeHealthySec) {
+          val pass = names.map(n => n -> runOne(n)).toMap
+          if (Bench.probeSec() <= ProbeHealthySec) passes ::= pass
+        } else Thread.sleep(5000)
+      }
+      assume(passes.nonEmpty, "no probe-clean pass in 5 attempts — host contended, no signal")
+
+      val over = names.flatMap { n =>
+        val best = passes.map(_(n)).min
+        val limit = envelope(n) * Slack
+        if (best > limit)
+          Some(f"$n: $best%.2f s > ${Slack}x envelope ${envelope(n)}%.2f s")
+        else None
+      }
+      assert(over.isEmpty,
+        s"perf regression vs committed sf1 envelope:\n  ${over.mkString("\n  ")}")
+    } finally spark.stop()
+  }
+}

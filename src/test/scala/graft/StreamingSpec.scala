@@ -200,6 +200,48 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming clean-corpus equals batch q78 on a replayed document stream") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{StreamClean, StreamDedup}
+    import graft.streaming.StreamDedup.Doc
+    // real corpus rows + planted rows exercising every stage: an exact
+    // dup under a different id, a repetition-rule casualty, and PII
+    val real = Tables.documents(spark, sfDir).orderBy("doc_id").limit(40)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val planted = Seq(
+      1000L -> real.head._2,                                  // dup of doc 0
+      1001L -> ("spam " * 30).trim,                           // fails gopher keep
+      // long enough that the top-2-gram rule (cov*5 <= tot) passes:
+      // a short doc's single longest 2-gram alone covers > 1/5 of it
+      1002L -> ("write to eve+pi@example.org at 10.0.0.7 or 555-123-4567 ok " +
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda " +
+        "mu nu xi omicron rho sigma tau upsilon phi chi psi omega end"))
+    val rows = (real.toSeq ++ planted).zipWithIndex.map { case ((id, text), i) =>
+      Doc(id, new Timestamp(100000L + i * 10), text) // arrival follows doc order
+    }
+    val input = MemoryStream[Doc]
+    val query = StreamClean.cleanCorpusStream(input.toDS(), "10 seconds")
+      .writeStream.format("memory").queryName("sclean_out").outputMode("append").start()
+    try {
+      // replay in micro-batches of 7, all within the watermark horizon
+      rows.grouped(7).foreach { g => input.addData(g); query.processAllAvailable() }
+      val got = spark.table("sclean_out")
+        .select("doc_id", "red_text", "n_tokens")
+        .as[(Long, String, Long)].collect().toSet
+      val want = graft.operators.Quality.cleanCorpus(
+        (real.toSeq ++ planted).toDF("doc_id", "text"))
+        .select("doc_id", "red_text", "n_tokens")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == want,
+        s"stream/batch divergence: extra=${got -- want}, missing=${want -- got}")
+      // and the planted rows behaved: dup dropped, spam dropped, PII redacted
+      val byId = got.map(t => t._1 -> t._2).toMap
+      assert(!byId.contains(1000L) && !byId.contains(1001L))
+      assert(byId(1002L).startsWith("write to <EMAIL> at <IP> or <PHONE> ok"))
+    } finally query.stop()
+  }
+
   test("running heuristics accumulate across micro-batches per instance") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
