@@ -40,21 +40,36 @@ object SoakSubstring {
     val occ = corpus.select(col("doc_id"),
       explode(graft.plans.RollingHashes(col("text"), 40)).as("h"))
     val nWindows = timed("windows")(occ.count())
-    val perDoc = occ.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
-    val stats = timed("hash stats")(
-      perDoc.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    // beyond ~1M docs the un-anchored stages are exactly what the
+    // anchorMod dial exists to avoid (the full 10x run is recorded in
+    // BENCH_SF10.md); at the 5M-doc decade only the dialed path runs
+    if (copies <= 20) {
+      val perDoc = occ.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
+      val stats = timed("hash stats")(
+        perDoc.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+          .agg(count(lit(1)).as("hashes"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("multi"),
+            max(col("nd")).as("max_family")).collect()(0))
+      println(s"SOAK windows $nWindows distinct_hashes ${stats.getLong(0)} " +
+        s"multi_doc ${stats.getLong(1)} max_family ${stats.getLong(2)}")
+
+      val out = timed("dupSubstringStats end-to-end")(
+        Dedup.dupSubstringStats(corpus, 40)
+          .agg(sum(col("dup_windows")), count(lit(1))).collect()(0))
+      println(s"SOAK dup_windows_total ${out.getLong(0)} rows ${out.getLong(1)}")
+    } else println(s"SOAK un-anchored stages skipped at $copies copies (dialed path only)")
+
+    // the anchorMod scale dial: ~1/16 of windows, content-aligned
+    val aOcc = occ.filter(col("h") % 16 === 0)
+    val nAnchored = timed("anchored windows")(aOcc.count())
+    val aStats = timed("anchored hash stats")(
+      aOcc.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
+        .groupBy(col("h")).agg(count(lit(1)).as("nd"))
         .agg(count(lit(1)).as("hashes"),
           sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("multi"),
           max(col("nd")).as("max_family")).collect()(0))
-    println(s"SOAK windows $nWindows distinct_hashes ${stats.getLong(0)} " +
-      s"multi_doc ${stats.getLong(1)} max_family ${stats.getLong(2)}")
-
-    val out = timed("dupSubstringStats end-to-end")(
-      Dedup.dupSubstringStats(corpus, 40)
-        .agg(sum(col("dup_windows")), count(lit(1))).collect()(0))
-    println(s"SOAK dup_windows_total ${out.getLong(0)} rows ${out.getLong(1)}")
-
-    // the anchorMod scale dial: ~1/16 of windows, content-aligned
+    println(f"SOAK anchored_windows $nAnchored (1/${nWindows.toDouble / nAnchored}%.1f of all) " +
+      s"anchored_hashes ${aStats.getLong(0)} multi ${aStats.getLong(1)} max_family ${aStats.getLong(2)}")
     val anchored = timed("dupSubstringStats anchorMod=16")(
       Dedup.dupSubstringStats(corpus, 40, anchorMod = 16)
         .agg(sum(col("dup_windows")), sum(when(col("dup_windows") > 0, 1L).otherwise(0L)))
