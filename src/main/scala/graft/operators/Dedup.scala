@@ -496,4 +496,46 @@ object Dedup {
           .otherwise(graft.plans.RemoveSpans(col("text"), col("ps"), l))
           .as("clean_text"))
   }
+
+  /** SURGICAL benchmark decontamination: instead of q71's flag (drop
+    * the whole training document on any n-gram collision — the
+    * GPT-3/PaLM check), CUT only the L-char spans that appear
+    * verbatim in the held-out benchmark set and keep the rest of the
+    * document — the higher-recall-of-data variant a pipeline runs
+    * when contaminated docs are too valuable to drop wholesale.
+    *
+    * Same exactness contract as [[stripDupSpans]]: the benchmark's
+    * window-hash set is only a no-false-negative PRE-FILTER (it
+    * broadcasts — a benchmark is tiny by definition, q71's
+    * discipline); every candidate window then verifies its actual
+    * L-char slice against the benchmark slice for that hash before
+    * anything is cut, so a rolling-hash collision can never delete
+    * clean training text. Overlapping cut windows merge
+    * ([[graft.plans.RemoveSpans]]). Returns (doc_id, clean_text) for
+    * every NON-benchmark doc. */
+  def decontaminateStrip(docs: DataFrame, benchPred: Column,
+                         l: Int = 40): DataFrame = {
+    val bench = docs.filter(benchPred)
+    val train = docs.filter(!benchPred)
+    val benchW = bench
+      .select(col("doc_id"), col("text"),
+        posexplode(graft.plans.RollingHashes(col("text"), l)))
+      .select(col("col").as("h"),
+        expr(s"substring(text, pos + 1, $l)").as("bslice"))
+      .distinct()
+    val removals = train
+      .select(col("doc_id"), col("text"),
+        posexplode(graft.plans.RollingHashes(col("text"), l)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("h"), col("text"))
+      .join(broadcast(benchW), Seq("h"))
+      .filter(expr(s"substring(text, pos + 1, $l)") === col("bslice"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("ps"))
+    train.join(removals, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ps").isNull, col("text"))
+          .otherwise(graft.plans.RemoveSpans(col("text"), col("ps"), l))
+          .as("clean_text"))
+  }
 }

@@ -162,6 +162,39 @@ object Quality {
       .drop("pii")
   }
 
+  /** The data-MIXTURE table (per-source corpus composition) every
+    * pretraining run builds before choosing sampling weights: for
+    * each `source`, document count, exact-duplicate count (docs that
+    * are NOT the min-doc_id canonical of their normalized-fingerprint
+    * family — q34's survivor rule, so "dup rate" here means "what
+    * exact dedup would remove"), total BPE-ish token count, and the
+    * count of English-looking docs (the q76 stopword-ratio ≥ 0.05
+    * predicate).
+    *
+    * Shape: ONE corpus exchange (the fingerprint window — each row
+    * must learn whether it is its family's canonical, which is
+    * per-row information an aggregate can't return) followed by a
+    * groupBy on the tiny `source` key with full map-side combine;
+    * token/language signals are native byte scans riding the same
+    * scan. Output is one row per source — driver-safe at any corpus
+    * size. */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions
+    val st = TextFunctions.textStats(col("text"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    docs
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .withColumn("canon", min(col("doc_id")).over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("doc_id") =!= col("canon")).cast("long")).as("n_dup"),
+        sum(TextFunctions.bpeTokenCount(col("text"))).as("n_tokens"),
+        sum(((st.getField("n_stop").cast("double") / st.getField("n_words")) >= 0.05)
+          .cast("long")).as("n_en"))
+      .orderBy(col("source"))
+  }
+
   /** Corpus-level top-k word n-grams by occurrence count (boilerplate
     * / template detection — the heavy-hitter scan run before writing
     * a cleaning rule). Deterministic total order (count desc, gram

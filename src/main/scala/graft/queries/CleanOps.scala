@@ -204,10 +204,38 @@ object CleanOps extends QueryModule {
        |FROM keepd ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q80: the data-MIXTURE table — per-source document count,
+  // exact-dup count (q34's non-survivors), BPE token total, and
+  // English-looking count (q76's stopword-ratio predicate). The
+  // rollup every pretraining run builds before choosing per-source
+  // sampling weights; one fingerprint window + a tiny-key groupBy.
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    Quality.sourceMix(docs(s, dir))
+
+  private val q80Sql = {
+    import graft.functions.TextFunctions.{BpeTokenRe, StopwordsSql, WsPlusRe}
+    s"""WITH f AS (SELECT doc_id, text, source,
+       |    md5(lower(trim(regexp_replace(text, '$WsPlusRe', ' ', 'g')))) AS fp
+       |  FROM documents),
+       |c AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS canon FROM f),
+       |t AS (SELECT source, doc_id, canon,
+       |    CAST(len(regexp_extract_all(text, '$BpeTokenRe')) AS BIGINT) AS toks,
+       |    (len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN $StopwordsSql))
+       |       / len(string_split(lower(trim(text)), ' '))) >= 0.05 AS en
+       |  FROM c)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN doc_id <> canon THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN en THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+  }
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q73_gopher_repetition", q73, Some(q73Sql)),
     QueryDef("q74_pii_redact", q74, Some(q74Sql)),
     QueryDef("q75_boilerplate_ngrams", q75, Some(q75Sql)),
     QueryDef("q76_dsir_model", q76, Some(q76Sql)),
-    QueryDef("q78_clean_corpus", q78, Some(q78Sql)))
+    QueryDef("q78_clean_corpus", q78, Some(q78Sql)),
+    QueryDef("q80_source_mix", q80, Some(q80Sql)))
 }

@@ -392,6 +392,46 @@ object DedupOps extends QueryModule {
        |SELECT d.doc_id, CASE WHEN c.clean_text IS NULL THEN d.text ELSE c.clean_text END AS clean_text
        |FROM d LEFT JOIN cleaned c USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q81: SURGICAL decontamination — q71's collision check turned into
+  // span surgery: cut the 40-char windows a training doc shares
+  // verbatim with the benchmark set (doc_id < 20, q71's stand-in) and
+  // keep the rest of the document. Spark pre-filters on the broadcast
+  // benchmark window-hash set and verifies actual slices before
+  // cutting (the q79 exactness contract); the oracle needs no hash —
+  // it joins training windows to benchmark slices by content and
+  // stitches kept segments with the same gaps-and-islands merge.
+  private def q81(s: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminateStrip(docs(s, dir), col("doc_id") < BenchDocs, SubL)
+      .orderBy(col("doc_id"))
+
+  private val q81Sql =
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |bw AS (SELECT DISTINCT substr(text, CAST(i AS INT), $SubL) AS slice
+       |       FROM (SELECT text, unnest(range(1, greatest(n - ${SubL - 1}, 0) + 1)) AS i
+       |             FROM d WHERE doc_id < $BenchDocs)),
+       |tr AS (SELECT doc_id, text, n FROM d WHERE doc_id >= $BenchDocs),
+       |occ AS (SELECT doc_id, text, unnest(range(0, greatest(n - ${SubL - 1}, 0))) AS pos FROM tr),
+       |rem AS (SELECT o.doc_id, o.pos FROM occ o
+       |        JOIN bw ON substr(o.text, CAST(o.pos + 1 AS INT), $SubL) = bw.slice),
+       |rem2 AS (SELECT doc_id, pos,
+       |    CASE WHEN pos <= coalesce(max(pos + $SubL) OVER (PARTITION BY doc_id ORDER BY pos
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 0 ELSE 1 END AS brk
+       |  FROM rem),
+       |rem3 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM rem2),
+       |iv AS (SELECT doc_id, min(pos) AS s, max(pos) + $SubL AS e FROM rem3 GROUP BY doc_id, grp),
+       |tails AS (SELECT doc_id, max(e) AS ks FROM iv GROUP BY doc_id),
+       |segs AS (
+       |  SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ks, s AS ke FROM iv
+       |  UNION ALL
+       |  SELECT t.doc_id, t.ks, tr.n AS ke FROM tails t JOIN tr USING (doc_id)
+       |),
+       |cleaned AS (SELECT s.doc_id,
+       |    string_agg(substr(tr.text, CAST(s.ks + 1 AS INT), CAST(greatest(s.ke - s.ks, 0) AS INT)), '' ORDER BY s.ks) AS clean_text
+       |  FROM segs s JOIN tr USING (doc_id) GROUP BY s.doc_id)
+       |SELECT tr.doc_id, CASE WHEN c.clean_text IS NULL THEN tr.text ELSE c.clean_text END AS clean_text
+       |FROM tr LEFT JOIN cleaned c USING (doc_id) ORDER BY tr.doc_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q34_dedup_exact", q34, Some(q34Sql)),
     QueryDef("q35_dedup_jaccard", q35, Some(q35Sql)),
@@ -401,7 +441,8 @@ object DedupOps extends QueryModule {
     QueryDef("q70_dedup_clusters", q70, Some(q70Sql)),
     QueryDef("q71_decontaminate", q71, Some(q71Sql)),
     QueryDef("q77_dup_substrings", q77, Some(q77Sql)),
-    QueryDef("q79_strip_dup_spans", q79, Some(q79Sql)))
+    QueryDef("q79_strip_dup_spans", q79, Some(q79Sql)),
+    QueryDef("q81_decontaminate_strip", q81, Some(q81Sql)))
 
   /** q35/q38 are the quadratic correctness baselines and q79's oracle
     * mirror materializes every window's 40-char slice (fine at the

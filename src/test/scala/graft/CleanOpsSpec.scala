@@ -15,6 +15,36 @@ class CleanOpsSpec extends SparkTestBase {
     rows.toDF("doc_id", "text")
   }
 
+  test("source mix: hand-checked rollup (dups, tokens, en) on crafted sources") {
+    import spark.implicits._
+    val d = Seq(
+      // srcA: 3 docs, one exact dup (same text modulo whitespace runs)
+      (1L, "the cat is on the mat", "srcA"),
+      (2L, "the  cat is  on the mat ", "srcA"), // normalizes equal to doc 1
+      (3L, "unique srcA document", "srcA"),
+      // srcB: no dups, one clearly non-English doc (no stopwords)
+      (4L, "the quick brown fox", "srcB"),
+      (5L, "zzz qqq www", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val r = Quality.sourceMix(d).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // srcA: 3 docs, doc 2 is the non-canonical dup; tokens 6 + 6 + 4
+    // ("srcA" = lowercase run "src" + symbol "A" — uppercase is a
+    // symbol in the BPE-ish pattern) = 16; docs 1-2 are stopword-rich,
+    // doc 3 has none -> n_en = 2
+    assert(r("srcA") == ((3L, 1L, 16L, 2L)), s"srcA: ${r("srcA")}")
+    // srcB: no dups; 4+3 = 7 tokens; doc 4 ratio 1/4, doc 5 ratio 0 -> n_en = 1
+    assert(r("srcB") == ((2L, 0L, 7L, 1L)), s"srcB: ${r("srcB")}")
+  }
+
+  test("source mix on the real table: every source covered, totals consistent") {
+    val r = q("q80_source_mix").collect()
+    val docs0 = Tables.documents(spark, sfDir)
+    assert(r.map(_.getLong(1)).sum == docs0.count())
+    assert(r.length == docs0.select("source").distinct().count())
+    assert(r.forall(x => x.getLong(2) <= x.getLong(1) && x.getLong(4) <= x.getLong(1)))
+  }
+
   test("gopher repetition: hand-computed coverage on a pathological doc") {
     // "spam spam spam spam spam spam": tot=24 non-space chars, 6 words.
     // 2-grams: 5x "spam spam" (8 chars) -> top2_cov = 5*8 = 40.

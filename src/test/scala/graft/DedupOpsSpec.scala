@@ -276,6 +276,30 @@ class DedupOpsSpec extends SparkTestBase {
       s"collision caused a cut: $r")
   }
 
+  test("decontaminateStrip: benchmark spans cut from training docs, clean text and colliders untouched") {
+    import spark.implicits._
+    val span = "the exact benchmark passage that must never leak into training"
+    // the engineered collider pair (see the collision test above):
+    // bench holds s1, a train doc holds s2 — same rolling hash,
+    // different content, so only slice verification prevents a cut
+    val s1 = "b" + "a" * 39
+    val s2 = "a" + new String(Character.toChars(97 + 1000003)) + "a" * 38
+    val d = Seq(
+      (1L, s"benchmark leading text Q${span}W trailing $s1"),
+      (50L, s"training doc contaminated X${span}Y but otherwise fine"),
+      (51L, "perfectly clean training document with plenty of original words"),
+      (52L, s"collider carrier $s2 more text")).toDF("doc_id", "text")
+    val r = Dedup.decontaminateStrip(d, col("doc_id") < 20L, 40).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r.keySet == Set(50L, 51L, 52L), "benchmark docs are not emitted")
+    assert(!r(50L).contains("benchmark passage") &&
+      r(50L).startsWith("training doc contaminated X") &&
+      r(50L).endsWith("Y but otherwise fine"), s"surgery wrong: '${r(50L)}'")
+    assert(r(51L) == "perfectly clean training document with plenty of original words")
+    assert(r(52L) == s"collider carrier $s2 more text",
+      "hash collision with a benchmark window must not cut")
+  }
+
   test("anchorMod keeps content-aligned windows: a long shared span is still flagged in both docs") {
     import spark.implicits._
     val rnd = new scala.util.Random(83)
