@@ -414,13 +414,21 @@ object Dedup {
     val occ =
       if (anchorMod == 1) allOcc
       else allOcc.filter(col("h") % anchorMod === 0)
+    // (h, doc) counts first — the exchange with full map-side combine,
+    // so WITHIN-document window repetition collapses before anything
+    // crosses the wire (a repetitive doc ships one row per distinct
+    // window, not one per occurrence) — then ONE h-keyed exchange
+    // feeds the per-hash doc count as a keyed WINDOW over the same
+    // partitioning instead of the old groupBy(h) + join-back pair
+    // (which re-exchanged the perDoc stream twice more; hot-hash
+    // concentration is identical — the old join was h-keyed too —
+    // and the round-11 profile reads 3.6 s → 2.2 s at sf1)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val perDoc = occ.groupBy(col("h"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
-    val multi = perDoc.groupBy(col("h"))
-      .agg(count(lit(1)).as("nd"))
+      .repartition(col("h"))
+    val dups = perDoc.withColumn("nd", count(lit(1)).over(w))
       .filter(col("nd") >= 2)
-      .select(col("h"))
-    val dups = perDoc.join(multi, Seq("h"))
       .groupBy(col("doc_id")).agg(sum(col("c")).as("dup_windows"))
     val nw = greatest(length(col("text")) - (l - 1), lit(0)).cast("long")
     docs.select(col("doc_id"), nw.as("n_windows"))
