@@ -344,6 +344,17 @@ object Multimodal {
     }.toDF("doc_id", "simhash")
   }
 
+  /** Payload-level entry point for [[imageDHash]]'s hash: decode one
+    * image payload and return its 60-bit dHash, None when the JDK
+    * cannot decode the bytes. Shared with the STREAMING image dedup
+    * ([[graft.streaming.StreamDedup.distinctByImageHash]]), which
+    * keys `dropDuplicatesWithinWatermark` on the exact hash value —
+    * pixel-identical payloads collide regardless of container format
+    * (PNG vs BMP of the same pixels), while lossy-recompressed
+    * near-dups (hamming 1..k) need the batch pair machinery. */
+  def dHashOf(payload: Array[Byte]): Option[Long] =
+    decodedImage(MediaRecord(0L, "image", payload, 0, 0, 0L)).map(dhash60)
+
   /** The 60-bit dHash of one decoded image (see [[imageDHash]]). */
   private[multimodal] def dhash60(img: java.awt.image.BufferedImage): Long = {
     val w = img.getWidth

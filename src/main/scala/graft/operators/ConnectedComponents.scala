@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Near-dup pair lists → duplicate CLUSTERS: connected components by
@@ -99,6 +99,32 @@ object ConnectedComponents {
     val losers = clusters(pairs, a, b)
       .filter(col("node") =!= col("cluster_id"))
       .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** QUALITY-aware survivor selection: within each near-dup cluster
+    * keep the BEST-scoring member (ties broken toward the min id),
+    * not the min id — the rule a production pipeline actually wants
+    * (keep the longest / cleanest / highest-LM-scored copy, drop the
+    * truncated mirror that happens to have the smaller id).
+    *
+    * Shape: the [[clusters]] fixpoint, one keyed join to attach the
+    * score, one max_by aggregation per cluster (struct(score, −id)
+    * ordering — map-side combinable), and the same slim losers
+    * anti-join as [[survivors]]; docs in no pair pass through
+    * untouched. `score` must be non-null on every clustered doc. */
+  def survivorsBy(docs: DataFrame, pairs: DataFrame, score: Column,
+                  idCol: String = "doc_id",
+                  a: String = "a", b: String = "b"): DataFrame = {
+    val members = docs
+      .join(clusters(pairs, a, b), docs(idCol) === col("node"))
+      .select(col(idCol), col("cluster_id"), score.as("s"))
+    val winners = members.groupBy(col("cluster_id"))
+      .agg(max_by(col(idCol), struct(col("s"), (-col(idCol)).as("negid")))
+        .as(idCol))
+      .select(col(idCol))
+    val losers = members.select(col(idCol))
+      .join(winners, Seq(idCol), "left_anti")
     docs.join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -393,6 +393,45 @@ object DedupOps extends QueryModule {
        |FROM d LEFT JOIN cleaned c USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q82: QUALITY-aware survivor selection — within each q36 near-dup
+  // cluster keep the LONGEST member (ties -> min doc_id) instead of
+  // q70's min-id rule: the policy a production dedup actually wants
+  // (drop the truncated mirror, keep the full copy). Oracle reuses
+  // q70's recursive closure; the (length desc, id asc) argmax is the
+  // exact int64 key length*10^10 - doc_id on BOTH engines' bounds
+  // (text length < 10^6, doc_id < 10^10 -> key < 2^63, and the key
+  // order equals the struct(score, -id) order the operator uses).
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ConnectedComponents.survivorsBy(
+      docs(s, dir), minhashPairs(s, dir), length(col("text")).cast("long"))
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .orderBy(col("doc_id"))
+
+  private val q82Sql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a, b FROM (
+       |$q36Sql
+       |  )),
+       |edges AS (
+       |  SELECT a AS x, b AS y FROM pairs
+       |  UNION ALL
+       |  SELECT b AS x, a AS y FROM pairs),
+       |r(node, m) AS (
+       |  SELECT DISTINCT x, x FROM edges
+       |  UNION
+       |  SELECT e.x, r.m FROM edges e JOIN r ON r.node = e.y),
+       |cl AS (SELECT node, min(m) AS cluster_id FROM r GROUP BY node),
+       |members AS (SELECT d.doc_id, cl.cluster_id, CAST(length(d.text) AS BIGINT) AS s
+       |            FROM documents d JOIN cl ON d.doc_id = cl.node),
+       |winners AS (SELECT max_by(doc_id, s * 10000000000 - doc_id) AS doc_id
+       |            FROM members GROUP BY cluster_id),
+       |losers AS (SELECT doc_id FROM members
+       |           WHERE doc_id NOT IN (SELECT doc_id FROM winners))
+       |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS len
+       |FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q81: SURGICAL decontamination — q71's collision check turned into
   // span surgery: cut the 40-char windows a training doc shares
   // verbatim with the benchmark set (doc_id < 20, q71's stand-in) and
@@ -442,7 +481,8 @@ object DedupOps extends QueryModule {
     QueryDef("q71_decontaminate", q71, Some(q71Sql)),
     QueryDef("q77_dup_substrings", q77, Some(q77Sql)),
     QueryDef("q79_strip_dup_spans", q79, Some(q79Sql)),
-    QueryDef("q81_decontaminate_strip", q81, Some(q81Sql)))
+    QueryDef("q81_decontaminate_strip", q81, Some(q81Sql)),
+    QueryDef("q82_survivors_quality", q82, Some(q82Sql)))
 
   /** q35/q38 are the quadratic correctness baselines and q79's oracle
     * mirror materializes every window's 40-char slice (fine at the

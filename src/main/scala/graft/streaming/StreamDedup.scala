@@ -64,4 +64,29 @@ object StreamDedup {
         md5(graft.functions.VectorFunctions.quantizeQ(col("embedding")).cast("string")))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("family_key")
+
+  /** One incoming image record (event-time in `ts`). */
+  case class Img(imgId: Long, ts: Timestamp, payload: Array[Byte])
+
+  /** Distinct-image stream, keyed on the 60-bit perceptual dHash
+    * ([[graft.multimodal.Multimodal.dHashOf]]): the first arrival of
+    * each pixel-level-identical image within the watermark horizon
+    * passes through, whatever its container format (a PNG and a BMP
+    * of the same pixels collide; byte-level dedup would miss them).
+    * Undecodable payloads are DROPPED (a crawled image firehose
+    * filters them anyway; emit-through would forward junk downstream).
+    * Exact-key semantics: lossy near-dups at hamming ≥ 1 pass — the
+    * batch `Multimodal.imageNearDupPairs` handles those; state is one
+    * 8-byte hash per distinct image in the horizon. */
+  def distinctByImageHash(imgs: Dataset[Img],
+                          watermarkDelay: String = "10 seconds"): DataFrame = {
+    val spark = imgs.sparkSession
+    import spark.implicits._
+    imgs
+      .flatMap(r => graft.multimodal.Multimodal.dHashOf(r.payload)
+        .map(h => (r.imgId, r.ts, h)))
+      .toDF("img_id", "ts", "dhash")
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("dhash")
+  }
 }

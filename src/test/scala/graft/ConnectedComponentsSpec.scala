@@ -47,6 +47,23 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(ok.filter(col("cluster_id") =!= 1L).isEmpty)
   }
 
+  test("survivorsBy keeps the best-scoring member per cluster, ties to min id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 50L), (3L, 50L),  // cluster {1,2,3}: 2 and 3 tie on score -> keep 2
+      (4L, 9L), (5L, 7L),               // cluster {4,5}: keep 4 (higher score)
+      (6L, 1L)                          // unpaired: kept untouched
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val kept = ConnectedComponents.survivorsBy(docs, pairs, col("quality"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L, 6L))
+    // min-id rule would have kept 1 and 4 — the policies genuinely differ
+    val minId = ConnectedComponents.survivors(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(minId == Seq(1L, 4L, 6L))
+  }
+
   test("pointer halving: diameter-64 path converges in O(log d) rounds with bounded storage") {
     import spark.implicits._
     val chain = (0L to 64L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")

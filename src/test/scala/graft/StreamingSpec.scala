@@ -200,6 +200,44 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming image dedup: pixel-identical payloads collide across container formats") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamDedup
+    import graft.streaming.StreamDedup.Img
+    def img(px: (Int, Int) => Int, fmt: String): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32) im.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, bos)
+      bos.toByteArray
+    }
+    def grad(seed: Int)(x: Int, y: Int): Int = {
+      val g = (x * 8 + y * 3 + seed) % 256
+      (g << 16) | (g << 8) | g
+    }
+    val aPng = img(grad(0), "png")
+    val aBmp = img(grad(0), "bmp") // same pixels, different container bytes
+    val bPng = img(grad(97), "png")
+    assert(!java.util.Arrays.equals(aPng, aBmp))
+    val input = MemoryStream[Img]
+    val query = StreamDedup.distinctByImageHash(input.toDS(), "10 seconds")
+      .writeStream.format("memory").queryName("idedup_out").outputMode("append").start()
+    try {
+      input.addData(Img(1L, new Timestamp(100000), aPng), Img(2L, new Timestamp(100100), bPng))
+      query.processAllAvailable()
+      // cross-batch: the BMP re-encode of image A must be dropped;
+      // junk payload is dropped (undecodable), image B's dup too
+      input.addData(Img(3L, new Timestamp(101000), aBmp),
+        Img(4L, new Timestamp(101100), Array.tabulate(16)(_.toByte)),
+        Img(5L, new Timestamp(101200), bPng))
+      query.processAllAvailable()
+      val got = spark.table("idedup_out").select("img_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L), s"expected first arrival per pixel-content, got $got")
+    } finally query.stop()
+  }
+
   test("streaming clean-corpus equals batch q78 on a replayed document stream") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._

@@ -53,8 +53,11 @@ def main():
     # fine at the sf0.01 correctness gate, pathological as a TIMING
     # side at sf1 (and Spark's bench headline excludes q79 anyway, so
     # combine_pairs would drop the number regardless). Skip, loudly.
+    # q79/q81: slice-materializing mirrors; q82: duplicates q70's
+    # recursive-closure cost for a non-headline variant
     skipped = sorted(n for n in ("q79_strip_dup_spans",
-                                 "q81_decontaminate_strip") if n in sql)
+                                 "q81_decontaminate_strip",
+                                 "q82_survivors_quality") if n in sql)
     for n in skipped:
         print(f"NOTE: skipping non-headline {n} (slice-materializing "
               "oracle mirror is a correctness surface, not a timing one)",
