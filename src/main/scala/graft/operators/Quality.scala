@@ -183,15 +183,22 @@ object Quality {
     val st = TextFunctions.textStats(col("text"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     docs
-      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      // ALL per-row signals in the map stage, text dropped BEFORE the
+      // window: expressions referenced only after a window would
+      // otherwise force the full text through the fp exchange — the
+      // slim projection ships ~40 bytes/row instead of the document
+      .select(col("doc_id"), col("source"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.bpeTokenCount(col("text")).as("toks"),
+        ((st.getField("n_stop").cast("double") / st.getField("n_words")) >= 0.05)
+          .cast("long").as("en"))
       .withColumn("canon", min(col("doc_id")).over(w))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum((col("doc_id") =!= col("canon")).cast("long")).as("n_dup"),
-        sum(TextFunctions.bpeTokenCount(col("text"))).as("n_tokens"),
-        sum(((st.getField("n_stop").cast("double") / st.getField("n_words")) >= 0.05)
-          .cast("long")).as("n_en"))
+        sum(col("toks")).as("n_tokens"),
+        sum(col("en")).as("n_en"))
       .orderBy(col("source"))
   }
 

@@ -334,6 +334,32 @@ class PlanSpec extends SparkTestBase {
     assert(scans == 1, s"q73 reads the corpus $scans times:\n$plan")
   }
 
+  test("q80's fp window exchange ships per-row signals, not documents") {
+    // Round-11 structure lock: every per-row signal (fingerprint,
+    // token count, en flag) is computed in the MAP stage and the text
+    // column dropped before the dedup window — an aggregate that
+    // references text after the window would silently pull the whole
+    // document through the fp exchange.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the fp exchange EnsureRequirements inserts below the window
+    // inherits the window child's output verbatim, so asserting on
+    // the child covers the exchange (inputPlan is pre-exchange; the
+    // AQE-executed form only renumbers attributes)
+    val plan = SparkEntry.queries("q80_source_mix")(spark, sfDir)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan // AQE wraps as a leaf
+        case p => p
+      }
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"q80 lost its fp window:\n${plan.treeString}")
+    windows.foreach { w =>
+      val cols = w.child.output.map(_.name)
+      assert(!cols.contains("text"),
+        s"q80's window input carries the document text: $cols")
+    }
+  }
+
   test("q76's model fit aggregates on the bucket key: no join, bounded key space") {
     // The DSIR bucket model is explode -> ONE bucket-keyed hash
     // aggregation (partial + final); its exchange carries at most
