@@ -406,10 +406,17 @@ object Multimodal {
   }
 
   /** Image near-dup pairs: [[imageDHash]] → the q37 block-pair
-    * machinery (guaranteed recall for hamming ≤ maxHamming via
-    * pigeonhole over block pairs, optional hot-bucket cap for
-    * self-similar corpora — both inherited from
-    * [[graft.operators.Dedup.simhashPairs]] unchanged). */
+    * machinery ([[graft.operators.Dedup.simhashPairs]] unchanged,
+    * including the optional hot-bucket cap). Recall contract is the
+    * INHERITED one, same as text simhash: the block-pair pigeonhole
+    * GUARANTEES candidates up to hamming
+    * [[graft.operators.Dedup.SimGuarantee]] (= 6: 8 blocks, 2 must
+    * stay clean); `maxHamming` beyond that only widens the exact
+    * post-filter — a pair at hamming 7..maxHamming is reported iff
+    * its flipped bits happen to leave two blocks clean (probabilistic,
+    * not guaranteed). Same-pixel re-encodes land at hamming 0 and
+    * mild lossy/resize copies in low single digits (spec-measured),
+    * so the guaranteed band is the band that matters. */
   def imageNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 10,
                         maxBucketPop: Option[Long] = None): DataFrame =
     graft.operators.Dedup.simhashPairs(imageDHash(media), maxHamming, maxBucketPop)

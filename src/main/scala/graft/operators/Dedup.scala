@@ -435,10 +435,15 @@ object Dedup {
       .join(dups, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_windows"),
         coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
-        // dup_windows counts ANCHORED windows when anchorMod > 1 but
-        // n_windows is un-anchored, so rescale by the sampling rate:
-        // dup_frac is then a w.h.p. ESTIMATE of the true fraction
-        // (exact at the default anchorMod = 1, the oracle setting)
+        // UNITS at anchorMod > 1, deliberately mixed: `dup_windows`
+        // stays the raw ANCHORED count (the observable), `n_windows`
+        // is un-anchored, and `dup_frac` rescales by the sampling
+        // rate into an un-anchored w.h.p. ESTIMATE — so dup_frac !=
+        // dup_windows / n_windows there, and sampling variance can
+        // push the estimate ABOVE 1.0 on a fully-duplicated doc
+        // (treat >= 1 as saturated, don't range-validate). All three
+        // agree exactly at the default anchorMod = 1 (the oracle
+        // setting), where dup_frac <= 1 by construction.
         (coalesce(col("dup_windows"), lit(0L)).cast("double") * anchorMod /
           when(col("n_windows") === 0, lit(null)).otherwise(col("n_windows")))
           .as("dup_frac"))

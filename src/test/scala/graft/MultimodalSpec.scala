@@ -184,9 +184,12 @@ class MultimodalSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hashes.keySet == Set(1L, 2L, 3L, 4L, 5L), "decodable images only")
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
-    assert(ham(hashes(1L), hashes(2L)) <= 10,
+    // copies must land INSIDE the block-pair pigeonhole band
+    // (Dedup.SimGuarantee = 6): the pair-finding assertion below
+    // relies on GUARANTEED recall, not the probabilistic 7..10 band
+    assert(ham(hashes(1L), hashes(2L)) <= graft.operators.Dedup.SimGuarantee,
       s"jpeg recompression drifted ${ham(hashes(1L), hashes(2L))} bits")
-    assert(ham(hashes(1L), hashes(3L)) <= 10,
+    assert(ham(hashes(1L), hashes(3L)) <= graft.operators.Dedup.SimGuarantee,
       s"2x resize drifted ${ham(hashes(1L), hashes(3L))} bits")
     assert(ham(hashes(1L), hashes(4L)) > 10 && ham(hashes(1L), hashes(5L)) > 10
       && ham(hashes(4L), hashes(5L)) > 10,
