@@ -201,6 +201,59 @@ object Similarity {
       .transform(rankTopK(_, k))
   }
 
+  /** kNN GRAPH: every vector's top-k neighbors — the all-queries
+    * generalization of [[annLsh]], and the building block semantic
+    * dedup / diversity sampling / graph-based clustering consume (a
+    * query set is a sliver you can broadcast; a graph makes EVERY row
+    * a query, so nothing broadcasts and every join is keyed).
+    *
+    * Shape, combining the established disciplines:
+    *
+    *  1. DEDUP-BEFORE-INDEXING ([[nearDupPairs]]'s structural lesson):
+    *     exact-dup families collapse on the quantized vector first
+    *     and the graph is built over REPRESENTATIVES — identical
+    *     vectors share every bucket in any layout, so a raw-row graph
+    *     multiplies candidates by the duplication factor squared for
+    *     neighbor lists that are all equal. Family members inherit
+    *     their rep's neighbor list by a keyed join on `fam` (left to
+    *     the consumer, as q72 leaves pair expansion).
+    *  2. Candidates from the [[lshEntries]] self-join on
+    *     (table, bucket-key) — default `planes` = [[DupPlanes]] (8:
+    *     256 buckets/table), NOT annLsh's 4: a full self-join's
+    *     candidate volume is Σ pop² per bucket, so the key-width rule
+    *     r ≈ log2(N/targetBucket) binds much harder than for a
+    *     broadcast query sliver. Size `planes` up with the rep count.
+    *  3. Exact quantized-cosine rerank on candidates only, per-query
+    *     top-k window (rank = row_number on sim desc, id asc — fully
+    *     deterministic, so the approximate RESULT is cross-engine
+    *     byte-reproducible and q83 is oracle-checked at the default
+    *     layout; recall vs [[knnBrute]] is spec-pinned separately).
+    *
+    * Output: (query_id, neighbor_id, rank, sim) over family reps. */
+  def knnGraph(corpus: DataFrame, k: Int,
+               tables: Int = NumTables, planes: Int = DupPlanes): DataFrame = {
+    val fam = corpus
+      .withColumn("qv", quantizeQ(col("embedding")))
+      .withColumn("rep", min(col("vec_id")).over(Window.partitionBy(col("qv"))))
+    val reps = fam.filter(col("vec_id") === col("rep"))
+      .select(col("vec_id"), col("embedding"))
+    val entries = lshEntries(reps, tables, planes)
+    val cand = entries
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bkey"))
+      .join(entries, Seq("tbl", "bkey"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val n = withNorm(reps)
+    cand
+      .join(n, Seq("vec_id"))
+      .join(n.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .withColumn("sim", cosineWithNorms(col("qe"), col("qn"), col("embedding"), col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      .transform(rankTopK(_, k))
+  }
+
   /** Bucketed embedding near-dup PAIR LISTING — the scale path for
     * q38's all-pairs baseline, and the vector analog of the MinHash
     * band join (q36) — with DEDUP-BEFORE-INDEXING, the sf10-soak

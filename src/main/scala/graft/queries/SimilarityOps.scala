@@ -167,9 +167,49 @@ object SimilarityOps extends QueryModule {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
        |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  // q83: the kNN GRAPH — every vector's top-K neighbors (semantic
+  // dedup / diversity sampling / clustering building block): q40's
+  // index with ALL rows as queries, which forbids the query-sliver
+  // broadcast, so the shape is the q72 discipline — exact-dup
+  // families collapse first, the graph is built over REPRESENTATIVES
+  // with the wider DupPlanes bucket keys (a full self-join's
+  // candidate volume is Σ pop² per bucket), exact rerank, per-query
+  // top-K window. Every step is exact int64 arithmetic + a
+  // deterministic (sim desc, id asc) rank, so the approximate RESULT
+  // is byte-reproducible and fully oracle-checked.
+  private def q83(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(Tables.embeddings(s, dir), K)
+
+  private val q83Sql =
+    s"""WITH qall AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |fam AS (SELECT vec_id, qv, min(vec_id) OVER (PARTITION BY qv) AS rep FROM qall),
+       |q AS (SELECT vec_id, qv FROM fam WHERE vec_id = rep),
+       |n AS (SELECT vec_id, qv,
+       |    sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+       |  FROM q),
+       |proj AS (SELECT v.vec_id, t.j,
+       |    list_sum(list_transform(range(1, 65), i ->
+       |      v.qv[i] * (2*((CAST(t.j AS BIGINT)*73856093 + CAST(i-1 AS BIGINT)*19349663) % 1000003) - 1000003))) AS dot
+       |  FROM q v, range(0, ${DupT * DupP}) t(j)),
+       |ent AS (SELECT vec_id, j // $DupP AS tbl,
+       |    sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << CAST(j % $DupP AS INT) ELSE 0 END) AS bkey
+       |  FROM proj GROUP BY vec_id, j // $DupP),
+       |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM ent a JOIN ent b ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.vec_id <> b.vec_id),
+       |p AS (SELECT c.query_id, c.neighbor_id,
+       |    CAST(list_sum(list_transform(range(1,65), i -> na.qv[i] * nb.qv[i])) AS DOUBLE)
+       |      / (na.nrm * nb.nrm) AS sim
+       |  FROM cand c JOIN n na ON na.vec_id = c.query_id JOIN n nb ON nb.vec_id = c.neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+       |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q39_knn_brute", q39, Some(q39Sql)),
     QueryDef("q40_ann_lsh", q40, Some(q40Sql)),
     QueryDef("q41_ivf_centroids", q41, Some(q41Sql)),
-    QueryDef("q72_embedding_neardup", q72, Some(q72Sql)))
+    QueryDef("q72_embedding_neardup", q72, Some(q72Sql)),
+    QueryDef("q83_knn_graph", q83, Some(q83Sql)))
 }

@@ -114,6 +114,43 @@ class SimilarityOpsSpec extends SparkTestBase {
       "full-probe learned IVF diverged from brute force")
   }
 
+  test("knnGraph: family collapse, high-sim neighbors found, sims agree with direct cosine") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // base: the real (near-orthogonal) corpus reps + planted structure:
+    // 900/901 exact dups of vec 0 (family collapse), 902 a high-sim
+    // (cos ~ 0.995) neighbor of vec 1 (must be recalled — sign-plane
+    // collision probability ~ (1 - theta/pi)^8 per table ~ 0.77 with
+    // 8 tables -> miss chance < 1e-5)
+    val base = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 50)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val v0 = base.find(_._1 == 0L).get._2
+    val v1 = base.find(_._1 == 1L).get._2
+    val nearV1 = v1.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.1f else x }
+    val d = (base.toSeq ++ Seq((900L, v0), (901L, v0), (902L, nearV1)))
+      .toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(d, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val qids = g.map(_._1).toSet
+    // 900/901 collapse into vec 0's family: never queries, never neighbors
+    assert(!qids.contains(900L) && !qids.contains(901L))
+    assert(g.forall(t => t._2 != 900L && t._2 != 901L))
+    assert(qids.contains(0L), "family rep 0 is a graph node")
+    // the planted high-sim pair is found in BOTH directions
+    assert(g.exists(t => t._1 == 1L && t._2 == 902L), s"1->902 missing")
+    assert(g.exists(t => t._1 == 902L && t._2 == 1L), s"902->1 missing")
+    // every reported sim equals the exact quantized cosine: brute over
+    // the rep-only corpus with every rep as query must assign the same
+    // sim to every graph edge
+    val repIds = qids ++ g.map(_._2).toSet
+    val reps = d.filter(col("vec_id").isin(repIds.toSeq: _*))
+    val brute = Similarity.knnBrute(reps, lit(true), Int.MaxValue - 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    g.foreach { case (a, b, s) =>
+      assert(math.abs(brute((a, b)) - s) < 1e-12, s"sim drift on ($a,$b)")
+    }
+  }
+
   test("nearDupPairs: subset of brute >=threshold, planted dup caught, no duplicates") {
     import spark.implicits._
     import graft.operators.Similarity
