@@ -206,10 +206,65 @@ object SimilarityOps extends QueryModule {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
        |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  // q84: SEMANTIC dedup — the consumer the kNN-graph/near-dup
+  // machinery was built FOR (SemDeDup, Abbas et al. 2023: drop all
+  // but one member of each semantically-near-identical cluster).
+  // Composition of audited pieces, nothing new to get wrong at
+  // scale: q72's exact embedding near-dup pair listing (dedup-
+  // before-indexing, MinDupSim) → ConnectedComponents clusters →
+  // within each cluster keep the member whose DOCUMENT carries the
+  // most BPE-ish tokens (ties → min id; the "keep the content-
+  // richest copy" rule — q82's survivorsBy with a semantic pair
+  // source and a token-count score). Every step is exact int64
+  // arithmetic, so the surviving id SET is cross-engine
+  // byte-reproducible; docs in no semantic pair pass through.
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir).select(
+      col("doc_id").as("vec_id"),
+      graft.functions.TextFunctions.bpeTokenCount(col("text")).as("n_tokens"))
+    val pairs = Similarity.nearDupPairs(Tables.embeddings(s, dir), MinDupSim)
+    graft.operators.ConnectedComponents
+      .survivorsBy(scored, pairs, col("n_tokens"), idCol = "vec_id")
+      .select(col("vec_id").as("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q84Sql =
+    s"""WITH RECURSIVE pairs AS (SELECT a, b FROM (
+       |$q72Sql
+       |)),
+       |edges AS (
+       |  SELECT a AS x, b AS y FROM pairs
+       |  UNION ALL
+       |  SELECT b AS x, a AS y FROM pairs),
+       |r(node, m) AS (
+       |  SELECT DISTINCT x, x FROM edges
+       |  UNION
+       |  SELECT e.x, r.m FROM edges e JOIN r ON r.node = e.y),
+       |cl AS (SELECT node, min(m) AS cluster_id FROM r GROUP BY node),
+       |scored AS (SELECT d.doc_id AS vec_id,
+       |    CAST(len(regexp_extract_all(d.text, '${graft.functions.TextFunctions.BpeTokenRe}')) AS BIGINT) AS tok
+       |  FROM documents d),
+       |members AS (SELECT s.vec_id, cl.cluster_id, s.tok
+       |            FROM scored s JOIN cl ON s.vec_id = cl.node),
+       |winners AS (SELECT max_by(vec_id, tok * 10000000000 - vec_id) AS vec_id
+       |            FROM members GROUP BY cluster_id),
+       |losers AS (SELECT vec_id FROM members
+       |           WHERE vec_id NOT IN (SELECT vec_id FROM winners))
+       |SELECT s.vec_id AS doc_id, s.tok AS n_tokens
+       |FROM scored s WHERE s.vec_id NOT IN (SELECT vec_id FROM losers)
+       |ORDER BY doc_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q39_knn_brute", q39, Some(q39Sql)),
     QueryDef("q40_ann_lsh", q40, Some(q40Sql)),
     QueryDef("q41_ivf_centroids", q41, Some(q41Sql)),
     QueryDef("q72_embedding_neardup", q72, Some(q72Sql)),
-    QueryDef("q83_knn_graph", q83, Some(q83Sql)))
+    QueryDef("q83_knn_graph", q83, Some(q83Sql)),
+    QueryDef("q84_semdedup", q84, Some(q84Sql)))
+
+  /** q84's oracle mirror re-runs q72's pair listing plus a recursive
+    * closure (DuckDB's weakest surface — the q82 precedent), so it is
+    * correctness-gated but kept out of the TIMING headline. */
+  override def headline: Seq[String] = all.map(_.name).filterNot(_ == "q84_semdedup")
 }

@@ -194,6 +194,36 @@ class SimilarityOpsSpec extends SparkTestBase {
     assert(got == Set(1L -> 2L), s"exact family lost at minSim=1.0: $got")
   }
 
+  test("semantic dedup (q84 composition): the token-richest cluster member survives") {
+    import spark.implicits._
+    import graft.operators.{ConnectedComponents, Similarity}
+    // real near-orthogonal reps + a planted exact-dup family {0, 900,
+    // 901}; scores make 900 the content-richest member, so the
+    // survivor rule must pick it over the min id (q70's rule would
+    // keep 0) and over the other copy
+    val base = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 20)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val v0 = base.find(_._1 == 0L).get._2
+    val d = (base.toSeq ++ Seq((900L, v0), (901L, v0)))
+      .toDF("vec_id", "embedding")
+    val scored = d.select(col("vec_id"),
+      (when(col("vec_id") === 900L, 9L)
+        .when(col("vec_id") === 901L, 7L)
+        .otherwise(5L)).as("n_tokens"))
+    val pairs = Similarity.nearDupPairs(d, minSim = 0.9)
+    val kept = ConnectedComponents
+      .survivorsBy(scored, pairs, col("n_tokens"), idCol = "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(900L), "content-richest member dropped")
+    assert(!kept.contains(0L) && !kept.contains(901L),
+      s"cluster losers survived: $kept")
+    // docs in no semantic pair pass through untouched
+    val clustered = pairs.select(explode(array(col("a"), col("b"))).as("id"))
+      .as[Long].collect().toSet
+    val unpaired = (base.map(_._1).toSet -- clustered)
+    assert(unpaired.subsetOf(kept), "an unpaired doc was dropped")
+  }
+
   test("centered LSH splits a mean-offset corpus that through-origin planes cannot") {
     import spark.implicits._
     import graft.operators.Similarity
