@@ -207,27 +207,106 @@ object Quality {
     * a cleaning rule). Deterministic total order (count desc, gram
     * asc).
     *
-    * Two passes, expensive stat LAST: pass 1 finds the top-k by pure
-    * occurrence count — the one aggregate with full map-side combine
-    * (the shuffle carries (gram, partial_cnt), within-partition
-    * repetition already collapsed) — then pass 2 computes the
-    * distinct-doc spread ONLY for those k winners via a broadcast
-    * semi-filter of the re-derived gram stream. The single-pass
-    * count+countDistinct alternative shuffles every (gram, doc_id)
-    * pair in the corpus to count documents for grams that can't
-    * place; per-gram distinct-counting the whole vocabulary is
-    * exactly what a 100 TB heavy-hitter scan must never do. On a
-    * natural Zipf corpus the count-only exchange combines map-side to
-    * one row per (partition, gram) while (gram, doc_id) pairs can
-    * only dedup to one per (doc, gram) — the gap grows with corpus
-    * size and head skew. Honest measurement: the SYNTHETIC sf1 corpus
-    * is the adversarial case (GenSf's per-copy marker words make most
-    * grams corpus-unique, so nothing combines) and the two scans cost
-    * 1.8 s vs the fused shape's 1.6 s there; the shape is chosen for
-    * the scale regime, not the microbench. */
+    * Two passes, heavy keys NEVER as strings: pass 1 ranks candidate
+    * heavy hitters by pure occurrence count keyed on the 48-bit
+    * [[graft.plans.ShingleHashes]] hash — a native one-pass map stage
+    * feeding an int64 count exchange with full map-side combine; the
+    * vocabulary crosses the wire as 8-byte longs, never gram strings
+    * (on GenSf's adversarial mostly-unique corpus the old
+    * string-keyed pass shuffled ~2M ~30-byte gram strings to find 20
+    * winners — 1.9 s at sf1 vs 0.6 s hashed). Pass 2 re-derives gram
+    * STRINGS only for occurrences whose hash sits in the top-4k set
+    * (map-side isin — the sliver is the only string exchange) and
+    * recounts exactly per string, so a hash collision can merge
+    * pass-1 counts but never corrupt an emitted row; the
+    * distinct-doc spread is likewise computed on the sliver only —
+    * per-gram distinct-counting the whole vocabulary is exactly what
+    * a 100 TB heavy-hitter scan must never do. Exactness is CERTIFIED
+    * per run, not assumed: any gram outside the sliver has count <=
+    * its hash's count <= the (4k+1)-th hash count, so `k-th exact
+    * sliver count > that bound` proves the top k (and its tie order)
+    * complete; a boundary tie falls back loudly to the string-keyed
+    * exact pass. Driver-side state is 4k+1 and k rows — bounded by
+    * construction at any corpus size (the Dsir discipline). */
   def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame = {
-    val d = docs.select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
-    val grams = d.select(col("doc_id"), explode(wordNgrams(col("ws"), n)).as("gram"))
+    // Pass 1 keyed on the 48-bit shingle hash (native one-pass
+    // [[graft.plans.ShingleHashes]] stream, the q36 base): the
+    // count exchange and the top-k selection carry 8-byte longs,
+    // never gram strings — on the adversarial mostly-unique corpus
+    // the string form shuffles the whole vocabulary as strings just
+    // to discover that only k of them matter.
+    val kk = math.max(4 * k, 64)
+    val hs = docs.select(
+      explode(graft.plans.ShingleHashes(trim(col("text")), n, HashP)).as("h"))
+    val topH = hs.groupBy(col("h")).agg(count(lit(1)).as("hcnt"))
+      .orderBy(col("hcnt").desc, col("h"))
+      .limit(kk + 1)
+      .collect() // bounded: kk+1 rows by construction
+    // Any hash OUTSIDE the kept top-kk set has total count <= bound,
+    // and a gram's count is <= its hash's count — so once the k-th
+    // exact gram count strictly beats `bound`, no out-of-sliver gram
+    // can belong to the top k (nor tie into it). If every observed
+    // hash fits in the set the sliver IS the vocabulary and the
+    // result is exact unconditionally.
+    val bound =
+      if (topH.length > kk) topH.last.getLong(1) else Long.MinValue
+    val hset = topH.take(kk).map(_.getLong(0)).toSeq
+
+    // Pass 2: gram STRINGS are materialized ONLY at matched
+    // positions — the hash stream is recomputed (cheap native map;
+    // caching the corpus-sized pass-1 stream is the non-option at
+    // scale), positions whose hash sits in the top set are selected
+    // by higher-order array ops INSIDE the row, and only those
+    // positions' grams are built and exploded. Profiled at sf1: the
+    // explode-all-grams-then-filter form spent 0.94 s just
+    // allocating 2M gram strings to throw ~all of them away.
+    // The recount per string makes a 48-bit collision harmless: it
+    // can merge pass-1 counts but never corrupt an emitted row.
+    val topArr = lit(hset.toArray)
+    val d = docs.select(col("doc_id"), trim(col("text")).as("t"))
+      .select(col("doc_id"), split(col("t"), " ").as("ws"),
+        graft.plans.ShingleHashes(col("t"), n, HashP).as("hs"))
+    val matchPos = filter(
+      transform(col("hs"), (h, i) => when(array_contains(topArr, h), i + 1)),
+      p => p.isNotNull)
+    val matchGrams = transform(matchPos,
+      i => concat_ws(" ", slice(col("ws"), i, lit(n))))
+    val sliverTop = d
+      .select(col("doc_id"), explode(matchGrams).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+      .collect() // bounded: k rows
+    val exact = sliverTop.length < k || sliverTop.last.getLong(1) > bound
+    if (exact) {
+      val spark = docs.sparkSession
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(sliverTop.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("gram",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_docs",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    } else {
+      // k-th count tied the out-of-sliver bound: the hash ranking
+      // cannot certify the boundary — fall back to the exact string
+      // shape (loud; data-dependent, never wrong)
+      System.err.println(
+        s"[topNgrams] hash-sliver boundary ambiguous (k-th cnt vs bound " +
+          s"$bound) — falling back to the string-keyed exact pass")
+      topNgramsStringKeyed(docs, n, k)
+    }
+  }
+
+  /** The string-keyed exact form — pass 1 shuffles the vocabulary as
+    * strings; kept as [[topNgrams]]'s certainty fallback for the
+    * boundary-tie case the hash sliver cannot certify. */
+  private def topNgramsStringKeyed(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val dd = docs.select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+    val grams = dd.select(col("doc_id"), explode(wordNgrams(col("ws"), n)).as("gram"))
     val top = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram"))
@@ -238,4 +317,10 @@ object Quality {
       .select(col("gram"), col("cnt"), col("n_docs"))
       .orderBy(col("cnt").desc, col("gram"))
   }
+
+  /** 48-bit identity modulus for [[graft.plans.ShingleHashes]]: the
+    * full first-48-md5-bits value survives (h % 2^48 == h), so the
+    * only collision source is the 48-bit truncation itself
+    * (~V^2/2^49 expected — ~0.01 at a 2M-gram vocabulary). */
+  private val HashP: Long = 1L << 48
 }
