@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style language-model quality scoring (Wenzek et al. 2020,
+  * "CCNet: Extracting High Quality Monolingual Datasets from Web
+  * Crawl Data"): train a small LM on a high-quality TARGET slice,
+  * score every corpus document by its perplexity under that model,
+  * and split the corpus into head/middle/tail quality strata — the
+  * filter run on the raw crawl before LLaMA-class pretraining.
+  *
+  * The honest in-engine analog of CCNet's KenLM 5-gram: an add-one-
+  * smoothed BIGRAM model over the hashed-bucket feature space the
+  * DSIR operator established ([[Dsir.NumBuckets]] = 1024 buckets,
+  * 48-bit-md5 [[graft.plans.ShingleHashes]] streams) — the model is
+  * a bounded table at any corpus size, which is what makes the fit
+  * one map-side-combined aggregation and the scoring a broadcast
+  * join, never a vocabulary-sized shuffle.
+  *
+  * House split (the q76/q58 precedent): everything data-shaped — the
+  * position-aligned feature stream, the fitted counts, the scoring
+  * joins, the per-document int64 aggregates — is the oracle surface
+  * (q85: exact BIGINTs, byte-reproducible in DuckDB). The float tail
+  * (per-occurrence log-probs, their mean, the strata thresholds) is
+  * spec-gated: transcendental `ln` is not required to be correctly
+  * rounded, so cross-engine hash equality cannot be promised on it.
+  *
+  * Scale shape: fit = one explode → (kind, bucket)-keyed hash
+  * aggregation (shuffle ≤ partitions × 2·NumBuckets rows regardless
+  * of corpus size) collected ONCE (≤ 2048 rows, bounded by
+  * construction); scoring re-derives the stream (scans are cheap,
+  * state is not), joins the two broadcast model slices, and sums per
+  * doc — one doc_id-keyed exchange with partial aggregation.
+  */
+object LangModel {
+
+  /** Shared hashed feature space with [[Dsir]] (1024 buckets). */
+  val NumBuckets: Long = Dsir.NumBuckets
+
+  /** Position-aligned (context-unigram-bucket, bigram-bucket) pairs:
+    * entry i (1-based, i = 1..n-1) pairs word_i's unigram bucket with
+    * (word_i, word_i+1)'s bigram bucket, so Σ_w2 c(w1, w2) = c(w1) —
+    * the bigram-LM normalization invariant — holds by construction.
+    * Both streams are native one-pass byte scans zipped INSIDE the
+    * row; input must be trim'd (the ShingleHashes contract). Fewer
+    * than two words → empty array; NULL text → NULL. */
+  def contextPairs(trimmed: Column): Column = {
+    val u1 = graft.plans.ShingleHashes(trimmed, 1, NumBuckets)
+    val b2 = graft.plans.ShingleHashes(trimmed, 2, NumBuckets)
+    zip_with(slice(u1, lit(1), greatest(size(u1) - 1, lit(0))), b2,
+      (a, b) => struct(a.as("b1"), b.as("b2")))
+  }
+
+  /** The fitted model over the target slice, one pass: per-bucket
+    * CONTEXT counts (kind 1: unigram buckets of words 1..n-1) and
+    * BIGRAM counts (kind 2). ≤ 2·NumBuckets rows by construction. */
+  def bigramModel(docs: DataFrame, targetPred: Column): DataFrame =
+    docs.filter(targetPred)
+      .select(explode(contextPairs(trim(col("text")))).as("p"))
+      .select(explode(array(
+        struct(lit(1).as("kind"), col("p.b1").as("b")),
+        struct(lit(2).as("kind"), col("p.b2").as("b")))).as("e"))
+      .groupBy(col("e.kind").as("kind"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** The collected model as two broadcastable local slices
+    * (contexts, bigrams). Bounded collect (≤ 2048 rows). */
+  private def modelSlices(docs: DataFrame, targetPred: Column)
+      : (DataFrame, DataFrame) = {
+    val rows = bigramModel(docs, targetPred).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    require(rows.nonEmpty,
+      "LangModel: empty bigram model (no target doc has two words)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m1 = rows.collect { case (1, b, c) => (b, c) }.toSeq.toDF("b1", "c1")
+    val m2 = rows.collect { case (2, b, c) => (b, c) }.toSeq.toDF("b2", "c2")
+    (m1, m2)
+  }
+
+  /** Per-occurrence scored stream: every (doc_id, c1, c2) with the
+    * model counts attached (0 where the target never saw the
+    * bucket). */
+  private def scoredOccurrences(docs: DataFrame, m1: DataFrame,
+                                m2: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(contextPairs(trim(col("text")))).as("p"))
+      .select(col("doc_id"), col("p.b1").as("b1"), col("p.b2").as("b2"))
+      .join(broadcast(m1), Seq("b1"), "left")
+      .join(broadcast(m2), Seq("b2"), "left")
+      .select(col("doc_id"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+
+  /** q85's oracle surface — per document, the EXACT integer
+    * aggregates of the scored stream: bigram count, Σ looked-up
+    * bigram-bucket counts, Σ looked-up context-bucket counts.
+    * Documents with no bigram (or NULL text) report zeros. Pins the
+    * target fit, the stream alignment, both joins, and the per-doc
+    * aggregation; only the final `ln` map is left to [[nll]]. */
+  def pplFeatures(docs: DataFrame, targetPred: Column): DataFrame = {
+    val (m1, m2) = modelSlices(docs, targetPred)
+    val agg = scoredOccurrences(docs, m1, m2)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bi"),
+        sum(col("c2")).as("sum_c2"),
+        sum(col("c1")).as("sum_c1"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bi", "sum_c2", "sum_c1"))
+  }
+
+  /** Per-document negative mean log-probability (the log-perplexity
+    * proxy; LOWER = more target-like): nll = −(1/n) Σ_i ln((c2_i + 1)
+    * / (c1_i + NumBuckets)) — add-one smoothing over the bucket
+    * space, so unseen buckets score ln(1/(0 + k)) rather than −∞.
+    * Documents with no bigram get NULL (unscorable — CCNet buckets
+    * them with the tail; see [[headMiddleTail]]). Float tail:
+    * spec-gated, not oracle-checked (see the object scaladoc). */
+  def nll(docs: DataFrame, targetPred: Column): DataFrame = {
+    val (m1, m2) = modelSlices(docs, targetPred)
+    val scored = scoredOccurrences(docs, m1, m2)
+      .withColumn("lp",
+        log(col("c2") + 1.0) - log(col("c1") + NumBuckets.toDouble))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bi"), (-avg(col("lp"))).as("nll"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bi"))
+  }
+
+  /** CCNet's head/middle/tail strata over [[nll]] scores: head =
+    * nll ≤ lo, middle = nll ≤ hi, tail = the rest; unscorable
+    * documents (NULL nll) land in the tail, mirroring CCNet's
+    * treatment of undecidable lines. Thresholds come from the
+    * caller (CCNet derives them as per-language score percentiles
+    * on a held-out sample — a bounded driver-side quantile, not an
+    * engine concern). */
+  def headMiddleTail(scored: DataFrame, lo: Double, hi: Double): DataFrame =
+    scored.withColumn("stratum",
+      when(col("nll").isNotNull && col("nll") <= lo, lit("head"))
+        .when(col("nll").isNotNull && col("nll") <= hi, lit("middle"))
+        .otherwise(lit("tail")))
+}

@@ -231,11 +231,54 @@ object CleanOps extends QueryModule {
        |FROM t GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // q85: CCNet-style LM quality scoring (Wenzek et al. 2020) — the
+  // add-one-smoothed hashed-bucket bigram model fitted on the q76
+  // target slice (stopword-ratio "en" predicate), every document
+  // scored against it. The oracle surface is the exact-int64 per-doc
+  // feature table (bigram count, Σ looked-up bigram/context bucket
+  // counts — the q76/q58 house split); the `ln` tail and the CCNet
+  // head/middle/tail strata are spec-gated in CleanOpsSpec.
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.functions.TextFunctions.textStats(col("text"))
+    val enPred =
+      (st.getField("n_stop") / st.getField("n_words")) >= 0.05
+    graft.operators.LangModel.pplFeatures(docs(s, dir), enPred)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q85Sql = {
+    import graft.functions.TextFunctions.StopwordsSql
+    val k = graft.operators.LangModel.NumBuckets
+    s"""WITH t AS (SELECT doc_id, text,
+       |    (len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN $StopwordsSql))
+       |       / len(string_split(lower(trim(text)), ' '))) >= 0.05 AS is_t
+       |  FROM documents),
+       |d AS (SELECT doc_id, is_t, string_split(trim(text), ' ') AS ws FROM t),
+       |occ AS (SELECT doc_id, is_t,
+       |    unnest(list_transform(range(1, len(ws)),
+       |      i -> CAST(('0x' || substr(md5(ws[i]), 1, 12)) AS BIGINT) % $k)) AS b1,
+       |    unnest(list_transform(range(1, len(ws)),
+       |      i -> CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 12)) AS BIGINT) % $k)) AS b2
+       |  FROM d),
+       |m1 AS (SELECT b1 AS b, count(*) AS c FROM occ WHERE is_t GROUP BY b1),
+       |m2 AS (SELECT b2 AS b, count(*) AS c FROM occ WHERE is_t GROUP BY b2),
+       |j AS (SELECT o.doc_id, coalesce(m1.c, 0) AS c1, coalesce(m2.c, 0) AS c2
+       |  FROM occ o LEFT JOIN m1 ON m1.b = o.b1 LEFT JOIN m2 ON m2.b = o.b2),
+       |agg AS (SELECT doc_id, count(*) AS n_bi,
+       |    CAST(sum(c2) AS BIGINT) AS sum_c2, CAST(sum(c1) AS BIGINT) AS sum_c1
+       |  FROM j GROUP BY doc_id)
+       |SELECT dd.doc_id, coalesce(a.n_bi, 0) AS n_bi,
+       |  coalesce(a.sum_c2, 0) AS sum_c2, coalesce(a.sum_c1, 0) AS sum_c1
+       |FROM documents dd LEFT JOIN agg a ON a.doc_id = dd.doc_id
+       |ORDER BY dd.doc_id""".stripMargin
+  }
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q73_gopher_repetition", q73, Some(q73Sql)),
     QueryDef("q74_pii_redact", q74, Some(q74Sql)),
     QueryDef("q75_boilerplate_ngrams", q75, Some(q75Sql)),
     QueryDef("q76_dsir_model", q76, Some(q76Sql)),
     QueryDef("q78_clean_corpus", q78, Some(q78Sql)),
-    QueryDef("q80_source_mix", q80, Some(q80Sql)))
+    QueryDef("q80_source_mix", q80, Some(q80Sql)),
+    QueryDef("q85_lm_ppl", q85, Some(q85Sql)))
 }
