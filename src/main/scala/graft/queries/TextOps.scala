@@ -183,6 +183,30 @@ object TextOps extends QueryModule {
       |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'valid' ELSE 'test' END AS split
       |FROM h ORDER BY doc_id""".stripMargin
 
+  // q86: the BPE trainer's data surface (Sennrich et al. 2016) —
+  // the weighted adjacent character-pair counts over the word-count
+  // vocabulary, i.e. exactly the table every merge round argmaxes.
+  // Top-50 by (cnt desc, pair asc) — a fully deterministic prefix.
+  // The iterative merge loop itself is spec-gated on the
+  // literature's hand example (TextOpsSpec); this pins the fit.
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrain.pairCounts(
+      graft.operators.BpeTrain.vocab(docs(s, dir))
+        .select(graft.operators.BpeTrain.charSyms(col("w")).as("syms"),
+          col("cnt")))
+      .orderBy(col("cnt").desc, col("lft"), col("rgt"))
+      .limit(50)
+
+  private val q86Sql =
+    """WITH wr AS (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents),
+      |v AS (SELECT w, count(*) AS wc FROM wr WHERE len(w) > 0 GROUP BY w),
+      |p AS (SELECT wc, unnest(list_transform(range(1, len(w)),
+      |        i -> [substr(w, i, 1), substr(w, i + 1, 1)])) AS pr FROM v),
+      |agg AS (SELECT pr[1] AS lft, pr[2] AS rgt, CAST(sum(wc) AS BIGINT) AS cnt
+      |        FROM p GROUP BY pr[1], pr[2])
+      |SELECT lft, rgt, cnt FROM agg
+      |ORDER BY cnt DESC, lft, rgt LIMIT 50""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q25_regex_scrub", q25, Some(q25Sql)),
     QueryDef("q26_ooc_filter", q26, Some(q26Sql)),
@@ -192,5 +216,6 @@ object TextOps extends QueryModule {
     QueryDef("q30_quality_score", q30, Some(q30Sql)),
     QueryDef("q31_fingerprint", q31, Some(q31Sql)),
     QueryDef("q32_anonymize", q32, Some(q32Sql)),
-    QueryDef("q33_train_test_split", q33, Some(q33Sql)))
+    QueryDef("q33_train_test_split", q33, Some(q33Sql)),
+    QueryDef("q86_bpe_pairs", q86, Some(q86Sql)))
 }

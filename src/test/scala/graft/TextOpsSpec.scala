@@ -215,12 +215,51 @@ class TextOpsSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("bpe train: the literature's hand example merges in order") {
+    import spark.implicits._
+    import graft.operators.BpeTrain
+    // Sennrich-style toy: counts low:5, lower:2, newest:6, widest:3.
+    // Weighted pair counts put (e,s) and (s,t) at 9 — tie broken
+    // pair-ascending -> round 1 merges (e,s); round 2 (es,t) at 9;
+    // round 3 the l-o / o-w tie at 7 -> (l,o).
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = BpeTrain.train(d, 3)
+    assert(merges == Seq((1, "e", "s", "es"), (2, "es", "t", "est"),
+      (3, "l", "o", "lo")), s"merges: $merges")
+    // encoding with the trained table segments as the algorithm does
+    val toks = Seq(("newest low")).toDF("text")
+      .select(BpeTrain.encode(col("text"), merges).as("t"))
+      .first().getSeq[String](0)
+    assert(toks == Seq("n", "e", "w", "est", "lo", "w"), s"tokens: $toks")
+  }
+
+  test("bpe mergeSyms is greedy left-to-right and non-overlapping") {
+    import spark.implicits._
+    import graft.operators.BpeTrain
+    def syms(w: String, a: String, b: String): Seq[String] =
+      Seq(w).toDF("w")
+        .select(BpeTrain.mergeSyms(BpeTrain.charSyms(col("w")),
+          lit(a), lit(b)).as("s"))
+        .first().getSeq[String](0)
+    assert(syms("aaa", "a", "a") == Seq("aa", "a"))
+    assert(syms("aaaa", "a", "a") == Seq("aa", "aa"))
+    assert(syms("aab", "a", "b") == Seq("a", "ab"))
+    assert(syms("ba", "a", "b") == Seq("b", "a"))
+  }
+
   test("all text queries execute and key by doc_id uniquely") {
     for (q <- TextOps.all) {
       val df = q.run(spark, sfDir)
       val n = df.count()
       assert(n > 0, s"${q.name} returned no rows")
-      assert(df.select("doc_id").distinct().count() == n, s"${q.name} duplicated doc_id")
+      // q86 is the one corpus-level table (pair counts, no doc key)
+      if (df.columns.contains("doc_id"))
+        assert(df.select("doc_id").distinct().count() == n, s"${q.name} duplicated doc_id")
+      else
+        assert(df.select("lft", "rgt").distinct().count() == n,
+          s"${q.name} duplicated pair key")
     }
   }
 }
