@@ -207,6 +207,36 @@ object TextOps extends QueryModule {
       |SELECT lft, rgt, cnt FROM agg
       |ORDER BY cnt DESC, lft, rgt LIMIT 50""".stripMargin
 
+  // q87: per-doc tf·idf keyword extraction with the EXACT base-2
+  // integer idf (floor(log2(N/df)) via bin-length — see the
+  // operators.Keywords scaladoc for why ln stays off the oracle).
+  private def q87(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Keywords.tfidfTopK(docs(s, dir), 3)
+      .orderBy(col("doc_id"), col("rank"))
+
+  private val q87Sql = {
+    val p = graft.operators.Keywords.HashP
+    s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+       |z AS (SELECT doc_id,
+       |    unnest(list_filter(list_transform(range(1, len(ws) + 1),
+       |      i -> struct_pack(term := ws[i],
+       |             h := CAST(('0x' || substr(md5(ws[i]), 1, 12)) AS BIGINT) % $p)),
+       |      s -> len(s.term) > 0)) AS t
+       |  FROM d),
+       |terms AS (SELECT doc_id, t.h AS h, count(*) AS tf, min(t.term) AS term
+       |          FROM z GROUP BY doc_id, t.h),
+       |dfq AS (SELECT h, count(*) AS dfreq FROM terms GROUP BY h),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |scored AS (SELECT t.doc_id, t.term, t.tf, dfq.dfreq,
+       |    t.tf * (length(bin(nn.n // dfq.dfreq)) - 1) AS score
+       |  FROM terms t JOIN dfq USING (h) CROSS JOIN nn),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY score DESC, term) AS rank FROM scored)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf,
+       |  CAST(dfreq AS BIGINT) AS df, CAST(score AS BIGINT) AS score
+       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+  }
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q25_regex_scrub", q25, Some(q25Sql)),
     QueryDef("q26_ooc_filter", q26, Some(q26Sql)),
@@ -217,5 +247,6 @@ object TextOps extends QueryModule {
     QueryDef("q31_fingerprint", q31, Some(q31Sql)),
     QueryDef("q32_anonymize", q32, Some(q32Sql)),
     QueryDef("q33_train_test_split", q33, Some(q33Sql)),
-    QueryDef("q86_bpe_pairs", q86, Some(q86Sql)))
+    QueryDef("q86_bpe_pairs", q86, Some(q86Sql)),
+    QueryDef("q87_tfidf_keywords", q87, Some(q87Sql)))
 }

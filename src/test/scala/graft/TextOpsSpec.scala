@@ -235,6 +235,27 @@ class TextOpsSpec extends SparkTestBase {
     assert(toks == Seq("n", "e", "w", "est", "lo", "w"), s"tokens: $toks")
   }
 
+  test("tfidf keywords: hand-computed integer-idf ranking") {
+    import spark.implicits._
+    import graft.operators.Keywords
+    // N=4; df: apple 1, banana 3, cherry 2, date 1
+    // idf = floor(log2(N/df)): apple 2, banana 0, cherry 1, date 2
+    val d = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date"),
+      (4L, "banana")).toDF("doc_id", "text")
+    val r = Keywords.tfidfTopK(d, 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getString(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    assert(r((1L, 1L)) == (("apple", 2L, 1L, 4L)), s"d1r1: ${r((1L, 1L))}")
+    assert(r((1L, 2L)) == (("banana", 1L, 3L, 0L)))
+    assert(r((3L, 1L)) == (("cherry", 3L, 2L, 3L)))
+    assert(r((3L, 2L)) == (("date", 1L, 1L, 2L)))
+    // df = N terms score 0 but still rank (common-term suppression)
+    assert(r((4L, 1L)) == (("banana", 1L, 3L, 0L)))
+  }
+
   test("bpe mergeSyms is greedy left-to-right and non-overlapping") {
     import spark.implicits._
     import graft.operators.BpeTrain
@@ -254,8 +275,11 @@ class TextOpsSpec extends SparkTestBase {
       val df = q.run(spark, sfDir)
       val n = df.count()
       assert(n > 0, s"${q.name} returned no rows")
-      // q86 is the one corpus-level table (pair counts, no doc key)
-      if (df.columns.contains("doc_id"))
+      // q86 is corpus-level (pair key); q87 keys by (doc_id, rank)
+      if (df.columns.contains("rank"))
+        assert(df.select("doc_id", "rank").distinct().count() == n,
+          s"${q.name} duplicated (doc_id, rank)")
+      else if (df.columns.contains("doc_id"))
         assert(df.select("doc_id").distinct().count() == n, s"${q.name} duplicated doc_id")
       else
         assert(df.select("lft", "rgt").distinct().count() == n,
