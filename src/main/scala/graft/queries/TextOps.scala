@@ -212,6 +212,10 @@ object TextOps extends QueryModule {
   // operators.Keywords scaladoc for why ln stays off the oracle).
   private def q87(s: SparkSession, dir: String): DataFrame =
     graft.operators.Keywords.tfidfTopK(docs(s, dir), 3)
+      // the q37/q72 sort discipline: the protocol sort's range
+      // sampler re-executes its child — pin a hash repartition as
+      // the materialized re-read point
+      .repartition(col("doc_id"))
       .orderBy(col("doc_id"), col("rank"))
 
   private val q87Sql = {
@@ -227,11 +231,11 @@ object TextOps extends QueryModule {
        |          FROM z GROUP BY doc_id, t.h),
        |dfq AS (SELECT h, count(*) AS dfreq FROM terms GROUP BY h),
        |nn AS (SELECT count(*) AS n FROM documents),
-       |scored AS (SELECT t.doc_id, t.term, t.tf, dfq.dfreq,
+       |scored AS (SELECT t.doc_id, t.h, t.term, t.tf, dfq.dfreq,
        |    t.tf * (length(bin(nn.n // dfq.dfreq)) - 1) AS score
        |  FROM terms t JOIN dfq USING (h) CROSS JOIN nn),
        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-       |        ORDER BY score DESC, term) AS rank FROM scored)
+       |        ORDER BY score DESC, h) AS rank FROM scored)
        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf,
        |  CAST(dfreq AS BIGINT) AS df, CAST(score AS BIGINT) AS score
        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin

@@ -55,9 +55,12 @@ def main():
     # combine_pairs would drop the number regardless). Skip, loudly.
     # q79/q81: slice-materializing mirrors; q82: duplicates q70's
     # recursive-closure cost for a non-headline variant
+    # q84: non-headline like q82, and its mirror re-runs the q72 pair
+    # listing plus the same recursive closure
     skipped = sorted(n for n in ("q79_strip_dup_spans",
                                  "q81_decontaminate_strip",
-                                 "q82_survivors_quality") if n in sql)
+                                 "q82_survivors_quality",
+                                 "q84_semdedup") if n in sql)
     for n in skipped:
         print(f"NOTE: skipping non-headline {n} (slice-materializing "
               "oracle mirror is a correctness surface, not a timing one)",
