@@ -183,9 +183,75 @@ object DatasetOps extends QueryModule {
        |  END AS w
        |FROM j ORDER BY instance_id""".stripMargin
 
+  // q88: the corpus PROFILE — the dataset-card stats table (doc
+  // length / whitespace-token / BPE-token distributions) a corpus
+  // release publishes. EXACT discrete quantiles from the value
+  // HISTOGRAM, not a sort: per metric, (value, count) aggregates
+  // (the exchange is bounded by 3 × distinct values — hundreds — at
+  // ANY corpus size), a cumulative window OVER THE BOUNDED HISTOGRAM
+  // (not the corpus; the 3-partition window is fine because its
+  // input is already aggregate-sized), and p-th quantile = min v
+  // with 100·cum ≥ p·n — integer arithmetic end to end, so every
+  // cell is cross-engine exact (percentile_approx and float means
+  // stay off the oracle).
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(explode(array(
+        struct(lit("chars").as("metric"),
+          length(col("text")).cast("long").as("v")),
+        struct(lit("ws_tokens").as("metric"),
+          TextFunctions.wsTokenCount(col("text")).as("v")),
+        struct(lit("bpe_tokens").as("metric"),
+          TextFunctions.bpeTokenCount(col("text")).as("v")))).as("e"))
+      .select(col("e.metric").as("metric"), col("e.v").as("v"))
+    val hist = m.groupBy(col("metric"), col("v")).agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("metric")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("metric"))))
+    def qt(p: Int) =
+      min(when(col("cum") * 100 >= col("n") * p, col("v"))).as(s"p$p")
+    cum.groupBy(col("metric")).agg(
+      max(col("n")).as("n_docs"),
+      min(col("v")).as("min_v"), qt(25), qt(50), qt(75), qt(95),
+      max(col("v")).as("max_v"),
+      sum(col("v") * col("c")).as("sum_v"))
+      .orderBy(col("metric"))
+  }
+
+  private val q88Sql = {
+    import graft.functions.TextFunctions.{BpeTokenRe, WsPlusRe}
+    s"""WITH m AS (
+       |  SELECT 'chars' AS metric, CAST(length(text) AS BIGINT) AS v
+       |    FROM documents WHERE text IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'ws_tokens', CAST(len(string_split_regex(trim(text), '$WsPlusRe')) AS BIGINT)
+       |    FROM documents WHERE text IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'bpe_tokens', CAST(len(regexp_extract_all(text, '$BpeTokenRe')) AS BIGINT)
+       |    FROM documents WHERE text IS NOT NULL),
+       |hist AS (SELECT metric, v, count(*) AS c FROM m GROUP BY metric, v),
+       |cum AS (SELECT metric, v, c,
+       |    sum(c) OVER (PARTITION BY metric ORDER BY v) AS cum,
+       |    sum(c) OVER (PARTITION BY metric) AS n
+       |  FROM hist)
+       |SELECT metric, CAST(max(n) AS BIGINT) AS n_docs,
+       |  min(v) AS min_v,
+       |  min(CASE WHEN cum * 100 >= n * 25 THEN v END) AS p25,
+       |  min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS p50,
+       |  min(CASE WHEN cum * 100 >= n * 75 THEN v END) AS p75,
+       |  min(CASE WHEN cum * 100 >= n * 95 THEN v END) AS p95,
+       |  max(v) AS max_v,
+       |  CAST(sum(v * c) AS BIGINT) AS sum_v
+       |FROM cum GROUP BY metric ORDER BY metric""".stripMargin
+  }
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q55_dataset_checksum", q55, Some(q55Sql)),
     QueryDef("q56_heuristic_profile", q56, Some(q56Sql)),
     QueryDef("q57_label_join", q57, Some(q57Sql)),
-    QueryDef("q58_regression_head", q58, Some(q58Sql)))
+    QueryDef("q58_regression_head", q58, Some(q58Sql)),
+    QueryDef("q88_corpus_profile", q88, Some(q88Sql)))
 }

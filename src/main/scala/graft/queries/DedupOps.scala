@@ -35,6 +35,44 @@ object DedupOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  // q89: the SOURCE OVERLAP matrix — per unordered source pair, the
+  // number of distinct word-5-gram hashes BOTH sources carry: q71's
+  // decontamination identity applied pairwise across subsets instead
+  // of against one benchmark — the cross-subset leakage audit run
+  // before treating sources as independent (exact-fingerprint
+  // overlap is the degenerate all-grams-shared case and is already
+  // countable from q34/q80). Shape: distinct (source, h) — one
+  // int64-keyed aggregation over the one-pass ShingleHashes stream —
+  // then a self-join ON h whose fan-out is bounded by the SOURCE
+  // COUNT squared per hash (sources are a dataset-design constant,
+  // ~dozens), never by corpus size; SHUFFLE_HASH pinned (both sides
+  // corpus-shaped) and both steps reuse the same h partitioning.
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir)
+      .select(col("source"), explode(
+        graft.plans.ShingleHashes(trim(col("text")), ContamN, Dedup.P)).as("h"))
+      .distinct()
+      .repartition(col("h"))
+    g.as("a").hint("shuffle_hash")
+      .join(g.as("b"), col("a.h") === col("b.h") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  // lazy: ContamN/Dedup.P are declared further down the object; a
+  // strict val here would interpolate their uninitialized 0s
+  private lazy val q89Sql =
+    s"""WITH d AS (SELECT source, string_split(trim(text), ' ') AS ws FROM documents),
+       |s AS (SELECT source, list_transform(range(1, len(ws) - ${ContamN - 2}),
+       |        i -> CAST(('0x' || substr(md5(${(0 until ContamN).map(j => s"ws[i+$j]").mkString(" || ' ' || ")}), 1, 12)) AS BIGINT) % ${Dedup.P}) AS sh
+       |      FROM d WHERE len(ws) >= $ContamN),
+       |g AS (SELECT DISTINCT source, unnest(sh) AS h FROM s)
+       |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+       |FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+       |GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin
+
   private val q34Sql =
     s"""WITH f AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '${TextFunctions.WsPlusRe}', ' ', 'g')))) AS fp FROM documents),
        |c AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS canon_id FROM f)
@@ -482,7 +520,8 @@ object DedupOps extends QueryModule {
     QueryDef("q77_dup_substrings", q77, Some(q77Sql)),
     QueryDef("q79_strip_dup_spans", q79, Some(q79Sql)),
     QueryDef("q81_decontaminate_strip", q81, Some(q81Sql)),
-    QueryDef("q82_survivors_quality", q82, Some(q82Sql)))
+    QueryDef("q82_survivors_quality", q82, Some(q82Sql)),
+    QueryDef("q89_source_overlap", q89, Some(q89Sql)))
 
   /** q35/q38 are the quadratic correctness baselines and q79's oracle
     * mirror materializes every window's 40-char slice (fine at the
@@ -491,5 +530,6 @@ object DedupOps extends QueryModule {
     * instead. */
   override def headline: Seq[String] =
     Seq("q34_dedup_exact", "q36_dedup_minhash", "q37_dedup_simhash",
-      "q70_dedup_clusters", "q71_decontaminate", "q77_dup_substrings")
+      "q70_dedup_clusters", "q71_decontaminate", "q77_dup_substrings",
+      "q89_source_overlap")
 }

@@ -17,6 +17,47 @@ class DedupOpsSpec extends SparkTestBase {
     assert(d.filter(col("is_dup") === 0 && col("canon_id") =!= col("doc_id")).isEmpty)
   }
 
+  test("source overlap: crafted shared 5-grams count once per (pair, gram)") {
+    import spark.implicits._
+    val d = Seq(
+      // A and B share exactly the 5-gram "a b c d e" (B offsets it);
+      // A's own repetition of the gram across two docs must not
+      // double-count (distinct (source, h))
+      (1L, "a b c d e x", "A"),
+      (2L, "y a b c d e", "A"),
+      (3L, "z a b c d e", "B"),
+      // C shares nothing 5 words long
+      (4L, "q w e r t", "C"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("q89").toString
+    d.withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = DedupOps.all.find(_.name == "q89_source_overlap").get
+      .run(spark, dir)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r == Map(("A", "B") -> 1L), s"$r")
+  }
+
+  test("corpus profile: exact histogram quantiles on a hand corpus") {
+    import spark.implicits._
+    import graft.queries.DatasetOps
+    // 4 docs, chars lengths 1,2,3,10: n=4, thresholds 100cum>=p*4:
+    // p25 -> cum>=1 -> 1; p50 -> cum>=2 -> 2; p75 -> cum>=3 -> 3;
+    // p95 -> 100cum>=380 -> cum>=4 -> 10
+    val dir = java.nio.file.Files.createTempDirectory("q88").toString
+    Seq((1L, "a", "s", 1L), (2L, "bb", "s", 2L), (3L, "ccc", "s", 3L),
+      (4L, "dddddddddd", "s", 10L))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = DatasetOps.all.find(_.name == "q88_corpus_profile").get
+      .run(spark, dir)
+      .filter(col("metric") === "chars").collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)) ==
+      ((4L, 1L, 1L, 2L, 3L, 10L, 10L, 16L)), s"$r")
+  }
+
   test("minhash-LSH candidates contain every high-Jaccard pair (recall on planted dups)") {
     val jacc = q("q35_dedup_jaccard").select(col("a"), col("b"))
     val mh = q("q36_dedup_minhash").select(col("a"), col("b"))
