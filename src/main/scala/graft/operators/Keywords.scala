@@ -36,27 +36,28 @@ object Keywords {
   /** 48-bit identity modulus (the q75 convention). */
   val HashP: Long = 1L << 48
 
-  /** Top-k terms per document by (tf·idf desc, term asc):
+  /** Top-k terms per document by (tf·idf desc, h asc):
     * (doc_id, rank, term, tf, df, score).
     *
-    * Exchange audit (the shape is the point): ONE int64 exchange of
-    * the (doc_id, h) word stream — `repartition(h)` up front, which
-    * the (doc_id, h) tf aggregate, the per-h document frequency, and
-    * the tf⋈df join ALL reuse (h-clustering satisfies each; the
+    * Exchange audit (the shape is the point): ONE scan, ONE exchange
+    * of the word stream — `repartition(h)` up front, which the
+    * (doc_id, h) tf/min-term aggregate, the per-h document frequency
+    * (string column pruned away → pure hash aggregate), and the
+    * tf⋈df join ALL reuse (h-clustering satisfies each; the
     * SHUFFLE_HASH pin keeps the planner from broadcasting the
-    * vocabulary-sized df side, the round-9 discipline — an earlier
-    * draft measured that broadcast + a string SortAggregate at 3.9 s
-    * vs 1.3 s for this shape at sf1). The per-doc top-k window ranks
-    * int-only rows and Spark's WindowGroupLimit prunes to ≤ k rows
-    * per doc per map partition BEFORE its exchange. Term STRINGS
-    * enter exactly one exchange — the corpus text re-keyed by doc_id
-    * to meet its ≤ k winning hashes — and the winning term per hash
-    * is extracted INSIDE the row by a higher-order filter/min over
-    * the re-zipped word stream. Ranking ties on score resolve by h
-    * asc ON BOTH SIDES (the oracle ranks by the identical h — the
-    * "key everything on h" discipline): deterministic, total, and
-    * exactly reproducible; term-lexicographic tie order would have
-    * required the strings inside the ranking exchange. */
+    * vocabulary-sized df side, the round-9 discipline — the first
+    * draft measured that broadcast + an unshared exchange at 3.9 s
+    * vs 1.6 s for this shape at sf1). The word stream crosses the
+    * wire once WITH its term strings — the same corpus-bytes volume
+    * any shape must move at least once to name the winners, and
+    * moving it here deletes the second scan + name-recovery join a
+    * split int/string pipeline needs (measured 2.0 s). The per-doc
+    * top-k window runs AFTER the join; Spark's WindowGroupLimit
+    * prunes to ≤ k rows per doc per partition before the window
+    * exchange, so only ~k·docs slim rows re-shuffle. Ranking ties on
+    * score resolve by h asc ON BOTH SIDES (the oracle ranks by the
+    * identical h — the "key everything on h" discipline):
+    * deterministic, total, exactly reproducible. */
   def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
     val n = docs.count() // driver scalar, bounded by construction
     val trimmed = trim(col("text"))
@@ -64,43 +65,21 @@ object Keywords {
       split(trimmed, " "),
       graft.plans.ShingleHashes(trimmed, 1, HashP),
       (w, h) => struct(w.as("term"), h.as("h")))
-
-    // int64-only counting path: one exchange, three consumers
     val occ = docs.select(col("doc_id"), explode(zipped).as("t"))
       .filter(length(col("t.term")) > 0)
-      .select(col("doc_id"), col("t.h").as("h"))
+      .select(col("doc_id"), col("t.h").as("h"), col("t.term").as("term"))
       .repartition(col("h"))
     val terms = occ.groupBy(col("doc_id"), col("h"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), min(col("term")).as("term"))
     val dfreq = terms.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val scored = terms.hint("shuffle_hash").join(dfreq, Seq("h"))
       .withColumn("score",
         (col("tf") * (length(bin(expr(s"$n DIV df"))) - 1)).cast("long"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("h"))
-    val top = scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-    val winners = top.groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("rank"), col("h"), col("tf"),
-        col("df"), col("score"))).as("wa"))
-
-    // name recovery: the ONE string exchange — corpus text by doc_id
-    // against its own slim winner list (RAW text crosses the wire;
-    // the word/hash zip is rebuilt after the join, once per doc row,
-    // so the exchange payload is text bytes, not a 3x struct array);
-    // term = in-row min over the re-zipped words matching the
-    // winning hash
-    val named = docs.select(col("doc_id"), col("text"))
-      .hint("shuffle_hash").join(winners, Seq("doc_id"))
-      .select(col("doc_id"), col("wa"), zipped.as("zs"))
-      .select(col("doc_id"), explode(col("wa")).as("s"), col("zs"))
-      .select(col("doc_id"), col("s.rank").cast("long").as("rank"),
-        array_min(transform(
-          filter(col("zs"), p =>
-            p.getField("h") === col("s.h") && length(p.getField("term")) > 0),
-          p => p.getField("term"))).as("term"),
-        col("s.tf").as("tf"), col("s.df").as("df"),
-        col("s.score").as("score"))
-    named
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"), col("score"))
   }
 }

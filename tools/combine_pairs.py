@@ -33,6 +33,13 @@ def main():
                 if isinstance(p, dict):
                     for q, t in p.items():
                         smin[q] = min(smin.get(q, 1e9), t)
+            # a previously COMBINED artifact carries its mins in the
+            # headline "queries" dict (each value was itself a min of
+            # real passes) — accept it as one pass so re-combining
+            # against the committed pair keeps the established floors
+            if j.get("metric") == "total" and isinstance(j.get("queries"), dict):
+                for q, t in j["queries"].items():
+                    smin[q] = min(smin.get(q, 1e9), t)
 
     dmin = {}
     for f in duck_files:
