@@ -421,6 +421,77 @@ object Multimodal {
                         maxBucketPop: Option[Long] = None): DataFrame =
     graft.operators.Dedup.simhashPairs(imageDHash(media), maxHamming, maxBucketPop)
 
+  /** 60-bit AUDIO fingerprint per decodable payload — the audio
+    * analog of [[imageDHash]], deliberately 60 bits wide so the q37
+    * block-pair machinery applies verbatim: |PCM| energy box-averaged
+    * into 61 equal time bins (integer sums, exact cross-multiplied
+    * mean compares — no float, no resampling), bit i = mean(bin i) >
+    * mean(bin i+1). Invariances that hold EXACTLY: container format
+    * (WAV vs AIFF of the same samples decode to the same PCM → same
+    * hash) and positive integer gain scaling (both sides of every
+    * cross-multiplied compare scale together). Trims / re-encodes
+    * land in the low-hamming band the pair machinery's guaranteed
+    * hamming ≤ 6 window catches. Undecodable rows are dropped. */
+  def audioFingerprint(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          decodedPcm(r).flatMap { case (_, samples) =>
+            audioFp60(samples).map(h => (r.mediaId, h))
+          }
+        }
+      }
+    }.toDF("doc_id", "simhash")
+  }
+
+  /** Payload-level entry point for [[audioFingerprint]] (the
+    * [[dHashOf]] analog, shared with streaming dedup). */
+  def audioFpOf(payload: Array[Byte]): Option[Long] =
+    decodedPcm(MediaRecord(0L, "audio", payload, 0, 0, 0L))
+      .flatMap { case (_, samples) => audioFp60(samples) }
+
+  /** The 61-bin energy-profile hash of one PCM channel; None when
+    * there are fewer samples than bins (no meaningful profile). */
+  private[multimodal] def audioFp60(samples: Array[Short]): Option[Long] = {
+    val bins = 61
+    val n = samples.length
+    if (n < bins) None
+    else {
+      val sums = new Array[Long](bins)
+      val cnts = new Array[Long](bins)
+      var b = 0
+      while (b < bins) {
+        val i0 = (n.toLong * b / bins).toInt
+        val i1 = math.max(i0 + 1, (n.toLong * (b + 1) / bins).toInt)
+        var s = 0L
+        var i = i0
+        while (i < i1) { s += math.abs(samples(i).toLong); i += 1 }
+        sums(b) = s
+        cnts(b) = (i1 - i0).toLong
+        b += 1
+      }
+      var bits = 0L
+      b = 0
+      while (b < bins - 1) {
+        val gt = sums(b) * cnts(b + 1) > sums(b + 1) * cnts(b)
+        bits = (bits << 1) | (if (gt) 1L else 0L)
+        b += 1
+      }
+      Some(bits)
+    }
+  }
+
+  /** Audio near-dup pairs: [[audioFingerprint]] → the q37 block-pair
+    * machinery unchanged ([[graft.operators.Dedup.simhashPairs]],
+    * hot-bucket cap included); recall contract inherited — hamming
+    * ≤ 6 guaranteed by the block-pair pigeonhole, beyond that the
+    * exact post-filter only widens. */
+  def audioNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 10,
+                        maxBucketPop: Option[Long] = None): DataFrame =
+    graft.operators.Dedup.simhashPairs(audioFingerprint(media), maxHamming, maxBucketPop)
+
   /** Loads a parquet/DataFrame of media rows into the typed Dataset,
     * validating the expected physical schema. */
   def asMedia(df: DataFrame): Dataset[MediaRecord] = {

@@ -89,4 +89,23 @@ object StreamDedup {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("dhash")
   }
+
+  /** Distinct-audio stream — [[distinctByImageHash]]'s analog keyed
+    * on the 60-bit energy-profile fingerprint
+    * ([[graft.multimodal.Multimodal.audioFpOf]]): container-format
+    * and exact-gain re-encodes of the same recording collide within
+    * the watermark horizon; lossy near-dups (hamming ≥ 1) are the
+    * batch `Multimodal.audioNearDupPairs`'s job. Undecodable
+    * payloads dropped; state one 8-byte hash per distinct clip. */
+  def distinctByAudioHash(clips: Dataset[Img],
+                          watermarkDelay: String = "10 seconds"): DataFrame = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips
+      .flatMap(r => graft.multimodal.Multimodal.audioFpOf(r.payload)
+        .map(h => (r.imgId, r.ts, h)))
+      .toDF("clip_id", "ts", "afp")
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("afp")
+  }
 }

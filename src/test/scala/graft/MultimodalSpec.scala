@@ -204,6 +204,51 @@ class MultimodalSpec extends SparkTestBase {
     assert(again == hashes)
   }
 
+  test("audio fingerprint: container and gain invariant, distinct audio diverges, pairs found") {
+    import spark.implicits._
+    def enc(samples: Array[Int],
+            tpe: javax.sound.sampled.AudioFileFormat.Type,
+            bigEndian: Boolean): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, bigEndian)
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        if (bigEndian) {
+          pcm(2 * i) = ((s >> 8) & 0xff).toByte; pcm(2 * i + 1) = (s & 0xff).toByte
+        } else {
+          pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+        tpe, bos)
+      bos.toByteArray
+    }
+    val rnd = new scala.util.Random(7)
+    // |amp| <= 8000 so the x2 gain copy cannot clip
+    val a = Array.fill(2000)(rnd.nextInt(16001) - 8000)
+    val b = Array.fill(2000)(rnd.nextInt(16001) - 8000) // independent noise
+    import javax.sound.sampled.AudioFileFormat.Type.{AIFF, WAVE}
+    val rows = Seq(
+      MediaRecord(1L, "audio", enc(a, WAVE, bigEndian = false), 0, 0, 0L),
+      MediaRecord(2L, "audio", enc(a, AIFF, bigEndian = true), 0, 0, 0L), // same PCM, other container
+      MediaRecord(3L, "audio", enc(a.map(_ * 2), WAVE, bigEndian = false), 0, 0, 0L), // gain x2
+      MediaRecord(4L, "audio", enc(b, WAVE, bigEndian = false), 0, 0, 0L),
+      MediaRecord(5L, "audio", Array.tabulate(8)(_.toByte), 0, 0, 0L)) // undecodable
+    val fp = Multimodal.audioFingerprint(spark.createDataset(rows).repartition(2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp.keySet == Set(1L, 2L, 3L, 4L), s"decoded set: ${fp.keySet}")
+    assert(fp(1L) == fp(2L), "container change flipped the fingerprint")
+    assert(fp(1L) == fp(3L), "exact gain scaling flipped the fingerprint")
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(4L)) > 10,
+      s"independent noise too close: ${java.lang.Long.bitCount(fp(1L) ^ fp(4L))}")
+    val pairs = Multimodal.audioNearDupPairs(
+      spark.createDataset(rows).repartition(2), maxHamming = 6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"pairs: $pairs")
+  }
+
   test("asMedia validates the physical schema") {
     import spark.implicits._
     val df = spark.createDataset(media(3)).toDF()

@@ -238,6 +238,50 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming audio dedup: same recording collides across containers and gain") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamDedup
+    import graft.streaming.StreamDedup.Img
+    def enc(samples: Array[Int], tpe: javax.sound.sampled.AudioFileFormat.Type,
+            be: Boolean): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, be)
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        if (be) { pcm(2 * i) = ((s >> 8) & 0xff).toByte; pcm(2 * i + 1) = (s & 0xff).toByte }
+        else { pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+        tpe, bos)
+      bos.toByteArray
+    }
+    val rnd = new scala.util.Random(13)
+    val a = Array.fill(1500)(rnd.nextInt(16001) - 8000)
+    val b = Array.fill(1500)(rnd.nextInt(16001) - 8000)
+    import javax.sound.sampled.AudioFileFormat.Type.{AIFF, WAVE}
+    val input = MemoryStream[Img]
+    val query = StreamDedup.distinctByAudioHash(input.toDS(), "10 seconds")
+      .writeStream.format("memory").queryName("adedup_out").outputMode("append").start()
+    try {
+      input.addData(Img(1L, new Timestamp(100000), enc(a, WAVE, be = false)))
+      query.processAllAvailable()
+      // cross-batch: AIFF container + exact x2 gain of the same
+      // recording are dropped; independent noise passes; junk dropped
+      input.addData(
+        Img(2L, new Timestamp(101000), enc(a, AIFF, be = true)),
+        Img(3L, new Timestamp(101100), enc(a.map(_ * 2), WAVE, be = false)),
+        Img(4L, new Timestamp(101200), enc(b, WAVE, be = false)),
+        Img(5L, new Timestamp(101300), Array.tabulate(8)(_.toByte)))
+      query.processAllAvailable()
+      val got = spark.table("adedup_out").select("clip_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 4L), s"expected first arrival per recording, got $got")
+    } finally query.stop()
+  }
+
   test("streaming clean-corpus equals batch q78 on a replayed document stream") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
