@@ -155,6 +155,30 @@ object Dedup {
     * benchmark docs (`benchPred` side). The benchmark hash set is
     * tiny by definition → broadcast; the corpus side is the same
     * one-pass [[graft.plans.ShingleHashes]] map stage as MinHash. */
+  /** INCREMENTAL exact dedup — the daily-ingest shape: dedup a DELTA
+    * batch against an already-ingested BASE corpus without touching
+    * the base. A delta row survives iff its normalized fingerprint
+    * (q34's identity) (a) is the min-doc_id first occurrence WITHIN
+    * the delta (map-side-combinable min_by — the q78 survivor
+    * discipline, skew-proof for a pathologically duplicated delta)
+    * and (b) does not occur in the base — one fp-keyed LEFT ANTI
+    * join against the base's DISTINCT fingerprints. Both steps key
+    * on fp with SHUFFLE_HASH (both sides corpus-shaped at real
+    * ingest scale — never broadcast); in a deployment the base side
+    * is the stored fingerprint index written once at ingest, so the
+    * recurring cost is one scan of the delta plus a slim keyed
+    * join — not a re-dedup of the accumulated corpus. */
+  def incrementalSurvivors(base: DataFrame, delta: DataFrame): DataFrame = {
+    val fp = graft.functions.TextFunctions.fingerprint(col("text"))
+    val baseFp = base.select(fp.as("fp")).distinct()
+    delta.withColumn("fp", fp)
+      .groupBy(col("fp"))
+      .agg(min_by(struct(delta.columns.map(col): _*), col("doc_id")).as("r"))
+      .hint("shuffle_hash")
+      .join(baseFp, Seq("fp"), "left_anti")
+      .select(col("r.*"))
+  }
+
   def contaminated(docs: DataFrame, benchPred: Column, n: Int = 5): DataFrame = {
     val hashes = docs.select(col("doc_id"), benchPred.as("is_bench"),
       explode(graft.plans.ShingleHashes(trim(col("text")), n, P)).as("h"))

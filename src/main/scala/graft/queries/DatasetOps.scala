@@ -253,5 +253,21 @@ object DatasetOps extends QueryModule {
     QueryDef("q56_heuristic_profile", q56, Some(q56Sql)),
     QueryDef("q57_label_join", q57, Some(q57Sql)),
     QueryDef("q58_regression_head", q58, Some(q58Sql)),
-    QueryDef("q88_corpus_profile", q88, Some(q88Sql)))
+    QueryDef("q88_corpus_profile", q88, Some(q88Sql)),
+    QueryDef("q91_distinct_stats", q91, Some(q91Sql)))
+
+  // q91: per-source exact distinct-fingerprint counts — the oracle
+  // half of the sketch split (operators/Sketches: the HLL++ estimate
+  // of the same table is spec-gated against these integers).
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.distinctBySource(Tables.documents(s, dir))
+      .orderBy(col("source"))
+
+  // lazy: declared below `all`, which reads it during object init
+  private lazy val q91Sql = {
+    import graft.functions.TextFunctions.WsPlusRe
+    s"""SELECT source, count(*) AS n_docs,
+       |  count(DISTINCT md5(lower(trim(regexp_replace(text, '$WsPlusRe', ' ', 'g'))))) AS n_distinct
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
 }

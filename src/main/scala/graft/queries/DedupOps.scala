@@ -61,6 +61,33 @@ object DedupOps extends QueryModule {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  // q90: INCREMENTAL exact dedup — the daily-ingest pattern: the odd
+  // half of the corpus arrives as a DELTA against the even half
+  // already ingested as BASE; survivors are delta rows that are
+  // first-in-delta for their fingerprint AND unseen in the base
+  // (Dedup.incrementalSurvivors — fp-keyed min_by + left-anti, no
+  // window, no broadcast).
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+    graft.operators.Dedup.incrementalSurvivors(
+      all.filter(col("doc_id") % 2 === 0),
+      all.filter(col("doc_id") % 2 === 1))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q90Sql =
+    s"""WITH fpd AS (SELECT doc_id, source,
+       |    md5(lower(trim(regexp_replace(text, '${TextFunctions.WsPlusRe}', ' ', 'g')))) AS fp
+       |  FROM documents),
+       |base AS (SELECT DISTINCT fp FROM fpd WHERE doc_id % 2 = 0),
+       |delta AS (SELECT * FROM fpd WHERE doc_id % 2 = 1),
+       |firsts AS (SELECT fp, min(doc_id) AS doc_id FROM delta GROUP BY fp)
+       |SELECT d.doc_id, d.source FROM delta d
+       |JOIN firsts f ON f.fp = d.fp AND f.doc_id = d.doc_id
+       |WHERE d.fp NOT IN (SELECT fp FROM base)
+       |ORDER BY d.doc_id""".stripMargin
+
   // lazy: ContamN/Dedup.P are declared further down the object; a
   // strict val here would interpolate their uninitialized 0s
   private lazy val q89Sql =
@@ -521,7 +548,8 @@ object DedupOps extends QueryModule {
     QueryDef("q79_strip_dup_spans", q79, Some(q79Sql)),
     QueryDef("q81_decontaminate_strip", q81, Some(q81Sql)),
     QueryDef("q82_survivors_quality", q82, Some(q82Sql)),
-    QueryDef("q89_source_overlap", q89, Some(q89Sql)))
+    QueryDef("q89_source_overlap", q89, Some(q89Sql)),
+    QueryDef("q90_incremental_dedup", q90, Some(q90Sql)))
 
   /** q35/q38 are the quadratic correctness baselines and q79's oracle
     * mirror materializes every window's 40-char slice (fine at the

@@ -39,6 +39,39 @@ class DedupOpsSpec extends SparkTestBase {
     assert(r == Map(("A", "B") -> 1L), s"$r")
   }
 
+  test("incremental dedup: delta survivors are first-in-delta and unseen-in-base") {
+    import spark.implicits._
+    val base = Seq((0L, "seen before", "s")).toDF("doc_id", "text", "source")
+    val delta = Seq(
+      (1L, "seen  before", "s"),  // fp-equal to base -> dropped
+      (3L, "fresh text", "s"),    // first in delta -> kept
+      (5L, "fresh text", "s"),    // dup within delta -> dropped
+      (7L, "alone", "s"))         // kept
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.Dedup.incrementalSurvivors(base, delta)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(3L, 7L), s"survivors: $got")
+  }
+
+  test("sketch distinct counts track the exact counts within the HLL error contract") {
+    import graft.operators.Sketches
+    val d = Tables.documents(spark, sfDir)
+    val exact = Sketches.distinctBySource(d).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val est = Sketches.approxDistinctBySource(d, rsd = 0.05).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((s, e) <- exact) {
+      val rel = math.abs(est(s) - e).toDouble / math.max(1L, e)
+      assert(rel <= 0.15, s"source $s: est ${est(s)} vs exact $e (rel $rel)")
+    }
+    // sketch merges are commutative: a different partitioning must
+    // not change the estimate
+    val re = Sketches.approxDistinctBySource(d.repartition(7), rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(re == est, "estimate changed under repartitioning")
+  }
+
   test("corpus profile: exact histogram quantiles on a hand corpus") {
     import spark.implicits._
     import graft.queries.DatasetOps
