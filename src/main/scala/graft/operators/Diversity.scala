@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Diversity-preserving survivor selection: a deterministic MAXIMAL
+  * INDEPENDENT SET over the near-dup pair graph.
+  *
+  * Why not connected components: CC survivor selection (q70/q82)
+  * keeps ONE doc per component, but a component is a transitive
+  * closure — a chain a~b~c collapses to one survivor even though a
+  * and c are NOT near-dups of each other. The MIS keeps every
+  * mutually-dissimilar doc (no kept pair is an edge) while still
+  * covering the graph (every dropped doc has a kept near-dup —
+  * maximality), which is the semantics a diversity-aware dedup
+  * actually wants: clique-ish dup families still collapse to one,
+  * chains keep their genuinely distinct endpoints.
+  *
+  * Algorithm: Luby-style rounds with FIXED deterministic priorities
+  * (salted-md5 of the node id — the TrainTestSplit discipline): each
+  * round selects every undecided node whose (priority, id) is
+  * smaller than all its undecided neighbors', removes the selected
+  * nodes AND their neighbors, repeats. With fixed priorities this
+  * computes exactly the SEQUENTIAL greedy MIS in (priority, id)
+  * order — the lexicographically-first MIS — so the result is
+  * independent of round structure and partitioning, and the q92
+  * oracle can mirror it as a straightforward priority-ordered
+  * recursion. Hash priorities, not raw ids: id-ordered priorities
+  * make an id-sorted path take O(n) rounds; random-ish priorities
+  * give O(log n) w.h.p. (Luby 1986).
+  *
+  * Per-round shape: one keyed join + min aggregation + two slim
+  * anti-joins, vocab pinned per round with release of the
+  * superseded pin (the ConnectedComponents storage discipline).
+  */
+object Diversity {
+
+  /** The kept (independent) node set of the pair graph:
+    * one `node` column. */
+  def independentSet(pairs: DataFrame, a: String = "a", b: String = "b",
+                     seed: Long = 42L, maxIter: Int = 60): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col(a).as("x"), col(b).as("y"))
+      .unionAll(pairs.select(col(b).as("x"), col(a).as("y")))
+      .transform(Pin(_, eager = true))
+    def pri(node: Column): Column =
+      conv(substring(md5(concat(lit(seed.toString), lit(":"),
+        node.cast("string"))), 1, 12), 16, 10).cast("long")
+    var und = edges.select(col("x").as("node")).distinct()
+      .withColumn("p", pri(col("node")))
+      .transform(Pin(_, eager = true))
+    var pinned = und
+    var kept = List.empty[DataFrame]
+    var it = 0
+    var remaining = und.count()
+    while (remaining > 0 && it < maxIter) {
+      it += 1
+      // min (priority, id) among UNDECIDED neighbors
+      val nbrMin = edges
+        .join(und.select(col("node").as("yn"), col("p").as("yp")),
+          edges("y") === col("yn"))
+        .groupBy(col("x"))
+        .agg(min(struct(col("yp"), col("yn"))).as("nm"))
+      val sel = und
+        .join(nbrMin, und("node") === nbrMin("x"), "left")
+        .filter(col("nm").isNull ||
+          struct(col("p"), col("node")) < col("nm"))
+        .select(col("node"), col("p"))
+        .transform(Pin(_, eager = true))
+      kept ::= sel.select(col("node"))
+      // remove selected nodes and everything adjacent to them
+      val dominated = edges
+        .join(sel.select(col("node").as("sx")), edges("x") === col("sx"))
+        .select(col("y").as("node"))
+      val next = und
+        .join(sel.select(col("node")), Seq("node"), "left_anti")
+        .join(dominated, Seq("node"), "left_anti")
+        .transform(Pin(_, eager = true))
+      remaining = next.count()
+      Pin.release(pinned)
+      pinned = next
+      und = next
+    }
+    require(remaining == 0,
+      s"independentSet did not converge in $maxIter rounds")
+    Pin.release(edges)
+    kept.reduceOption(_.unionAll(_))
+      .getOrElse(spark.emptyDataFrame.select(lit(0L).as("node")).limit(0))
+  }
+
+  /** End-to-end diversity dedup: keep the MIS of the pair graph plus
+    * every doc in no pair (the survivors discipline — the anti-join
+    * side holds only clustered non-kept docs). */
+  def diversitySurvivors(docs: DataFrame, pairs: DataFrame,
+                         idCol: String = "doc_id",
+                         a: String = "a", b: String = "b",
+                         seed: Long = 42L): DataFrame = {
+    val keptNodes = independentSet(pairs, a, b, seed)
+    val graphNodes = pairs.select(col(a).as("node"))
+      .unionAll(pairs.select(col(b).as("node"))).distinct()
+    val dropped = graphNodes.join(keptNodes, Seq("node"), "left_anti")
+      .select(col("node").as(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+}

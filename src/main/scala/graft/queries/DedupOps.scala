@@ -88,6 +88,48 @@ object DedupOps extends QueryModule {
        |WHERE d.fp NOT IN (SELECT fp FROM base)
        |ORDER BY d.doc_id""".stripMargin
 
+  // q92: DIVERSITY survivors — the maximal-independent-set
+  // alternative to q70/q82's component collapse: over the q36
+  // near-dup graph keep every MUTUALLY-dissimilar doc (no kept pair
+  // is an edge) while covering the graph (every dropped doc has a
+  // kept near-dup). A chain a~b~c keeps {a, c}; a clique still
+  // collapses to one. Luby rounds with fixed salted-md5 priorities
+  // == the sequential greedy MIS in (priority, id) order, so the
+  // oracle mirrors it as a priority-ordered recursion and the result
+  // is byte-reproducible.
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diversity.diversitySurvivors(
+      docs(s, dir), minhashPairs(s, dir))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  private lazy val q92Sql =
+    s"""WITH RECURSIVE prs AS (SELECT a, b FROM (
+       |$q36Sql
+       |)),
+       |edges AS (SELECT a AS x, b AS y FROM prs
+       |          UNION ALL SELECT b AS x, a AS y FROM prs),
+       |nodes AS (SELECT node,
+       |    CAST(('0x' || substr(md5('42:' || CAST(node AS VARCHAR)), 1, 12)) AS BIGINT) AS p
+       |  FROM (SELECT DISTINCT x AS node FROM edges)),
+       |ord AS (SELECT node, p, row_number() OVER (ORDER BY p, node) AS rn FROM nodes),
+       |g(i, sel) AS (
+       |  SELECT 0, CAST([] AS BIGINT[])
+       |  UNION ALL
+       |  SELECT g.i + 1,
+       |    CASE WHEN EXISTS (SELECT 1 FROM edges e
+       |                      WHERE e.x = o.node AND list_contains(g.sel, e.y))
+       |         THEN g.sel ELSE list_append(g.sel, o.node) END
+       |  FROM g JOIN ord o ON o.rn = g.i + 1),
+       |mis AS (SELECT unnest(sel) AS node FROM
+       |         (SELECT sel FROM g ORDER BY i DESC LIMIT 1)),
+       |gn AS (SELECT DISTINCT x AS node FROM edges),
+       |dropped AS (SELECT node FROM gn
+       |            WHERE node NOT IN (SELECT node FROM mis))
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT node FROM dropped)
+       |ORDER BY doc_id""".stripMargin
+
   // lazy: ContamN/Dedup.P are declared further down the object; a
   // strict val here would interpolate their uninitialized 0s
   private lazy val q89Sql =
@@ -549,7 +591,8 @@ object DedupOps extends QueryModule {
     QueryDef("q81_decontaminate_strip", q81, Some(q81Sql)),
     QueryDef("q82_survivors_quality", q82, Some(q82Sql)),
     QueryDef("q89_source_overlap", q89, Some(q89Sql)),
-    QueryDef("q90_incremental_dedup", q90, Some(q90Sql)))
+    QueryDef("q90_incremental_dedup", q90, Some(q90Sql)),
+    QueryDef("q92_diversity_mis", q92, Some(q92Sql)))
 
   /** q35/q38 are the quadratic correctness baselines and q79's oracle
     * mirror materializes every window's 40-char slice (fine at the
@@ -559,5 +602,5 @@ object DedupOps extends QueryModule {
   override def headline: Seq[String] =
     Seq("q34_dedup_exact", "q36_dedup_minhash", "q37_dedup_simhash",
       "q70_dedup_clusters", "q71_decontaminate", "q77_dup_substrings",
-      "q89_source_overlap")
+      "q89_source_overlap", "q90_incremental_dedup")
 }

@@ -53,6 +53,45 @@ class DedupOpsSpec extends SparkTestBase {
     assert(got == Set(3L, 7L), s"survivors: $got")
   }
 
+  test("diversity MIS equals sequential greedy by salted priority; independent, maximal, partition-stable") {
+    import spark.implicits._
+    import graft.operators.Diversity
+    // crafted graph: a 3-clique {1,2,3}, a path 10-11-12-13, an edge
+    // {20,21}, and isolated doc 30 (no pair)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L),
+      (11L, 12L), (12L, 13L), (20L, 21L)).toDF("a", "b")
+    val nodes = pairs.select(col("a")).unionAll(pairs.select(col("b")))
+      .distinct().as[Long].collect().toSet
+    val adj = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (11L, 12L),
+      (12L, 13L), (20L, 21L)).flatMap { case (x, y) => Seq(x -> y, y -> x) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // reference: sequential greedy in (salted-md5-priority, id) order
+    def pri(n: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"42:$n".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map(b => f"$b%02x").mkString, 16)
+    }
+    val expected = nodes.toSeq.sortBy(n => (pri(n), n))
+      .foldLeft(Set.empty[Long]) { (sel, n) =>
+        if (adj(n).exists(sel)) sel else sel + n
+      }
+    val got = Diversity.independentSet(pairs).as[Long].collect().toSet
+    assert(got == expected, s"MIS $got != greedy $expected")
+    // independence + maximality, asserted structurally too
+    assert(!got.exists(n => adj(n).exists(got)), "kept an edge")
+    assert((nodes -- got).forall(n => adj(n).exists(got)), "not maximal")
+    // clique keeps exactly one
+    assert(got.count(Set(1L, 2L, 3L)) == 1)
+    // survivors: dropped docs are exactly graph minus MIS; isolated pass
+    val docs = nodes.toSeq.appended(30L).map(n => (n, s"t$n")).toDF("doc_id", "text")
+    val kept = Diversity.diversitySurvivors(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == got + 30L, s"survivors $kept")
+    // partitioning must not change the result
+    val re = Diversity.independentSet(pairs.repartition(5)).as[Long].collect().toSet
+    assert(re == got, "MIS changed under repartitioning")
+  }
+
   test("sketch distinct counts track the exact counts within the HLL error contract") {
     import graft.operators.Sketches
     val d = Tables.documents(spark, sfDir)

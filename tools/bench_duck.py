@@ -60,7 +60,8 @@ def main():
     skipped = sorted(n for n in ("q79_strip_dup_spans",
                                  "q81_decontaminate_strip",
                                  "q82_survivors_quality",
-                                 "q84_semdedup") if n in sql)
+                                 "q84_semdedup",
+                                 "q92_diversity_mis") if n in sql)
     for n in skipped:
         print(f"NOTE: skipping non-headline {n} (slice-materializing "
               "oracle mirror is a correctness surface, not a timing one)",
