@@ -49,4 +49,39 @@ object StreamClean {
       .select(col("docId").as("doc_id"), col("ts"), col("red_text"),
         graft.functions.TextFunctions.bpeTokenCount(col("red_text")).as("n_tokens"))
   }
+
+  /** Streaming DECONTAMINATION (q71 live): the benchmark n-gram
+    * collision check as an always-on QUARANTINE stream — every
+    * arriving doc that shares a word-n-gram hash with the held-out
+    * benchmark set is emitted once (first arrival within the
+    * watermark horizon). Stream-static inner join against the
+    * broadcast benchmark hash set (tiny by definition — q71's
+    * discipline; the static side is planned per micro-batch exactly
+    * like the batch join), then `dropDuplicatesWithinWatermark` on
+    * doc_id collapses multi-hash hits to one alert row. Streams
+    * cannot anti-join stream-vs-stream, so the CLEAN stream is not
+    * derivable here — production wires this as the quarantine side
+    * channel (drop-listing downstream by doc_id), the shape
+    * monitoring/alerting actually wants. `bench` must carry one
+    * `h` column of [[graft.operators.Dedup.P]]-domain hashes (build
+    * with [[benchHashes]]). */
+  def contaminatedStream(docs: Dataset[StreamDedup.Doc], bench: DataFrame,
+                         n: Int = 5,
+                         watermarkDelay: String = "10 seconds"): DataFrame =
+    docs
+      .select(col("docId").as("doc_id"), col("ts"),
+        explode(graft.plans.ShingleHashes(trim(col("text")), n,
+          graft.operators.Dedup.P)).as("h"))
+      .join(broadcast(bench.select(col("h"))), Seq("h"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), col("ts"))
+
+  /** The static benchmark hash-set side for [[contaminatedStream]]:
+    * distinct word-n-gram hashes of the benchmark docs. */
+  def benchHashes(benchDocs: DataFrame, n: Int = 5): DataFrame =
+    benchDocs
+      .select(explode(graft.plans.ShingleHashes(trim(col("text")), n,
+        graft.operators.Dedup.P)).as("h"))
+      .distinct()
 }

@@ -282,6 +282,45 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming decontamination flags exactly the batch-contaminated docs, once each") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{StreamClean, StreamDedup}
+    import graft.streaming.StreamDedup.Doc
+    val benchDocs = Seq(
+      (1L, "the secret benchmark question about dragons appears here"),
+      (2L, "another held out evaluation prompt nobody should train on"))
+      .toDF("doc_id", "text")
+    val bench = StreamClean.benchHashes(benchDocs)
+    // 100: shares a 5-gram span with bench doc 1; 101: clean;
+    // 102: shares with bench doc 2; 100 arrives twice (one alert)
+    val contaminated = "prefix words then the secret benchmark question about dragons appears here too"
+    val clean = "completely unrelated text with no overlap at all in any window"
+    val shared2 = "should train on another held out evaluation prompt nobody should train on"
+    val input = MemoryStream[Doc]
+    val q = StreamClean.contaminatedStream(input.toDS(), bench, n = 5, "10 seconds")
+      .writeStream.format("memory").queryName("decon_out").outputMode("append").start()
+    try {
+      input.addData(Doc(100L, new Timestamp(100000), contaminated),
+        Doc(101L, new Timestamp(100100), clean))
+      q.processAllAvailable()
+      input.addData(Doc(102L, new Timestamp(101000), shared2),
+        Doc(100L, new Timestamp(101100), contaminated))
+      q.processAllAvailable()
+      val got = spark.table("decon_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(100L, 102L), s"quarantine stream: $got")
+      // batch agreement: q71's operator flags the same set
+      val batchDocs = Seq((100L, contaminated), (101L, clean), (102L, shared2))
+        .toDF("doc_id", "text")
+        .unionByName(benchDocs.withColumn("doc_id", col("doc_id") - 10))
+      val batch = graft.operators.Dedup.contaminated(
+        batchDocs, col("doc_id") < 0, n = 5)
+        .filter(col("n_shared") > 0).select("doc_id").as[Long].collect().toSet
+      assert(batch == Set(100L, 102L), s"batch flagged: $batch")
+    } finally q.stop()
+  }
+
   test("streaming clean-corpus equals batch q78 on a replayed document stream") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
