@@ -430,6 +430,69 @@ object Dedup {
     * anchored windows only — scale the fraction by s for the
     * corpus-level signal. s = 1 (default, the oracle setting) keeps
     * every window. */
+  /** CONTENT-DEFINED CHUNK duplication (CDC — the identity layer
+    * between q34's whole-document fingerprint and q77's fixed 40-char
+    * windows, the rsync/storage-dedup technique applied to passages):
+    * chunk boundaries fall where a word's 48-bit unigram hash ≡ 0
+    * mod `every` (expected chunk ~`every` words; word 1 always opens
+    * a chunk). Because boundaries move WITH the content, a shared
+    * passage chunks identically in every document that carries it —
+    * whatever its offset — and an edit perturbs only the chunk it
+    * lands in; and the corpus ships ~1 hash per `every` words where
+    * q77 ships one per character position (the cheap screen before
+    * the exact-substring pass). Per doc: chunk count and the number
+    * of its chunk occurrences whose content appears in ≥ 2 docs.
+    *
+    * Shape: boundary selection, chunk assembly, and chunk hashing
+    * are higher-order array ops INSIDE the row (one native hash
+    * stream + one md5 per ~`every` words); the slim (doc_id, ch)
+    * int64 stream then follows [[dupSubstringStats]]'s join-free
+    * form exactly — (ch, doc) map-side-combined counts, one
+    * ch-keyed exchange feeding the distinct-doc count as a window
+    * over the same partitioning. Chunk-content collisions at 48 bits
+    * are the shared ShingleHashes discipline: both engines key on
+    * the hash. */
+  def cdcChunkStats(docs: DataFrame, every: Int = 16): DataFrame = {
+    require(every >= 1, "chunk target must be >= 1")
+    val t = trim(col("text"))
+    val wsE = split(t, " ")
+    val h1 = graft.plans.ShingleHashes(t, 1, 1L << 48)
+    val bndsE = filter(
+      transform(h1, (h, i) => when(i === 0 || h % every === 0, i + 1)),
+      p => p.isNotNull)
+    // STAGE ws/bnds as real columns before the chunk lambda captures
+    // them: higher-order functions evaluate interpreted with no CSE
+    // across invocations, so a lambda capturing the bnds SUBTREE
+    // re-derives the whole boundary array per chunk — O(words ×
+    // chunks) per doc (measured 2.1 s vs 0.4 s at sf1). Captured
+    // attribute references cost one lookup instead.
+    val staged = docs.select(col("doc_id"), wsE.as("ws"), bndsE.as("bnds"))
+    val ws = col("ws")
+    val bnds = col("bnds")
+    val nb = size(bnds)
+    val chunkHashes = transform(sequence(lit(1), nb), k => {
+      val start = element_at(bnds, k)
+      // CaseWhen evaluates only the selected branch, so the k+1
+      // lookup never runs out of range on the last chunk
+      val end = when(k === nb, size(ws) + 1)
+        .otherwise(element_at(bnds, k + 1))
+      conv(substring(md5(concat_ws(" ", slice(ws, start, end - start))),
+        1, 12), 16, 10).cast("long")
+    })
+    val occ = staged.select(col("doc_id"), explode(chunkHashes).as("ch"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ch"))
+    val perDoc = occ.groupBy(col("ch"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+      .repartition(col("ch"))
+    val dups = perDoc.withColumn("nd", count(lit(1)).over(w))
+      .filter(col("nd") >= 2)
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("dup_chunks"))
+    staged.select(col("doc_id"), nb.cast("long").as("n_chunks"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"))
+  }
+
   def dupSubstringStats(docs: DataFrame, l: Int = 40,
                         anchorMod: Int = 1): DataFrame = {
     require(anchorMod >= 1, "anchorMod must be >= 1")

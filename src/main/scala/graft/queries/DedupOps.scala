@@ -130,6 +130,34 @@ object DedupOps extends QueryModule {
        |WHERE doc_id NOT IN (SELECT node FROM dropped)
        |ORDER BY doc_id""".stripMargin
 
+  // q93: content-defined chunk duplication (CDC) — variable-length
+  // passage dedup whose boundaries move with the content: shared
+  // passages chunk identically at any offset, ~1 hash per 16 words
+  // (the cheap screen between q34's whole-doc identity and q77's
+  // per-character windows).
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.cdcChunkStats(docs(s, dir))
+      .orderBy(col("doc_id"))
+
+  private val q93Sql =
+    s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+       |hb AS (SELECT doc_id, ws, list_filter(range(1, len(ws) + 1),
+       |         i -> i = 1 OR CAST(('0x' || substr(md5(ws[i]), 1, 12)) AS BIGINT) % 16 = 0) AS bnds
+       |       FROM d),
+       |ch AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(bnds) + 1),
+       |      k -> CAST(('0x' || substr(md5(array_to_string(
+       |             ws[bnds[k] : CASE WHEN k = len(bnds) THEN len(ws) ELSE bnds[k+1] - 1 END],
+       |             ' ')), 1, 12)) AS BIGINT))) AS c
+       |  FROM hb),
+       |perdoc AS (SELECT c, doc_id, count(*) AS cc FROM ch GROUP BY 1, 2),
+       |nd AS (SELECT c FROM perdoc GROUP BY c HAVING count(*) >= 2),
+       |dups AS (SELECT doc_id, CAST(sum(cc) AS BIGINT) AS dup_chunks
+       |         FROM perdoc JOIN nd USING (c) GROUP BY doc_id)
+       |SELECT hb.doc_id, CAST(len(hb.bnds) AS BIGINT) AS n_chunks,
+       |  coalesce(d.dup_chunks, 0) AS dup_chunks
+       |FROM hb LEFT JOIN dups d USING (doc_id) ORDER BY hb.doc_id""".stripMargin
+
   // lazy: ContamN/Dedup.P are declared further down the object; a
   // strict val here would interpolate their uninitialized 0s
   private lazy val q89Sql =
@@ -592,7 +620,8 @@ object DedupOps extends QueryModule {
     QueryDef("q82_survivors_quality", q82, Some(q82Sql)),
     QueryDef("q89_source_overlap", q89, Some(q89Sql)),
     QueryDef("q90_incremental_dedup", q90, Some(q90Sql)),
-    QueryDef("q92_diversity_mis", q92, Some(q92Sql)))
+    QueryDef("q92_diversity_mis", q92, Some(q92Sql)),
+    QueryDef("q93_cdc_chunks", q93, Some(q93Sql)))
 
   /** q35/q38 are the quadratic correctness baselines and q79's oracle
     * mirror materializes every window's 40-char slice (fine at the
@@ -602,5 +631,5 @@ object DedupOps extends QueryModule {
   override def headline: Seq[String] =
     Seq("q34_dedup_exact", "q36_dedup_minhash", "q37_dedup_simhash",
       "q70_dedup_clusters", "q71_decontaminate", "q77_dup_substrings",
-      "q89_source_overlap", "q90_incremental_dedup")
+      "q89_source_overlap", "q90_incremental_dedup", "q93_cdc_chunks")
 }

@@ -39,6 +39,38 @@ class DedupOpsSpec extends SparkTestBase {
     assert(r == Map(("A", "B") -> 1L), s"$r")
   }
 
+  test("cdc chunks: shared passages align at any offset; edits stay local") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(3)
+    def words(n: Int, tag: String) = Seq.fill(n)(s"$tag${rnd.nextInt(100000)}")
+    val shared = words(120, "s").mkString(" ")
+    val a = (words(15, "a") :+ shared).mkString(" ")
+    val b = (words(40, "b") :+ shared).mkString(" ") // different offset
+    val c = words(150, "c").mkString(" ")            // unrelated
+    val d3 = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val r = Dedup.cdcChunkStats(d3).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // content-defined boundaries re-align inside the shared passage
+    // whatever the prefix length: both carriers see duplicated chunks
+    assert(r(1L)._2 > 0 && r(2L)._2 > 0, s"shared passage not aligned: $r")
+    assert(r(3L)._2 == 0, s"unrelated doc flagged: $r")
+    // edit locality: flipping ONE mid-document word changes at most
+    // the chunks adjacent to it (boundary-stability), not the tail
+    val aw = a.split(" ")
+    val edited = (aw.take(60) ++ Array("EDIT") ++ aw.drop(61)).mkString(" ")
+    val chunksOf = (t: String) => Dedup.cdcChunkStats(
+      Seq((1L, t), (99L, "zz")).toDF("doc_id", "text"))
+      .filter(col("doc_id") === 1L).collect()(0).getLong(1)
+    val pair = Dedup.cdcChunkStats(
+      Seq((1L, a), (2L, edited)).toDF("doc_id", "text")).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    // the two versions still share almost every chunk: non-dup
+    // chunks on each side are a small constant, not O(doc)
+    val nA = chunksOf(a)
+    assert(pair(1L) >= nA - 2, s"edit was not local: ${pair(1L)} of $nA chunks shared")
+  }
+
   test("incremental dedup: delta survivors are first-in-delta and unseen-in-base") {
     import spark.implicits._
     val base = Seq((0L, "seen before", "s")).toDF("doc_id", "text", "source")
