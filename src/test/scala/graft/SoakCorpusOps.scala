@@ -64,6 +64,21 @@ object SoakCorpusOps {
     val mC = ovC.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     println(s"SOAK overlap matrix invariance: ${if (m1 == mC) "EXACT" else "DIVERGED"}")
 
+    // --- q93 CDC chunks ---
+    val cd1 = timed("cdc on 1 copy")(
+      graft.operators.Dedup.cdcChunkStats(base.select("doc_id", "text")).collect())
+    val cdC = timed(s"cdc on $copies copies")(
+      graft.operators.Dedup.cdcChunkStats(corpus.select("doc_id", "text")).collect())
+    // under exact replication every replica's chunk multiset equals
+    // its base doc's, and every chunk is corpus-duplicated: n_chunks
+    // projects exactly, dup_chunks == n_chunks on every row
+    val cn1 = cd1.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val projOk = cdC.forall(r => cn1(r.getLong(0) % stride) == r.getLong(1))
+    val allDup = cdC.forall(r => r.getLong(2) == r.getLong(1))
+    println(s"SOAK cdc rows ${cd1.length} -> ${cdC.length}; " +
+      s"n_chunks per-copy ${if (projOk) "EXACT" else "DIVERGED"}; " +
+      s"all-dup under replication: ${if (allDup) "EXACT" else "DIVERGED"}")
+
     // --- q85 LM features ---
     val st = graft.functions.TextFunctions.textStats(col("text"))
     val enPred = (st.getField("n_stop") / st.getField("n_words")) >= 0.05
