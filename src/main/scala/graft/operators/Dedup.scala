@@ -174,8 +174,11 @@ object Dedup {
     delta.withColumn("fp", fp)
       .groupBy(col("fp"))
       .agg(min_by(struct(delta.columns.map(col): _*), col("doc_id")).as("r"))
-      .hint("shuffle_hash")
-      .join(baseFp, Seq("fp"), "left_anti")
+      // hint the BUILD side: the planner's compressed-size estimate
+      // of the base's distinct fingerprints dips under the broadcast
+      // threshold at test SF (PlanSpec-gated — a real ingest's base
+      // index is corpus-sized)
+      .join(baseFp.hint("shuffle_hash"), Seq("fp"), "left_anti")
       .select(col("r.*"))
   }
 

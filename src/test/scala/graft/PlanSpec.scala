@@ -104,6 +104,25 @@ class PlanSpec extends SparkTestBase {
       s"BandedRangeJoinRule output is not a shuffled hash join:\n$sqlJoin")
   }
 
+  test("corpus-shaped joins in the round-11 corpus ops never broadcast") {
+    // q87: the first draft broadcast the VOCABULARY-sized document-
+    // frequency side (estimated small off compressed parquet stats —
+    // the round-9 trap); q89/q90's join sides are likewise
+    // corpus-shaped (distinct (source, h) / base fingerprints). All
+    // pin SHUFFLE_HASH; this locks the executed plans. (q87/q90 keep
+    // tiny broadcasts nowhere; q89's self-join is its only join.)
+    for (name <- Seq("q87_tfidf_keywords", "q89_source_overlap",
+        "q90_incremental_dedup")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") &&
+        !plan.contains("BroadcastExchange"),
+        s"$name broadcasts a corpus-shaped side:\n$plan")
+      assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+        s"$name lost its keyed join:\n$plan")
+    }
+  }
+
   test("stand-in-derived tables collapse onto the probe side: q57/q63 plan zero joins") {
     // Round-9 structure locks. q57's label CSV stand-in is a derived
     // column on the profile (its key universe IS the profile's
