@@ -254,6 +254,33 @@ object Similarity {
       .transform(rankTopK(_, k))
   }
 
+  /** CONTRASTIVE TRIPLE mining over the kNN graph — the training-data
+    * product an embedding-model finetune consumes (anchor, positive,
+    * hard negative): per anchor, the top-ranked neighbor with
+    * sim ≥ posMin is the positive and the top-ranked neighbor with
+    * sim ≤ negMax the HARD negative (the most-similar example that is
+    * still dissimilar — the informative kind; a random negative is
+    * trivially separable). Anchors lacking either are dropped.
+    * Composes [[knnGraph]] (byte-reproducible, family-collapsed) with
+    * two rank-argmin aggregations and one query-keyed join — both
+    * aggregations and the join reuse the graph's partitioning, and
+    * every sim is the exact quantized cosine, so the emitted triples
+    * are cross-engine reproducible (q94). */
+  def contrastiveTriples(corpus: DataFrame, posMin: Double, negMax: Double,
+                         k: Int = 5): DataFrame = {
+    val g = knnGraph(corpus, k)
+    val pos = g.filter(col("sim") >= posMin)
+      .groupBy(col("query_id"))
+      .agg(min_by(struct(col("neighbor_id"), col("sim")), col("rank")).as("p"))
+    val neg = g.filter(col("sim") <= negMax)
+      .groupBy(col("query_id"))
+      .agg(min_by(struct(col("neighbor_id"), col("sim")), col("rank")).as("n"))
+    pos.join(neg, Seq("query_id"))
+      .select(col("query_id").as("anchor_id"),
+        col("p.neighbor_id").as("positive_id"), col("p.sim").as("pos_sim"),
+        col("n.neighbor_id").as("negative_id"), col("n.sim").as("neg_sim"))
+  }
+
   /** Bucketed embedding near-dup PAIR LISTING — the scale path for
     * q38's all-pairs baseline, and the vector analog of the MinHash
     * band join (q36) — with DEDUP-BEFORE-INDEXING, the sf10-soak

@@ -255,13 +255,40 @@ object SimilarityOps extends QueryModule {
        |FROM scored s WHERE s.vec_id NOT IN (SELECT vec_id FROM losers)
        |ORDER BY doc_id""".stripMargin
 
+  // q94: contrastive (anchor, positive, hard-negative) triple mining
+  // over the q83 graph — the embedding-finetune training-data
+  // product; thresholds sit inside the synthetic corpus's observed
+  // sim range (rank-1 median 0.30) so both argmins are non-trivially
+  // populated at the correctness gate.
+  private val PosMin = 0.30
+  private val NegMax = 0.15
+
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    Similarity.contrastiveTriples(Tables.embeddings(s, dir), PosMin, NegMax, K)
+      .orderBy(col("anchor_id"))
+
+  private val q94Sql =
+    s"""WITH g AS (SELECT * FROM (
+       |$q83Sql
+       |)),
+       |pos AS (SELECT query_id, min_by(neighbor_id, rank) AS pid,
+       |               min_by(sim, rank) AS psim
+       |        FROM g WHERE sim >= $PosMin GROUP BY query_id),
+       |neg AS (SELECT query_id, min_by(neighbor_id, rank) AS nid,
+       |               min_by(sim, rank) AS nsim
+       |        FROM g WHERE sim <= $NegMax GROUP BY query_id)
+       |SELECT pos.query_id AS anchor_id, pid AS positive_id, psim AS pos_sim,
+       |  nid AS negative_id, nsim AS neg_sim
+       |FROM pos JOIN neg USING (query_id) ORDER BY anchor_id""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q39_knn_brute", q39, Some(q39Sql)),
     QueryDef("q40_ann_lsh", q40, Some(q40Sql)),
     QueryDef("q41_ivf_centroids", q41, Some(q41Sql)),
     QueryDef("q72_embedding_neardup", q72, Some(q72Sql)),
     QueryDef("q83_knn_graph", q83, Some(q83Sql)),
-    QueryDef("q84_semdedup", q84, Some(q84Sql)))
+    QueryDef("q84_semdedup", q84, Some(q84Sql)),
+    QueryDef("q94_contrastive_triples", q94, Some(q94Sql)))
 
   /** q84's oracle mirror re-runs q72's pair listing plus a recursive
     * closure (DuckDB's weakest surface — the q82 precedent), so it is

@@ -224,6 +224,33 @@ class SimilarityOpsSpec extends SparkTestBase {
     assert(unpaired.subsetOf(kept), "an unpaired doc was dropped")
   }
 
+  test("contrastive triples: positive/negative are the rank-first neighbors in their bands") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val t = Similarity.contrastiveTriples(emb, posMin = 0.30, negMax = 0.15)
+      .collect()
+    assert(t.nonEmpty, "no triples on the real table")
+    val g = Similarity.knnGraph(emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = g.groupBy(_._1)
+    t.foreach { r =>
+      val (a, pid, psim, nid, nsim) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+      assert(psim >= 0.30 && nsim <= 0.15, s"bands violated for $a")
+      val edges = byQ(a).sortBy(_._3)
+      // positive/negative are the FIRST qualifying neighbors by rank
+      assert(edges.find(_._4 >= 0.30).get._2 == pid, s"positive not rank-first for $a")
+      assert(edges.find(_._4 <= 0.15).get._2 == nid, s"negative not rank-first for $a")
+      assert(pid != nid)
+    }
+    // anchors missing either band are absent
+    val anchors = t.map(_.getLong(0)).toSet
+    val shouldHave = byQ.filter { case (_, es) =>
+      es.exists(_._4 >= 0.30) && es.exists(_._4 <= 0.15) }.keySet
+    assert(anchors == shouldHave, "anchor set mismatch")
+  }
+
   test("centered LSH splits a mean-offset corpus that through-origin planes cannot") {
     import spark.implicits._
     import graft.operators.Similarity
