@@ -20,4 +20,25 @@ object TrainTestSplit {
         when(col("bucket") < 8, "train")
           .when(col("bucket") === 8, "valid")
           .otherwise("test"))
+
+  /** LEAKAGE-FREE split (q95): the per-row hash split applied to the
+    * near-dup CLUSTER id instead of the document id, so every member
+    * of a duplicate family lands on the SAME side — the dedup-aware
+    * split a benchmark needs (a per-doc split puts one copy of a
+    * near-dup pair in train and its twin in test, and the eval
+    * silently measures memorization; the cross-validation
+    * group-split discipline applied to corpora). `group_key` =
+    * cluster id for clustered docs ([[ConnectedComponents.clusters]]
+    * over any pair source), the doc's own id otherwise; the split
+    * stays a pure function of the key (no shuffle beyond the
+    * cluster join, stable under any partitioning). */
+  def leakageFree(docs: DataFrame, pairs: DataFrame,
+                  idCol: String = "doc_id",
+                  salt: String = "split"): DataFrame = {
+    val cl = ConnectedComponents.clusters(pairs)
+    val keyed = docs.join(cl, docs(idCol) === cl("node"), "left")
+      .withColumn("group_key", coalesce(col("cluster_id"), col(idCol)))
+      .drop("node", "cluster_id")
+    TrainTestSplit(keyed, "group_key", salt)
+  }
 }

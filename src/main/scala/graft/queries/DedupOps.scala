@@ -130,6 +130,39 @@ object DedupOps extends QueryModule {
        |WHERE doc_id NOT IN (SELECT node FROM dropped)
        |ORDER BY doc_id""".stripMargin
 
+  // q95: LEAKAGE-FREE train/test split — q33's salted-hash split
+  // keyed on the q36 near-dup CLUSTER id, so duplicate families never
+  // straddle the train/test boundary (a per-doc split silently turns
+  // the eval into a memorization test). Oracle = q70's recursive
+  // closure + q33's bucket arithmetic on the group key.
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TrainTestSplit.leakageFree(
+      docs(s, dir).select(col("doc_id")), minhashPairs(s, dir))
+      .select(col("doc_id"), col("group_key"),
+        col("bucket").cast("long").as("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  private lazy val q95Sql =
+    s"""WITH RECURSIVE prs AS (SELECT a, b FROM (
+       |$q36Sql
+       |)),
+       |edges AS (SELECT a AS x, b AS y FROM prs
+       |          UNION ALL SELECT b AS x, a AS y FROM prs),
+       |r(node, m) AS (
+       |  SELECT DISTINCT x, x FROM edges
+       |  UNION
+       |  SELECT e.x, r.m FROM edges e JOIN r ON r.node = e.y),
+       |cl AS (SELECT node, min(m) AS cluster_id FROM r GROUP BY node),
+       |gk AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS group_key
+       |       FROM documents d LEFT JOIN cl ON d.doc_id = cl.node),
+       |h AS (SELECT doc_id, group_key,
+       |    CAST(('0x' || substr(md5('split' || CAST(group_key AS VARCHAR)), 1, 4)) AS BIGINT) % 10 AS bucket
+       |  FROM gk)
+       |SELECT doc_id, group_key, CAST(bucket AS BIGINT) AS bucket,
+       |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM h ORDER BY doc_id""".stripMargin
+
   // q93: content-defined chunk duplication (CDC) — variable-length
   // passage dedup whose boundaries move with the content: shared
   // passages chunk identically at any offset, ~1 hash per 16 words
@@ -621,7 +654,8 @@ object DedupOps extends QueryModule {
     QueryDef("q89_source_overlap", q89, Some(q89Sql)),
     QueryDef("q90_incremental_dedup", q90, Some(q90Sql)),
     QueryDef("q92_diversity_mis", q92, Some(q92Sql)),
-    QueryDef("q93_cdc_chunks", q93, Some(q93Sql)))
+    QueryDef("q93_cdc_chunks", q93, Some(q93Sql)),
+    QueryDef("q95_leakage_free_split", q95, Some(q95Sql)))
 
   /** q35/q38 are the quadratic correctness baselines and q79's oracle
     * mirror materializes every window's 40-char slice (fine at the

@@ -52,6 +52,30 @@ class TextOpsSpec extends SparkTestBase {
     assert(counts("train").toDouble / total > 0.6)
   }
 
+  test("leakage-free split: near-dup families never straddle the boundary") {
+    import spark.implicits._
+    import graft.operators.TrainTestSplit
+    // chain {1,2,3} is one cluster (group key 1); {10,11} another;
+    // 20 is unpaired and keys on itself
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val r = TrainTestSplit.leakageFree(docs, pairs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("group_key"), x.getAs[String]("split"))).toMap
+    assert(r(1L)._1 == 1L && r(2L)._1 == 1L && r(3L)._1 == 1L)
+    assert(r(10L)._1 == 10L && r(11L)._1 == 10L)
+    assert(r(20L)._1 == 20L)
+    // the leakage property: every family lands on one side
+    assert(Set(r(1L)._2, r(2L)._2, r(3L)._2).size == 1, s"family split: $r")
+    assert(r(10L)._2 == r(11L)._2)
+    // and the assignment is the document split of the group key
+    val byKey = TrainTestSplit(docs.select(col("doc_id").as("group_key")),
+      "group_key").collect()
+      .map(x => x.getAs[Long]("group_key") -> x.getAs[String]("split")).toMap
+    assert(r(1L)._2 == byKey(1L) && r(10L)._2 == byKey(10L) &&
+      r(20L)._2 == byKey(20L))
+  }
+
   test("actor HP bucketing matches distill4 ratio boundaries") {
     import spark.implicits._
     val rows = Seq(

@@ -61,7 +61,8 @@ def main():
                                  "q81_decontaminate_strip",
                                  "q82_survivors_quality",
                                  "q84_semdedup",
-                                 "q92_diversity_mis") if n in sql)
+                                 "q92_diversity_mis",
+                                 "q95_leakage_free_split") if n in sql)
     for n in skipped:
         print(f"NOTE: skipping non-headline {n} (slice-materializing "
               "oracle mirror is a correctness surface, not a timing one)",
