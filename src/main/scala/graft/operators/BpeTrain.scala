@@ -116,4 +116,35 @@ object BpeTrain {
       w => merges.sortBy(_._1).foldLeft(charSyms(w)) {
         case (acc, (_, a, b, _)) => mergeSyms(acc, lit(a), lit(b))
       }))
+
+  /** The PRODUCTION encoder shape for large merge tables: instead of
+    * inlining every merge into one expression tree ([[encode]] —
+    * fine for bounded tables, but 10k+ nested `aggregate`s would sink
+    * codegen), apply the merges as `rounds` ITERATIVE projections
+    * over a staged symbol-array column — each pass one stateless map,
+    * vocabulary-agnostic, with the [[ConnectedComponents]]
+    * pin/release keeping lineage flat (an unpinned 10k-deep
+    * expression lineage is its own stack overflow). Emits
+    * (original columns..., tokens array<string>); exactly equal to
+    * [[encode]] by construction (same fold, spec-pinned). */
+  def encodeIter(docs: DataFrame, textCol: String,
+                 merges: Seq[(Int, String, String, String)],
+                 pinEvery: Int = 64): DataFrame = {
+    val words = filter(split(trim(col(textCol)), " "), w => length(w) > 0)
+    var cur = docs.withColumn("__syms",
+      transform(words, w => charSyms(w)))
+    var sincePin = 0
+    for ((_, a, b, _) <- merges.sortBy(_._1)) {
+      cur = cur.withColumn("__syms",
+        transform(col("__syms"), s => mergeSyms(s, lit(a), lit(b))))
+      sincePin += 1
+      if (sincePin >= pinEvery) {
+        val pinned = Pin(cur, eager = true)
+        Pin.release(cur)
+        cur = pinned
+        sincePin = 0
+      }
+    }
+    cur.withColumn("tokens", flatten(col("__syms"))).drop("__syms")
+  }
 }

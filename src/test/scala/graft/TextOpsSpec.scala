@@ -280,6 +280,24 @@ class TextOpsSpec extends SparkTestBase {
     assert(r((4L, 1L)) == (("banana", 1L, 3L, 0L)))
   }
 
+  test("bpe iterative encoder equals the inline encoder") {
+    import spark.implicits._
+    import graft.operators.BpeTrain
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = BpeTrain.train(d, 3)
+    val docs = Seq((1L, "newest low"), (2L, "widest lowest")).toDF("doc_id", "text")
+    val inline = docs.select(col("doc_id"),
+      BpeTrain.encode(col("text"), merges).as("tokens"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // pinEvery=2 forces the pin/release path inside 3 merges
+    val iter = BpeTrain.encodeIter(docs, "text", merges, pinEvery = 2)
+      .select("doc_id", "tokens")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(iter == inline, s"iter $iter != inline $inline")
+  }
+
   test("bpe mergeSyms is greedy left-to-right and non-overlapping") {
     import spark.implicits._
     import graft.operators.BpeTrain
