@@ -38,7 +38,13 @@ object Diversity {
   /** The kept (independent) node set of the pair graph:
     * one `node` column. */
   def independentSet(pairs: DataFrame, a: String = "a", b: String = "b",
-                     seed: Long = 42L, maxIter: Int = 60): DataFrame = {
+                     seed: Long = 42L, maxIter: Int = 60): DataFrame =
+    independentSetWithRounds(pairs, a, b, seed, maxIter)._1
+
+  /** [[independentSet]] plus the converged round count — the soak
+    * surface (the ConnectedComponents.clustersWithRounds precedent). */
+  def independentSetWithRounds(pairs: DataFrame, a: String = "a", b: String = "b",
+                     seed: Long = 42L, maxIter: Int = 60): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col(a).as("x"), col(b).as("y"))
       .unionAll(pairs.select(col(b).as("x"), col(a).as("y")))
@@ -50,7 +56,14 @@ object Diversity {
       .withColumn("p", pri(col("node")))
       .transform(Pin(_, eager = true))
     var pinned = und
-    var kept = List.empty[DataFrame]
+    // ONE accumulated output-sized pin for the kept set (round-12
+    // fix): the old shape pinned every round's `sel` and kept ALL of
+    // them resident until session end — O(rounds) live pins, the
+    // exact leak the und-chain discipline exists to prevent. Each
+    // round folds sel into the accumulator pin, then releases both
+    // sel and the superseded accumulator, so live storage is the
+    // und chain + one kept pin, total O(nodes).
+    var keptAcc: DataFrame = null
     var it = 0
     var remaining = und.count()
     while (remaining > 0 && it < maxIter) {
@@ -67,7 +80,9 @@ object Diversity {
           struct(col("p"), col("node")) < col("nm"))
         .select(col("node"), col("p"))
         .transform(Pin(_, eager = true))
-      kept ::= sel.select(col("node"))
+      val newAcc = (if (keptAcc == null) sel.select(col("node"))
+        else keptAcc.unionAll(sel.select(col("node"))))
+        .transform(Pin(_, eager = true))
       // remove selected nodes and everything adjacent to them
       val dominated = edges
         .join(sel.select(col("node").as("sx")), edges("x") === col("sx"))
@@ -78,14 +93,21 @@ object Diversity {
         .transform(Pin(_, eager = true))
       remaining = next.count()
       Pin.release(pinned)
+      Pin.release(sel)
+      if (keptAcc != null) Pin.release(keptAcc)
+      keptAcc = newAcc
       pinned = next
       und = next
     }
     require(remaining == 0,
       s"independentSet did not converge in $maxIter rounds")
     Pin.release(edges)
-    kept.reduceOption(_.unionAll(_))
-      .getOrElse(spark.emptyDataFrame.select(lit(0L).as("node")).limit(0))
+    Pin.release(pinned)
+    // ownership of the single kept pin passes to the caller (the
+    // result IS the pin's blocks — localCheckpoint severed lineage)
+    (if (keptAcc == null)
+      spark.emptyDataFrame.select(lit(0L).as("node")).limit(0)
+    else keptAcc, it)
   }
 
   /** End-to-end diversity dedup: keep the MIS of the pair graph plus

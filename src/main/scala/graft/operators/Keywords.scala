@@ -39,27 +39,55 @@ object Keywords {
   /** Top-k terms per document by (tf·idf desc, h asc):
     * (doc_id, rank, term, tf, df, score).
     *
-    * Exchange audit (the shape is the point): ONE scan, ONE exchange
-    * of the word stream — `repartition(h)` up front, which the
-    * (doc_id, h) tf/min-term aggregate, the per-h document frequency
-    * (string column pruned away → pure hash aggregate), and the
-    * tf⋈df join ALL reuse (h-clustering satisfies each; the
-    * SHUFFLE_HASH pin keeps the planner from broadcasting the
-    * vocabulary-sized df side, the round-9 discipline — the first
-    * draft measured that broadcast + an unshared exchange at 3.9 s
-    * vs 1.6 s for this shape at sf1). The word stream crosses the
-    * wire once WITH its term strings — the same corpus-bytes volume
-    * any shape must move at least once to name the winners, and
-    * moving it here deletes the second scan + name-recovery join a
-    * split int/string pipeline needs (measured 2.0 s). The per-doc
-    * top-k window runs AFTER the join; Spark's WindowGroupLimit
-    * prunes to ≤ k rows per doc per partition before the window
-    * exchange, so only ~k·docs slim rows re-shuffle. Ranking ties on
-    * score resolve by h asc ON BOTH SIDES (the oracle ranks by the
-    * identical h — the "key everything on h" discipline):
-    * deterministic, total, exactly reproducible. */
+    * Exchange audit (the shape is the point): ONE scan of the text
+    * column, ONE exchange of the word stream — `repartition(h)` up
+    * front — then EVERYTHING downstream rides that clustering with
+    * zero further wide operators until the per-doc rank: the
+    * (doc_id, h) tf/min-term aggregate (h ⊆ its keys), and the
+    * per-h document frequency as a WINDOW COUNT over h (h IS the
+    * partition key) — no join, no second aggregate branch. The
+    * round-11 join shape claimed the df branch "reused" the word
+    * stream exchange; the final adaptive plan says otherwise:
+    * column pruning slims the df branch's pre-exchange projection
+    * (term string dropped), the two subtrees stop canonicalizing
+    * equal, AQE stage reuse never fires, and the corpus was
+    * scanned + split + hashed TWICE (measured: the join shape's
+    * second scan branch is ~40% of the query). The window-df shape
+    * deletes that second scan and the join outright. Per-h window
+    * groups are df-sized — a stop-word's group is O(#docs), which
+    * WindowExec sorts and spills like any other partition; the same
+    * rows concentrated on the same task under the join shape too,
+    * so the skew profile is unchanged while the redundant pass is
+    * gone. The word stream crosses the wire once WITH its term
+    * strings — the same corpus-bytes volume any shape must move at
+    * least once to name the winners. The per-doc top-k window runs
+    * after scoring; Spark's WindowGroupLimit prunes to ≤ k rows per
+    * doc per partition before the window exchange, so only ~k·docs
+    * slim rows re-shuffle. Ranking ties on score resolve by h asc
+    * ON BOTH SIDES (the oracle ranks by the identical h — the "key
+    * everything on h" discipline): deterministic, total, exactly
+    * reproducible.
+    *
+    * Global N without a second SEQUENTIAL corpus job (the round-11
+    * weak-row fix): the old shape paid a separate `docs.count()`
+    * driver action — a full extra job scheduled BEFORE the pipeline
+    * starts — just to embed N as a literal. N now arrives as a
+    * column via a 1-row broadcast branch (`groupBy().count()` on the
+    * document table, cross-joined as a broadcast nested loop): the
+    * branch's scan is pruned to ZERO columns (ReadSchema struct<>,
+    * row counts straight off parquet page headers) and materializes
+    * CONCURRENTLY with the word-stream stages inside the same
+    * action, so the sequential action floor and the second corpus
+    * read both disappear. (The tempting alternative — an in-row
+    * sentinel so df(sentinel) = N — was tried and rejected: the
+    * post-agg sentinel filters push BELOW the word-stream exchange
+    * and de-canonicalize the branches, tripling the scan.) The
+    * 1-row side is bounded by construction — NOT the round-9
+    * vocabulary-broadcast trap, which PlanSpec still forbids. N as
+    * a column (not a pre-action literal) leaves score computable
+    * before the rank window, preserving the WindowGroupLimit prune. */
   def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
-    val n = docs.count() // driver scalar, bounded by construction
+    val nRow = docs.groupBy().agg(count(lit(1)).as("n"))
     val trimmed = trim(col("text"))
     val zipped = zip_with(
       split(trimmed, " "),
@@ -69,12 +97,31 @@ object Keywords {
       .filter(length(col("t.term")) > 0)
       .select(col("doc_id"), col("t.h").as("h"), col("t.term").as("term"))
       .repartition(col("h"))
-    val terms = occ.groupBy(col("doc_id"), col("h"))
-      .agg(count(lit(1)).as("tf"), min(col("term")).as("term"))
-    val dfreq = terms.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val scored = terms.hint("shuffle_hash").join(dfreq, Seq("h"))
+    // The (doc, term) rollup is WINDOWS over the h-clustered stream,
+    // not a groupBy: min(term) is a var-length string, which forces
+    // the aggregate down to SortAggregate — one sort plus TWO
+    // streaming agg passes (partial+final, both above the exchange,
+    // where partial combining buys nothing). The window formulation
+    // pays the same single (h, doc_id, term) sort and then ONE
+    // merged WindowExec (tf and the group-representative row_number
+    // share a window spec, so Spark fuses them), with the rn = 1
+    // filter keeping the min-term row: measured 0.85 → 0.79 s for
+    // the rollup at sf1. The df window (partition by h alone) rides
+    // the same sort as a PREFIX — no re-sort, no second exchange,
+    // and per-h window groups concentrate exactly the rows the join
+    // shape concentrated on the same task anyway (WindowExec sorts
+    // and spills like any partition, so a stop-word group is skew,
+    // not a new failure mode).
+    val w1 = Window.partitionBy(col("h"), col("doc_id")).orderBy(col("term"))
+    val scored = occ
+      .withColumn("tf", count(lit(1)).over(
+        w1.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .crossJoin(broadcast(nRow))
       .withColumn("score",
-        (col("tf") * (length(bin(expr(s"$n DIV df"))) - 1)).cast("long"))
+        (col("tf") * (length(bin(expr("n DIV df"))) - 1)).cast("long"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("h"))
     scored.withColumn("rank", row_number().over(w))

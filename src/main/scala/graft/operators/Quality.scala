@@ -98,7 +98,20 @@ object Quality {
     * scan, ONE exchange (the fingerprint min_by aggregate) + the
     * protocol sort; everything else fused map work — corpus hygiene
     * at scan bandwidth, zero regex passes end to end. */
-  def cleanCorpus(docs: DataFrame): DataFrame = {
+  def cleanCorpus(docs: DataFrame): DataFrame =
+    cleanCorpusRaw(docs)
+      // the q36/q37 sort discipline: the protocol sort's range sampler
+      // re-executes its child with a separate job — a user-specified
+      // hash repartition is the materialized re-read point, so
+      // sampling re-reads shuffle files instead of re-running the
+      // dedup + scan pipeline (measured: 2.7 s → 1.8 s at sf1)
+      .repartition(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  /** [[cleanCorpus]] without the presentation sort — the composable
+    * form (q96 chains more stages on top; a mid-pipeline global sort
+    * would be pure wasted exchange). */
+  def cleanCorpusRaw(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions
     val st = graft.plans.RepetitionStats(trim(col("text")))
     docs
@@ -124,13 +137,6 @@ object Quality {
           .getField("red_text"))
       .select(col("doc_id"), col("red_text"),
         TextFunctions.bpeTokenCount(col("red_text")).as("n_tokens"))
-      // the q36/q37 sort discipline: the protocol sort's range sampler
-      // re-executes its child with a separate job — a user-specified
-      // hash repartition is the materialized re-read point, so
-      // sampling re-reads shuffle files instead of re-running the
-      // dedup + scan pipeline (measured: 2.7 s → 1.8 s at sf1)
-      .repartition(col("doc_id"))
-      .orderBy(col("doc_id"))
   }
 
   /** The regex-chain redaction column (email first so digit runs
@@ -323,4 +329,110 @@ object Quality {
     * only collision source is the 48-bit truncation itself
     * (~V^2/2^49 expected — ~0.01 at a 2M-gram vocabulary). */
   private val HashP: Long = 1L << 48
+
+  // -----------------------------------------------------------------
+  // q97: fastText-style hashed linear QUALITY CLASSIFIER — the
+  // CCNet/LLaMA "looks-like-Wikipedia" selection stage (Wenzek et al.
+  // 2020 §4.4; Touvron et al. 2023 train a fastText line classifier
+  // on Wikipedia-linked exemplars). House split, the q58/q76
+  // precedent: the DESIGN SURFACE — per-doc hashed bag-of-ngrams
+  // counts with label and balanced class weight, everything
+  // data-shaped — is the q97 oracle (exact int64 counts on the same
+  // 48-bit-md5 bucket stream as DSIR, byte-reproducible in DuckDB);
+  // the LBFGS fit and the sigmoid scores are spec-gated
+  // (determinism, planted preference, in-row scorer == sparse-join
+  // scorer) because transcendental floats are not cross-engine
+  // hash-stable.
+
+  /** The fitted classifier: one weight per [[Dsir.NumBuckets]] hashed
+    * unigram+bigram bucket (in ORIGINAL count units) + intercept. */
+  final case class QualityClassifier(weights: Array[Double], intercept: Double)
+
+  /** q97 oracle surface: the classifier's DESIGN MATRIX in sparse
+    * form — (doc_id, bucket, n_occ, y, w): per-doc occurrence count
+    * of each occupied feature bucket ([[Dsir.featureBuckets]]: hashed
+    * word 1-grams + 2-grams mod 1024), the exemplar label y ∈ {0,1},
+    * and the sklearn-"balanced" class weight w = n_docs / (2 ·
+    * n_class) (doc-level counts — the q58 designMatrix formula).
+    * Docs with NULL text contribute no rows (no feature stream) —
+    * mirrored by the oracle's explode. Scale shape: one explode →
+    * (doc_id, bucket)-keyed aggregation with map-side combine; the
+    * doc-level class counts are a 1-row aggregate broadcast back
+    * (no window, no driver round-trip). */
+  def classifierDesign(docs: DataFrame, exemplarPred: Column): DataFrame = {
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("_n"),
+      sum(when(exemplarPred, 1.0).otherwise(0.0)).as("_np"))
+    docs
+      .select(col("doc_id"), exemplarPred.as("is_ex"),
+        explode(Dsir.featureBuckets(trim(col("text")))).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_occ"), max(col("is_ex")).as("is_ex"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("bucket"), col("n_occ"),
+        when(col("is_ex"), 1.0).otherwise(0.0).as("y"),
+        when(col("is_ex"), col("_n") / (lit(2.0) * col("_np")))
+          .otherwise(col("_n") / (lit(2.0) * (col("_n") - col("_np"))))
+          .as("w"))
+  }
+
+  /** Fit the classifier: dense 1024-bucket count vectors (sparse
+    * design rolled up per doc — `map_from_entries` + a bounded
+    * 1024-step densify, one doc_id exchange), then the
+    * [[RegressionHead]] conventions verbatim: spark.ml
+    * LogisticRegression (one treeAggregate pass per LBFGS step — no
+    * row shuffle), balanced weights, standardization ON, L2,
+    * deterministic from the zero start. Driver cost: the 1024+1
+    * fitted doubles. */
+  def classifierFit(docs: DataFrame, exemplarPred: Column,
+                    regParam: Double = 0.01): QualityClassifier = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.array_to_vector
+    val k = Dsir.NumBuckets.toInt
+    val dense = classifierDesign(docs, exemplarPred)
+      .groupBy(col("doc_id"))
+      .agg(
+        map_from_entries(collect_list(struct(col("bucket"), col("n_occ"))))
+          .as("m"),
+        max(col("y")).as("y"), max(col("w")).as("w"))
+      .select(col("doc_id"), col("y"), col("w"),
+        array_to_vector(transform(sequence(lit(0L), lit(k - 1L)),
+          b => coalesce(element_at(col("m"), b), lit(0L)).cast("double")))
+          .as("features"))
+    val model = new LogisticRegression()
+      .setFeaturesCol("features").setLabelCol("y").setWeightCol("w")
+      .setRegParam(regParam).setElasticNetParam(0.0)
+      .setStandardization(true)
+      .setMaxIter(100).setTol(1e-9)
+      .fit(dense)
+    QualityClassifier(model.coefficients.toArray, model.intercept)
+  }
+
+  /** Score a text column against a fitted classifier IN-ROW:
+    * p = σ(b + Σ_occurrences weights[bucket]) — the weights inline as
+    * a constant-folded 1024-literal array (the ivfLearned
+    * literal-core precedent), the feature stream is the same
+    * zero-copy byte scan, and the whole thing is one PROJECTION: no
+    * explode, no join, no shuffle — which is what makes the filter
+    * composable onto a stream (the ExternalScorer property) or any
+    * mid-pipeline stage for free. NULL text scores NULL (and so
+    * never passes a threshold filter). */
+  def classifierScore(text: Column, m: QualityClassifier): Column = {
+    require(m.weights.length == Dsir.NumBuckets.toInt,
+      s"classifier has ${m.weights.length} weights, want ${Dsir.NumBuckets}")
+    val wLit = array(m.weights.map(lit(_)): _*)
+    val z = aggregate(Dsir.featureBuckets(trim(text)),
+      lit(m.intercept),
+      (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** The selection stage: keep documents the classifier scores at or
+    * above `threshold` (CCNet keeps the top head/middle strata; a
+    * fixed threshold is the LLaMA-style variant). Emits the input
+    * columns plus `p_quality`. */
+  def classifierFilter(docs: DataFrame, m: QualityClassifier,
+                       threshold: Double = 0.5): DataFrame =
+    docs.withColumn("p_quality", classifierScore(col("text"), m))
+      .filter(col("p_quality") >= threshold)
 }

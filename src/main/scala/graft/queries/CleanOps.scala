@@ -273,6 +273,48 @@ object CleanOps extends QueryModule {
        |ORDER BY dd.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q97: the fastText-style hashed linear quality classifier's
+  // DESIGN MATRIX (CCNet §4.4 / LLaMA's Wikipedia-exemplar filter) —
+  // per-doc hashed unigram+bigram bucket counts (the q76 feature
+  // stream with the doc key kept) + exemplar label y (q76's
+  // stopword-ratio "en" predicate as the planted exemplar class) +
+  // the sklearn-"balanced" class weight (q58's formula, doc-level
+  // counts). The LBFGS fit, in-row sigmoid scorer, and
+  // classifierFilter selection are spec-gated (QualityClassifierSpec:
+  // determinism, planted preference, scorer equivalence) — the q58
+  // house split.
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.functions.TextFunctions.textStats(col("text"))
+    val enPred =
+      (st.getField("n_stop") / st.getField("n_words")) >= 0.05
+    Quality.classifierDesign(docs(s, dir), enPred)
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
+  private val q97Sql = {
+    import graft.functions.TextFunctions.StopwordsSql
+    val k = graft.operators.Dsir.NumBuckets
+    s"""WITH t AS (SELECT doc_id, text,
+       |    (len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN $StopwordsSql))
+       |       / len(string_split(lower(trim(text)), ' '))) >= 0.05 AS is_ex
+       |  FROM documents),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CASE WHEN is_ex THEN 1 ELSE 0 END) AS DOUBLE) AS np FROM t),
+       |d AS (SELECT doc_id, is_ex, string_split(trim(text), ' ') AS ws FROM t),
+       |u1 AS (SELECT doc_id, is_ex, unnest(list_transform(range(1, len(ws) + 1),
+       |    i -> CAST(('0x' || substr(md5(ws[i]), 1, 12)) AS BIGINT) % $k)) AS bucket FROM d),
+       |u2 AS (SELECT doc_id, is_ex, unnest(list_transform(range(1, len(ws)),
+       |    i -> CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 12)) AS BIGINT) % $k)) AS bucket FROM d),
+       |a AS (SELECT * FROM u1 UNION ALL SELECT * FROM u2),
+       |g AS (SELECT doc_id, bucket, count(*) AS n_occ, max(is_ex) AS is_ex
+       |      FROM a GROUP BY doc_id, bucket)
+       |SELECT doc_id, bucket, CAST(n_occ AS BIGINT) AS n_occ,
+       |  CASE WHEN is_ex THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
+       |  CASE WHEN is_ex THEN n / (2.0 * np) ELSE n / (2.0 * (n - np)) END AS w
+       |FROM g CROSS JOIN st ORDER BY doc_id, bucket""".stripMargin
+  }
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q73_gopher_repetition", q73, Some(q73Sql)),
     QueryDef("q74_pii_redact", q74, Some(q74Sql)),
@@ -280,5 +322,6 @@ object CleanOps extends QueryModule {
     QueryDef("q76_dsir_model", q76, Some(q76Sql)),
     QueryDef("q78_clean_corpus", q78, Some(q78Sql)),
     QueryDef("q80_source_mix", q80, Some(q80Sql)),
-    QueryDef("q85_lm_ppl", q85, Some(q85Sql)))
+    QueryDef("q85_lm_ppl", q85, Some(q85Sql)),
+    QueryDef("q97_quality_classifier", q97, Some(q97Sql)))
 }

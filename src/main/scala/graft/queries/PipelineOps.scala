@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Quality, SequencePack, TrainTestSplit}
+
+/** q96: the END-TO-END PRETRAINING CAPSTONE — the full corpus →
+  * training-stream path as ONE job graph, every stage an
+  * already-oracle-checked operator:
+  *
+  *   clean (q78: exact-dedup survivors → Gopher repetition keep →
+  *   PII redact) → surgical decontamination against the raw held-out
+  *   benchmark (q81) → near-dup pairs on the CLEANED text (q36
+  *   machinery) → leakage-free train/test split keyed on cluster id
+  *   (q95) → per-language mixture sampling of the train slice (q68)
+  *   → 2048-token sequence packing (q67) → per-bin summary.
+  *
+  * What the composition proves (and PlanSpec gates): the stages
+  * chain WITHOUT redundant corpus scans — the raw table is read
+  * ONCE for the clean stage and once (column-pruned, bench-filtered
+  * sliver) for the benchmark windows; everything downstream flows
+  * from the pinned decontaminated corpus, which is materialized a
+  * single time and fans out to the pair/split/mixture branches. No
+  * global sort runs mid-pipeline ([[Quality.cleanCorpusRaw]] — the
+  * composable form without q78's presentation sort).
+  *
+  * Composition choices (the semantics a real pipeline wants):
+  *  - benchmark windows come from the RAW benchmark text (doc_id <
+  *    20, the q71/q81 stand-in) — the eval set is external and
+  *    unredacted; cleaning must not weaken the decontamination;
+  *  - near-dup pairs and the leakage-free split run on the CLEANED,
+  *    DECONTAMINATED text — grouping must reflect what the model
+  *    will actually see;
+  *  - the q36 stop-shingle guard is omitted: the corpus is already
+  *    exact-deduped by the clean stage and the guard's broadcast is
+  *    corpus-profile-dependent (at 100 TB you would enable it; the
+  *    oracle mirrors the unguarded formula exactly);
+  *  - only the `train` split is mixed and packed — valid/test stay
+  *    untouched, which is the entire point of the split.
+  */
+object PipelineOps extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+
+  val BenchDocs = 20L
+  val SubL = 40
+  val Capacity = 2048L
+  private val WEn = 1500L
+  private val WOther = 250L
+
+  /** Stage A, UNPINNED — the PlanSpec gate surface: cleaned corpus
+    * (exact-dedup survivors → repetition keep → PII redact) unioned
+    * with the RAW benchmark sliver. Exactly TWO parquet scans: the
+    * full corpus (clean branch) and the doc_id-pushed benchmark
+    * filter — the gate counts them, locking "no redundant scans"
+    * for the whole capstone's corpus-reading front. */
+  def cleanPlusBench(raw: DataFrame): DataFrame =
+    raw.filter(col("doc_id") < BenchDocs)
+      .unionByName(Quality.cleanCorpusRaw(raw)
+        .filter(col("doc_id") >= BenchDocs)
+        .select(col("doc_id"), col("red_text").as("text")))
+
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val raw = docs(s, dir)
+    // PINNED before the strip: decontaminateStrip references its
+    // training side twice (window join + final left join) — unpinned
+    // that would re-run the entire clean pipeline per reference
+    val unioned = cleanPlusBench(raw).transform(graft.operators.Pin(_))
+    val decon = Dedup.decontaminateStrip(unioned, col("doc_id") < BenchDocs, SubL)
+      .select(col("doc_id"), col("clean_text"))
+      // ONE materialization fans out to the pair, split-probe and
+      // mixture branches (the minhashPairs signature-pin discipline)
+      .transform(graft.operators.Pin(_))
+    val sig = Dedup.withSignatureFromHashes(
+      Dedup.shingleHashRows(
+        decon.select(col("doc_id"), col("clean_text").as("text"))))
+      .transform(graft.operators.Pin(_))
+    val pairs = Dedup.minhashPairsOwned(sig)
+    val split = TrainTestSplit.leakageFree(decon.select(col("doc_id")), pairs)
+    val train = decon.join(
+      split.filter(col("split") === "train").select(col("doc_id")),
+      Seq("doc_id"))
+    val mix = train
+      .withColumn("_st", textStats(col("clean_text")))
+      .withColumn("lang_pred",
+        when(col("_st.n_stop") / col("_st.n_words") >= 0.05, "en")
+          .otherwise("other"))
+      .withColumn("w", when(col("lang_pred") === "en", WEn).otherwise(WOther))
+      .withColumn("n_copies",
+        (col("w") / 1000).cast("bigint") +
+          when(TextFunctions.hashBucket(col("doc_id"), "mix_", 1000) < col("w") % 1000, 1L)
+            .otherwise(0L))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), bpeTokenCount(col("clean_text")).as("tok"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+    SequencePack.withBin(mix, col("tok"),
+      Seq(col("doc_id"), col("copy")), Capacity)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("tok")).as("tok_sum"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("bin"))
+  }
+
+  // The chained oracle mirror: q78's clean CTEs → q81's strip CTEs
+  // (benchmark windows from RAW bench text) → q36's unguarded pair
+  // formula on the decontaminated text → q95's recursive closure +
+  // bucket split → q68's mixture gates → q67's prefix-sum packing.
+  // Every fragment is the corresponding query's oracle with the text
+  // source substituted; constants are shared with the Spark side.
+  private val q96Sql = {
+    val red = s"""regexp_replace(regexp_replace(regexp_replace(text,
+       |    '${Quality.EmailRe}', '<EMAIL>', 'g'),
+       |    '${Quality.IpRe}', '<IP>', 'g'),
+       |    '${Quality.PhoneRe}', '<PHONE>', 'g')""".stripMargin
+    s"""WITH RECURSIVE f AS (SELECT doc_id, text,
+       |    md5(lower(trim(regexp_replace(text, '$WsPlusRe', ' ', 'g')))) AS fp
+       |  FROM documents),
+       |surv AS (SELECT doc_id, text FROM
+       |  (SELECT doc_id, text, min(doc_id) OVER (PARTITION BY fp) AS canon FROM f)
+       |  WHERE doc_id = canon),
+       |d0 AS (SELECT doc_id, text, string_split(trim(text), ' ') AS ws,
+       |    length(replace(text, ' ', '')) AS tot FROM surv),
+       |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+       |         i -> ws[i] || ' ' || ws[i+1])) AS g
+       |       FROM d0 WHERE len(ws) >= 2),
+       |c2 AS (SELECT doc_id, max(cnt * (length(g) - 1)) AS top2_cov
+       |       FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+       |       GROUP BY 1),
+       |g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+       |       FROM d0 WHERE len(ws) >= 5),
+       |c5 AS (SELECT doc_id, sum(cnt * (length(g) - 4)) AS dup5_cov
+       |       FROM (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2)
+       |       WHERE cnt > 1 GROUP BY 1),
+       |keepd AS (SELECT d0.doc_id, $red AS ct
+       |  FROM d0 LEFT JOIN c2 USING (doc_id) LEFT JOIN c5 USING (doc_id)
+       |  WHERE coalesce(top2_cov, 0) * 5 <= d0.tot
+       |    AND coalesce(dup5_cov, 0) * 20 <= 3 * d0.tot),
+       |bw AS (SELECT DISTINCT substr(text, CAST(i AS INT), $SubL) AS slice
+       |       FROM (SELECT text, unnest(range(1, greatest(length(text) - ${SubL - 1}, 0) + 1)) AS i
+       |             FROM documents WHERE doc_id < $BenchDocs)),
+       |tr AS (SELECT doc_id, ct, length(ct) AS n FROM keepd WHERE doc_id >= $BenchDocs),
+       |occ AS (SELECT doc_id, ct, unnest(range(0, greatest(n - ${SubL - 1}, 0))) AS pos FROM tr),
+       |rem AS (SELECT o.doc_id, o.pos FROM occ o
+       |        JOIN bw ON substr(o.ct, CAST(o.pos + 1 AS INT), $SubL) = bw.slice),
+       |rem2 AS (SELECT doc_id, pos,
+       |    CASE WHEN pos <= coalesce(max(pos + $SubL) OVER (PARTITION BY doc_id ORDER BY pos
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 0 ELSE 1 END AS brk
+       |  FROM rem),
+       |rem3 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM rem2),
+       |iv AS (SELECT doc_id, min(pos) AS s, max(pos) + $SubL AS e FROM rem3 GROUP BY doc_id, grp),
+       |tails AS (SELECT doc_id, max(e) AS ks FROM iv GROUP BY doc_id),
+       |segs AS (
+       |  SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ks, s AS ke FROM iv
+       |  UNION ALL
+       |  SELECT t.doc_id, t.ks, tr.n AS ke FROM tails t JOIN tr USING (doc_id)
+       |),
+       |cln AS (SELECT s.doc_id,
+       |    string_agg(substr(tr.ct, CAST(s.ks + 1 AS INT), CAST(greatest(s.ke - s.ks, 0) AS INT)), '' ORDER BY s.ks) AS dt
+       |  FROM segs s JOIN tr USING (doc_id) GROUP BY s.doc_id),
+       |dd AS (SELECT tr.doc_id, CASE WHEN c.dt IS NULL THEN tr.ct ELSE c.dt END AS dt
+       |       FROM tr LEFT JOIN cln c USING (doc_id)),
+       |dw AS (SELECT doc_id, string_split(trim(dt), ' ') AS ws FROM dd),
+       |sh AS (SELECT doc_id, list_transform(range(1, len(ws)-1), i -> CAST(('0x'||substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]),1,12)) AS BIGINT) % ${Dedup.P}) AS sh
+       |      FROM dw WHERE len(ws) >= 3),
+       |sig AS (SELECT doc_id, list_transform(range(0, ${Dedup.NumHashes}), i -> list_min(list_transform(sh, h -> ((2*i+3)*h + (5*i+7)) % ${Dedup.P}))) AS sg FROM sh),
+       |bands AS (SELECT doc_id, sg, b, md5(array_to_string(sg[b*${Dedup.RowsPerBand}+1 : b*${Dedup.RowsPerBand}+${Dedup.RowsPerBand}], ',')) AS bkey
+       |          FROM sig, range(0, ${Dedup.Bands}) t(b)),
+       |cand AS (SELECT a.doc_id AS a, b.doc_id AS b, first(a.sg) AS sa, first(b.sg) AS sb
+       |         FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |         GROUP BY a.doc_id, b.doc_id),
+       |prs AS (SELECT a, b FROM cand
+       |        WHERE CAST(list_sum(list_transform(range(1, ${Dedup.NumHashes + 1}), i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / ${Dedup.NumHashes} >= 0.5),
+       |edges AS (SELECT a AS x, b AS y FROM prs
+       |          UNION ALL SELECT b AS x, a AS y FROM prs),
+       |r(node, m) AS (
+       |  SELECT DISTINCT x, x FROM edges
+       |  UNION
+       |  SELECT e.x, r.m FROM edges e JOIN r ON r.node = e.y),
+       |cl AS (SELECT node, min(m) AS cluster_id FROM r GROUP BY node),
+       |gk AS (SELECT dd.doc_id, dd.dt, coalesce(cl.cluster_id, dd.doc_id) AS group_key
+       |       FROM dd LEFT JOIN cl ON dd.doc_id = cl.node),
+       |trn AS (SELECT doc_id, dt FROM gk
+       |  WHERE CAST(('0x' || substr(md5('split' || CAST(group_key AS VARCHAR)), 1, 4)) AS BIGINT) % 10 < 8),
+       |lg AS (SELECT doc_id, dt, string_split(lower(trim(dt)), ' ') AS lws FROM trn),
+       |mx AS (SELECT doc_id, dt,
+       |    (CASE WHEN len(list_filter(lws, x -> x IN $StopwordsSql)) / len(lws) >= 0.05
+       |          THEN $WEn ELSE $WOther END) AS w
+       |  FROM lg),
+       |cp AS (SELECT doc_id, dt,
+       |    w // 1000
+       |    + CASE WHEN CAST(('0x' || substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 1000 < w % 1000
+       |           THEN 1 ELSE 0 END AS n_copies
+       |  FROM mx),
+       |stream AS (SELECT doc_id, CAST(u.copy AS BIGINT) AS copy,
+       |    CAST(len(regexp_extract_all(dt, '$BpeTokenRe')) AS BIGINT) AS tok
+       |  FROM cp, unnest(range(1, n_copies + 1)) AS u(copy)
+       |  WHERE n_copies >= 1),
+       |cum AS (SELECT doc_id, copy, tok,
+       |    COALESCE(SUM(tok) OVER (ORDER BY doc_id, copy
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+       |  FROM stream)
+       |SELECT CAST(floor(bef / $Capacity) AS BIGINT) AS bin,
+       |  count(*) AS n_rows, CAST(sum(tok) AS BIGINT) AS tok_sum,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Excluded from the bench headline: the chained mirror contains
+    * BOTH timing-pathological oracle fragments (q81's slice
+    * materialization and q95's recursive closure — each already
+    * skipped by tools/bench_duck.py as a timing side); the capstone
+    * is a correctness + plan-shape artifact, and its Spark wall is
+    * soak-recorded instead (BENCH_SF10.md round 12). */
+  override def headline: Seq[String] = Seq.empty
+
+  override val all: Seq[QueryDef] = Seq(
+    QueryDef("q96_pretrain_capstone", q96, Some(q96Sql)))
+}

@@ -27,7 +27,11 @@ class PlanSpec extends SparkTestBase {
       // like q41's centroid assignment, not a data-scale cartesian.
       "q64_annotator_agreement", "q65_agreement_summary",
       // q69 shares q64/q65's bounded rater-broadcast panel
-      "q69_krippendorff_alpha")
+      "q69_krippendorff_alpha",
+      // q87 (round 12): the ONLY nested-loop is the 1-row global-N
+      // scalar cross join (bounded by construction — one row, ever);
+      // the dedicated q87 shape gate below pins the rest of its plan.
+      "q87_tfidf_keywords")
 
   test("no nested-loop or cartesian join in any non-baseline query plan") {
     val offenders = SparkEntry.queries.toSeq
@@ -59,7 +63,11 @@ class PlanSpec extends SparkTestBase {
       // and ≤45-row pair joins plan single-partition by design).
       "q64_annotator_agreement", "q65_agreement_summary",
       // q69 is the single global alpha row over the same bounded panel
-      "q69_krippendorff_alpha")
+      "q69_krippendorff_alpha",
+      // q87 (round 12): the SinglePartition exchange is the 1-row
+      // global-N count branch — one partially-aggregated row per
+      // upstream partition, never data rows (the q61 pattern).
+      "q87_tfidf_keywords")
 
   test("no SinglePartition exchange in any multi-row query's executed plan") {
     // The scale-killer this guards: a global (no-partition) window or
@@ -109,10 +117,11 @@ class PlanSpec extends SparkTestBase {
     // frequency side (estimated small off compressed parquet stats —
     // the round-9 trap); q89/q90's join sides are likewise
     // corpus-shaped (distinct (source, h) / base fingerprints). All
-    // pin SHUFFLE_HASH; this locks the executed plans. (q87/q90 keep
-    // tiny broadcasts nowhere; q89's self-join is its only join.)
-    for (name <- Seq("q87_tfidf_keywords", "q89_source_overlap",
-        "q90_incremental_dedup")) {
+    // pin SHUFFLE_HASH; this locks the executed plans. (q90 keeps
+    // tiny broadcasts nowhere; q89's self-join is its only join.
+    // q87 left this list in round 12: its df join is GONE — df is a
+    // window count over the h-clustered term table, see below.)
+    for (name <- Seq("q89_source_overlap", "q90_incremental_dedup")) {
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastHashJoin") &&
@@ -121,6 +130,50 @@ class PlanSpec extends SparkTestBase {
       assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
         s"$name lost its keyed join:\n$plan")
     }
+  }
+
+  test("q87 round-12 shape: one text scan, window df, BNLJ only for the 1-row N") {
+    // Round 12 restructured q87 twice over: (a) df is a window
+    // count over h on the already-h-clustered term table — the
+    // round-11 join shape's df branch never actually reused the
+    // word-stream exchange (column pruning de-canonicalized it), so
+    // the corpus was scanned + exploded TWICE; (b) the separate
+    // docs.count() driver action became a 1-row broadcast branch
+    // whose scan is pruned to ZERO columns and materializes
+    // concurrently inside the same action. This gate locks both:
+    // exactly one scan reads text, exactly one zero-column scan,
+    // no keyed join of any kind, BNLJ only for the 1-row N.
+    val plan = SparkEntry.queries("q87_tfidf_keywords")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val textScans = "ReadSchema: [^\n]*text".r.findAllIn(plan).length
+    val emptyScans = "ReadSchema: struct<>".r.findAllIn(plan).length
+    assert(textScans == 1, s"q87 reads the text column $textScans times:\n$plan")
+    assert(emptyScans == 1, s"q87 N-branch scan is not zero-column:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q87 lost the 1-row N cross join:\n$plan")
+    assert(!plan.contains("ShuffledHashJoin") && !plan.contains("SortMergeJoin")
+      && !plan.contains("BroadcastHashJoin"),
+      s"q87 reintroduced a keyed join:\n$plan")
+  }
+
+  test("q96 capstone stage A: two parquet scans, bench filter pushed, no window") {
+    // The capstone's corpus-reading front (clean ∪ raw-bench) reads
+    // parquet exactly twice — the full corpus for the clean stage
+    // and the doc_id-pushed benchmark sliver — and keeps q78's
+    // min_by aggregate shape (no fingerprint window). Everything
+    // downstream flows from pins of this stage, so this gate IS the
+    // no-redundant-scans claim for the whole composition.
+    val raw = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val plan = graft.queries.PipelineOps.cleanPlusBench(raw)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"capstone stage A reads parquet $scans times:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,20)]"),
+      s"bench sliver filter not pushed to its scan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"capstone stage A reintroduced a window:\n$plan")
   }
 
   test("stand-in-derived tables collapse onto the probe side: q57/q63 plan zero joins") {

@@ -79,6 +79,33 @@ object SoakCorpusOps {
       s"n_chunks per-copy ${if (projOk) "EXACT" else "DIVERGED"}; " +
       s"all-dup under replication: ${if (allDup) "EXACT" else "DIVERGED"}")
 
+    // --- q86 BPE production trainer + encoder ---
+    // trainLocal: ONE distributed vocab aggregation then the local
+    // incremental merge loop — the 5k-merge table that train()'s
+    // per-merge jobs would take hours over lands in seconds-to-
+    // minutes. Replication invariance: counts scale by C uniformly,
+    // so the merge table must be IDENTICAL to the single-copy one.
+    val mergesBase = timed("bpe trainLocal 5000 merges on 1 copy")(
+      graft.operators.BpeTrain.trainLocal(base, 5000))
+    val mergesC = timed(s"bpe trainLocal 5000 merges on $copies copies")(
+      graft.operators.BpeTrain.trainLocal(corpus, 5000))
+    println(s"SOAK bpe merges ${mergesBase.size}; replication " +
+      (if (mergesBase == mergesC) "EXACT" else "DIVERGED"))
+    // distributed-loop equality at soak scale for a 30-merge prefix
+    val dist30 = timed("bpe distributed train 30 rounds")(
+      graft.operators.BpeTrain.train(corpus, 30))
+    println(s"SOAK bpe trainLocal prefix == train(30): " +
+      (if (mergesC.take(30) == dist30) "EXACT" else "DIVERGED"))
+    // the production encode path: full 5k-merge table, one pass
+    val tokC = timed(s"bpe encodeBulk 5k merges on $copies copies")(
+      graft.operators.BpeTrain.encodeBulk(corpus, "doc_id", "text", mergesC)
+        .agg(sum(size(col("tokens")))).collect()(0).getLong(0))
+    // the iterative path at a bounded 64-merge prefix (its regime)
+    val tokIter = timed(s"bpe encodeIter 64-merge prefix on $copies copies")(
+      graft.operators.BpeTrain.encodeIter(corpus, "text", mergesC.take(64))
+        .agg(sum(size(col("tokens")))).collect()(0).getLong(0))
+    println(s"SOAK bpe tokens bulk=$tokC iter64=$tokIter")
+
     // --- q85 LM features ---
     val st = graft.functions.TextFunctions.textStats(col("text"))
     val enPred = (st.getField("n_stop") / st.getField("n_words")) >= 0.05

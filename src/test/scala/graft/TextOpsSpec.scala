@@ -298,6 +298,83 @@ class TextOpsSpec extends SparkTestBase {
     assert(iter == inline, s"iter $iter != inline $inline")
   }
 
+  test("bpe trainLocal equals the distributed train: hand example") {
+    import spark.implicits._
+    import graft.operators.BpeTrain
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val local = BpeTrain.trainLocal(d, 3)
+    assert(local == Seq((1, "e", "s", "es"), (2, "es", "t", "est"),
+      (3, "l", "o", "lo")), s"local merges: $local")
+    assert(local == BpeTrain.train(d, 3))
+  }
+
+  test("bpe trainLocal equals the distributed train: randomized corpus") {
+    import spark.implicits._
+    import graft.operators.BpeTrain
+    // seeded pseudo-random corpus: short alphabet so merges chain
+    // deep and ties are common (the argmax-order stress case)
+    val rnd = new scala.util.Random(86)
+    val words = Seq.fill(400)(
+      (0 to rnd.nextInt(7)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    val d = words.grouped(40).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val dist = BpeTrain.train(d, 25)
+    val local = BpeTrain.trainLocal(d, 25)
+    assert(local == dist, s"local $local\n!= dist $dist")
+    // exhaustion: both stop at the same (possibly shorter) table
+    assert(BpeTrain.trainLocal(d, 10000).size ==
+      BpeTrain.train(d, 10000).size)
+  }
+
+  test("bpe trainLocal maxVocab truncation is the deterministic heavy-hitter cut") {
+    import spark.implicits._
+    import graft.operators.BpeTrain
+    // corpus with a clear head: truncating to the top-2 word types
+    // must train exactly as if the tail words were absent
+    val text = (Seq.fill(9)("abab") ++ Seq.fill(7)("abcd") ++
+      Seq.fill(2)("zzq") ++ Seq.fill(1)("qqz")).mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val headOnly = Seq((1L, (Seq.fill(9)("abab") ++ Seq.fill(7)("abcd"))
+      .mkString(" "))).toDF("doc_id", "text")
+    assert(BpeTrain.trainLocal(d, 5, maxVocab = 2) ==
+      BpeTrain.trainLocal(headOnly, 5))
+  }
+
+  test("bpe encodeBulk equals the inline encoder (hand + randomized)") {
+    import spark.implicits._
+    import graft.operators.BpeTrain
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val merges = BpeTrain.trainLocal(Seq((1L, text)).toDF("doc_id", "text"), 3)
+    val docs = Seq((1L, "newest low"), (2L, "widest lowest"), (3L, " "))
+      .toDF("doc_id", "text")
+    val inline = docs.select(col("doc_id"),
+      BpeTrain.encode(col("text"), merges).as("tokens"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val bulk = BpeTrain.encodeBulk(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(bulk == inline, s"bulk $bulk != inline $inline")
+    // randomized deep-merge stress: short alphabet, 25 merges, the
+    // candidate-heap replay must equal the sequential fold everywhere
+    val rnd = new scala.util.Random(87)
+    val ws = Seq.fill(300)(
+      (0 to rnd.nextInt(7)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val corpus = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+    val m2 = BpeTrain.trainLocal(corpus, 25)
+    val probe = ws.grouped(30).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val it2 = BpeTrain.encodeIter(probe, "text", m2, pinEvery = 8)
+      .select("doc_id", "tokens")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val bk2 = BpeTrain.encodeBulk(probe, "doc_id", "text", m2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(bk2 == it2, s"bulk != iter on randomized corpus")
+  }
+
   test("bpe mergeSyms is greedy left-to-right and non-overlapping") {
     import spark.implicits._
     import graft.operators.BpeTrain

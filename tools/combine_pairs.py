@@ -17,6 +17,16 @@ duck_sf1_out.json plus a ratio table for queries where DuckDB does
 import json
 import sys
 
+# THE BAND POLICY, stated once (round-12: the threshold had crept
+# 0.4 -> 0.6 s across rounds with no recorded decision).  A query is
+# on WATCH when Spark reads > WATCH_RATIO x DuckDB on a side where
+# DuckDB does >= WATCH_MIN_DUCK_S of real work; the builder's weak
+# bar applies to the >= WEAK_MIN_DUCK_S band.  Watch rows ship in
+# bench_sf1_out.json so every round's artifact carries the list.
+WATCH_RATIO = 2.0
+WATCH_MIN_DUCK_S = 0.4
+WEAK_MIN_DUCK_S = 0.6
+
 
 def main():
     note = sys.argv[1]
@@ -54,10 +64,17 @@ def main():
 
     stot = round(sum(smin.values()), 3)
     dtot = round(sum(dmin.values()), 3)
+    watch = sorted(
+        q for q in dmin
+        if dmin[q] >= WATCH_MIN_DUCK_S and smin[q] > WATCH_RATIO * dmin[q])
     with open("bench_sf1_out.json", "w") as f:
         f.write(json.dumps({"metric": "passes", "note": note}) + "\n")
         f.write(json.dumps({"metric": "total", "value": stot, "unit": "sec",
-                            "queries": {q: round(t, 3) for q, t in sorted(smin.items())}}) + "\n")
+                            "queries": {q: round(t, 3) for q, t in sorted(smin.items())},
+                            "watch": watch,
+                            "band": {"watch_ratio": WATCH_RATIO,
+                                     "watch_min_duck_s": WATCH_MIN_DUCK_S,
+                                     "weak_min_duck_s": WEAK_MIN_DUCK_S}}) + "\n")
     with open("duck_sf1_out.json", "w") as f:
         f.write(json.dumps({"total": dtot,
                             "queries": {q: round(t, 3) for q, t in sorted(dmin.items())}}) + "\n")
@@ -68,6 +85,8 @@ def main():
     for q in sorted(dmin, key=lambda q: -dmin[q]):
         if dmin[q] >= 0.3:
             print(f"| {q} | {smin[q]:.2f} | {dmin[q]:.2f} | {smin[q]/dmin[q]:.2f} |")
+    print(f"\nWATCH (> {WATCH_RATIO}x with DuckDB >= {WATCH_MIN_DUCK_S} s): "
+          + (", ".join(watch) if watch else "EMPTY"))
 
 
 if __name__ == "__main__":
