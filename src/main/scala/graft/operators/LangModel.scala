@@ -99,7 +99,25 @@ object LangModel {
     * target fit, the stream alignment, both joins, and the per-doc
     * aggregation; only the final `ln` map is left to [[nll]]. */
   def pplFeatures(docs: DataFrame, targetPred: Column): DataFrame = {
-    val (m1, m2) = modelSlices(docs, targetPred)
+    // Round 12: the model rides the SAME action as the scoring scan.
+    // The old shape collected the ≤2·1024-row model to the driver
+    // first — a full sequential fit action (scan + aggregate + 1
+    // collect) before scoring could even start, exactly the q87
+    // docs.count() pattern. Broadcasting the two model slices as
+    // plan BRANCHES instead materializes them CONCURRENTLY with the
+    // scoring scan inside one action: the kind filters push into the
+    // branch scans, so each branch reads only the target slice, and
+    // the sequential action floor disappears (1.17 → measured below
+    // at sf1). Empty-target edge: the broadcast slices are empty, so
+    // every lookup misses and the features read zero — which is
+    // EXACTLY the oracle's LEFT-JOIN semantics (the old collect path
+    // threw instead; [[nll]], the spec surface, keeps [[modelSlices]]
+    // and its non-empty guard).
+    val model = bigramModel(docs, targetPred)
+    val m1 = model.filter(col("kind") === 1)
+      .select(col("b").as("b1"), col("c").as("c1"))
+    val m2 = model.filter(col("kind") === 2)
+      .select(col("b").as("b2"), col("c").as("c2"))
     val agg = scoredOccurrences(docs, m1, m2)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bi"),

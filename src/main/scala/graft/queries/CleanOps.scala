@@ -243,7 +243,11 @@ object CleanOps extends QueryModule {
     val enPred =
       (st.getField("n_stop") / st.getField("n_words")) >= 0.05
     graft.operators.LangModel.pplFeatures(docs(s, dir), enPred)
-      .orderBy(col("doc_id"))
+      // local presentation sort (the round-12 q87 discipline): the
+      // stitch join already clusters by doc_id; a global orderBy
+      // would add a range exchange AND a sampler pass that re-runs
+      // the child. The driver compare re-sorts canonically anyway.
+      .sortWithinPartitions(col("doc_id"))
   }
 
   private val q85Sql = {

@@ -31,7 +31,11 @@ class PlanSpec extends SparkTestBase {
       // q87 (round 12): the ONLY nested-loop is the 1-row global-N
       // scalar cross join (bounded by construction — one row, ever);
       // the dedicated q87 shape gate below pins the rest of its plan.
-      "q87_tfidf_keywords")
+      "q87_tfidf_keywords",
+      // q97 (round 12): same pattern — the 1-row doc-level
+      // class-count scalar (the balanced-weight n/np) cross-joins as
+      // a bounded broadcast (the q58 designMatrix discipline).
+      "q97_quality_classifier")
 
   test("no nested-loop or cartesian join in any non-baseline query plan") {
     val offenders = SparkEntry.queries.toSeq
@@ -67,7 +71,10 @@ class PlanSpec extends SparkTestBase {
       // q87 (round 12): the SinglePartition exchange is the 1-row
       // global-N count branch — one partially-aggregated row per
       // upstream partition, never data rows (the q61 pattern).
-      "q87_tfidf_keywords")
+      "q87_tfidf_keywords",
+      // q97 (round 12): likewise — the 1-row class-count stats
+      // branch of the balanced-weight design matrix.
+      "q97_quality_classifier")
 
   test("no SinglePartition exchange in any multi-row query's executed plan") {
     // The scale-killer this guards: a global (no-partition) window or

@@ -57,12 +57,16 @@ def main():
     # recursive-closure cost for a non-headline variant
     # q84: non-headline like q82, and its mirror re-runs the q72 pair
     # listing plus the same recursive closure
+    # q96: the capstone chains the q81 slice mirror AND the q95
+    # recursive closure — both already skipped individually; it is
+    # excluded from the Spark headline too (PipelineOps.headline)
     skipped = sorted(n for n in ("q79_strip_dup_spans",
                                  "q81_decontaminate_strip",
                                  "q82_survivors_quality",
                                  "q84_semdedup",
                                  "q92_diversity_mis",
-                                 "q95_leakage_free_split") if n in sql)
+                                 "q95_leakage_free_split",
+                                 "q96_pretrain_capstone") if n in sql)
     for n in skipped:
         print(f"NOTE: skipping non-headline {n} (slice-materializing "
               "oracle mirror is a correctness surface, not a timing one)",
