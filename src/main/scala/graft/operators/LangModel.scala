@@ -118,13 +118,31 @@ object LangModel {
       .select(col("b").as("b1"), col("c").as("c1"))
     val m2 = model.filter(col("kind") === 2)
       .select(col("b").as("b2"), col("c").as("c2"))
-    val agg = scoredOccurrences(docs, m1, m2)
+    // Round 12b: the zero-row stitch join is GONE. The old shape
+    // LEFT-joined a second doc_id-only corpus scan to re-attach docs
+    // with no bigram (short/NULL text) as zero rows — one extra
+    // scan, one extra keyed join, one extra exchange. Instead every
+    // document appends ONE in-row sentinel pair (b1 = b2 = −1; real
+    // buckets live in [0, 1024), and a NULL pair array coalesces to
+    // empty first so NULL text still gets its sentinel): the
+    // sentinel misses both broadcast lookups (contributing 0 to both
+    // sums) and guarantees every doc_id reaches the aggregate, where
+    // n_bi = count − 1 removes it from the bigram count. One scan,
+    // two broadcast joins, one map-side-combined aggregate — and no
+    // q87-style exchange-reuse trap, because this stream has exactly
+    // one consumer.
+    val pairs = contextPairs(trim(col("text")))
+    val withSentinel = concat(
+      coalesce(pairs, array().cast("array<struct<b1:bigint,b2:bigint>>")),
+      array(struct(lit(-1L).as("b1"), lit(-1L).as("b2"))))
+    docs.select(col("doc_id"), explode(withSentinel).as("p"))
+      .select(col("doc_id"), col("p.b1").as("b1"), col("p.b2").as("b2"))
+      .join(broadcast(m1), Seq("b1"), "left")
+      .join(broadcast(m2), Seq("b2"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bi"),
-        sum(col("c2")).as("sum_c2"),
-        sum(col("c1")).as("sum_c1"))
-    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_bi", "sum_c2", "sum_c1"))
+      .agg((count(lit(1)) - 1L).as("n_bi"),
+        sum(coalesce(col("c2"), lit(0L))).as("sum_c2"),
+        sum(coalesce(col("c1"), lit(0L))).as("sum_c1"))
   }
 
   /** Per-document negative mean log-probability (the log-perplexity
