@@ -474,4 +474,47 @@ class StreamingSpec extends SparkTestBase {
       assert(got.contains((60L, "message", 1L)))
     } finally query.stop()
   }
+
+  test("q97 classifier filter composes onto a stream (pure projection, no state)") {
+    // The in-row scorer is one projection — no explode, no join, no
+    // aggregate — so it drops onto an unbounded stream with no
+    // watermark or state store at all. Fit on a BATCH exemplar
+    // corpus (the offline half), filter the live stream (the online
+    // half): the QualityClassifierSpec planted-preference corpus,
+    // replayed as micro-batches.
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamDedup.Doc
+    val corpus = Seq(
+      (0L, "the cat is on the mat and it is warm"),
+      (1L, "it was the best of times and the worst of times"),
+      (2L, "she is at the door and he is not"),
+      (3L, "to be or not to be that is the question"),
+      (4L, "zxq vvk jjr pqm wzx nnt"),
+      (5L, "qqa bbz ccx ddw eev ffu"),
+      (6L, "ggh hhi iij jjk kkl llm"),
+      (7L, "mzp nzq ozr pzs qzt rzu")).toDF("doc_id", "text")
+    val st = graft.functions.TextFunctions.textStats(col("text"))
+    val m = graft.operators.Quality.classifierFit(corpus,
+      (st.getField("n_stop") / st.getField("n_words")) >= 0.05)
+    val input = MemoryStream[Doc]
+    val query = graft.operators.Quality
+      .classifierFilter(input.toDS().toDF(), m)
+      .select("docId", "p_quality")
+      .writeStream.format("memory").queryName("q97_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc(100L, new Timestamp(1000), "the dog is in the house and it is dry"),
+        Doc(101L, new Timestamp(2000), "zxq vvk qqa bbz ggh hhi"))
+      query.processAllAvailable()
+      input.addData(
+        Doc(102L, new Timestamp(3000), "it is the best day and the sun is out"))
+      query.processAllAvailable()
+      val kept = spark.table("q97_stream_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(100L, 102L),
+        s"stream filter must keep the exemplar-like docs only, got $kept")
+    } finally query.stop()
+  }
 }
