@@ -63,12 +63,11 @@ object Bench {
       // but without an explicit release they accumulate across the
       // 80-query pass and tax every later query's memory (measured:
       // q85 read a steady +0.25 s inside the suite vs standalone).
-      // Verify clears per query for the same reason; the DuckDB side
-      // has no cross-query state either, so this is fairness, not a
-      // flatter.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // Verify releases the same state per query (shared helper);
+      // the DuckDB side has no cross-query state either, so this is
+      // fairness, not a flatter. blocking=true: a deferred removal
+      // would race into the NEXT query's timed window.
+      Verify.releaseQueryState(spark)
       sec
     }
 

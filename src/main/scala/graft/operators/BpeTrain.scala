@@ -120,6 +120,27 @@ object BpeTrain {
     a.length < b.length
   }
 
+  /** Driver-local replica of [[charSyms]]: split into Unicode CODE
+    * POINTS, not UTF-16 code units — Spark's `substr`/`length`
+    * count code points, so a supplementary-plane character (emoji)
+    * is ONE symbol distributed; `String.map(_.toString)` would make
+    * it two lone surrogates (which also mojibake to '?' under
+    * `getBytes(UTF_8)`, corrupting [[utf8Lt]] tie-breaks). */
+  private[graft] def charSymsLocal(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  /** Driver-local replica of Spark `trim(col)`: strips ASCII SPACE
+    * (0x20) ONLY. Java's `String.trim` strips every control char
+    * ≤ U+0020 (tab, newline, CR) and would silently diverge from
+    * the distributed word stream on e.g. trailing newlines. */
+  private[graft] def trimSpaces(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    s.substring(i, j)
+  }
+
   /** Driver-local replica of [[mergeSyms]]'s greedy left-to-right
     * fold — the same accumulator semantics, so "aaa" under (a,a)
     * gives [aa, a]. */
@@ -176,7 +197,7 @@ object BpeTrain {
       .limit(maxVocab)
       .collect() // bounded by maxVocab — the documented driver bound
     val words: Array[Array[String]] =
-      rows.map(r => r.getString(0).map(_.toString).toArray)
+      rows.map(r => charSymsLocal(r.getString(0)))
     val counts: Array[Long] = rows.map(_.getLong(1))
 
     val pc = mutable.HashMap.empty[(String, String), Long]
@@ -282,17 +303,26 @@ object BpeTrain {
     * current one. Pops are therefore strictly rank-ascending and a
     * pair formed after its own rank has passed is never applied —
     * EXACTLY the sequential in-rank-order semantics of [[encode]] /
-    * [[encodeIter]], in O(pairs·log) per word instead of O(table). */
+    * [[encodeIter]], in O(pairs·log) per word instead of O(table).
+    *
+    * `rankOf` maps a pair to ALL its ranks, not the last one: a
+    * trained table CAN contain the same pair twice (after (a,b) is
+    * merged away, a later merge that builds a string equal to `a`
+    * via a different decomposition re-forms the adjacency and the
+    * pair can win the argmax again). The sequential fold applies
+    * both entries in order; keeping only the last rank would skip
+    * the first application and let an intermediate merge steal its
+    * symbols (spec: the (a,b)/(b,b)/(a,b) hand table). */
   private[graft] def encodeWord(
       w: String,
-      rankOf: collection.Map[(String, String), Int],
+      rankOf: collection.Map[(String, String), Seq[Int]],
       byRank: collection.Map[Int, (String, String)]): Array[String] = {
-    var syms: Array[String] = w.map(_.toString).toArray
+    var syms: Array[String] = charSymsLocal(w)
     if (syms.length < 2) return syms
     val pq = scala.collection.mutable.PriorityQueue.empty[Int](Ordering.Int.reverse)
     val queued = scala.collection.mutable.Set.empty[Int]
     def push(a: String, b: String, after: Int): Unit =
-      rankOf.get((a, b)).foreach { k =>
+      rankOf.getOrElse((a, b), Nil).foreach { k =>
         if (k > after && !queued(k)) { pq += k; queued += k }
       }
     var i = 0
@@ -331,7 +361,10 @@ object BpeTrain {
                  merges: Seq[(Int, String, String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val rankOf = merges.map(t => ((t._2, t._3), t._1)).toMap
+    // all ranks per pair (duplicate table entries both apply), and
+    // sorted ascending so pushes enqueue in order
+    val rankOf = merges.groupBy(t => (t._2, t._3))
+      .map { case (p, ts) => (p, ts.map(_._1).sorted) }
     val byRank = merges.map(t => (t._1, (t._2, t._3))).toMap
     val bc = spark.sparkContext.broadcast((rankOf, byRank))
     docs.select(col(idCol).cast("long"), col(textCol))
@@ -339,7 +372,9 @@ object BpeTrain {
       .mapPartitions { it =>
         val (rk, br) = bc.value
         it.map { case (id, text) =>
-          val toks = Option(text).getOrElse("").trim.split(" ").iterator
+          // trimSpaces, NOT String.trim: the word stream must split
+          // exactly like the distributed `split(trim(col), " ")`
+          val toks = trimSpaces(Option(text).getOrElse("")).split(" ").iterator
             .filter(_.nonEmpty).flatMap(w => encodeWord(w, rk, br)).toArray
           (id, toks)
         }

@@ -99,8 +99,16 @@ object Diversity {
       pinned = next
       und = next
     }
-    require(remaining == 0,
-      s"independentSet did not converge in $maxIter rounds")
+    // release EVERYTHING on the non-convergence path too — an error
+    // must not strand O(nodes) of pinned blocks in a long-lived
+    // session (the same leak class the success-path fix closed)
+    if (remaining != 0) {
+      Pin.release(edges)
+      Pin.release(pinned)
+      if (keptAcc != null) Pin.release(keptAcc)
+      throw new IllegalStateException(
+        s"independentSet did not converge in $maxIter rounds")
+    }
     Pin.release(edges)
     Pin.release(pinned)
     // ownership of the single kept pin passes to the caller (the

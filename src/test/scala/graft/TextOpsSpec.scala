@@ -375,6 +375,51 @@ class TextOpsSpec extends SparkTestBase {
     assert(bk2 == it2, s"bulk != iter on randomized corpus")
   }
 
+  test("bpe local paths match distributed semantics on the review's edge cases") {
+    import spark.implicits._
+    import graft.operators.BpeTrain
+    // (a) control chars: Spark trim strips ONLY ASCII space — a tab
+    // or newline survives into the word stream. Java String.trim
+    // would strip them and silently diverge (the round-12 review
+    // finding; trimSpaces replicates Spark).
+    // (b) supplementary plane: Spark substr/length count CODE
+    // POINTS — an emoji is one symbol; UTF-16 code-unit splitting
+    // would make it two lone surrogates.
+    val texts = Seq(
+      (1L, "\tlow low\n lower  low"),
+      (2L, "new😀est new😀est wid😀est"))
+    val d = texts.toDF("doc_id", "text")
+    val dist = BpeTrain.train(d, 4)
+    val local = BpeTrain.trainLocal(d, 4)
+    assert(local == dist, s"local $local != dist $dist on edge corpus")
+    val inline = d.select(col("doc_id"),
+      BpeTrain.encode(col("text"), dist).as("tokens"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val bulk = BpeTrain.encodeBulk(d, "doc_id", "text", dist)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(bulk == inline, s"bulk $bulk != inline $inline on edge corpus")
+  }
+
+  test("bpe encodeWord applies BOTH ranks of a duplicated merge-table pair") {
+    import graft.operators.BpeTrain
+    // a table can legitimately contain the same pair twice; the
+    // sequential fold applies it at both ranks. A last-rank-only map
+    // would defer (a,b) to rank 3 and let (b,b) steal the b first:
+    // "abb" -> [a, bb] instead of the sequential [ab, b].
+    val merges = Seq((1, "a", "b", "ab"), (2, "b", "b", "bb"), (3, "a", "b", "ab"))
+    val rankOf = merges.groupBy(t => (t._2, t._3))
+      .map { case (p, ts) => (p, ts.map(_._1).sorted) }
+    val byRank = merges.map(t => (t._1, (t._2, t._3))).toMap
+    def sequential(w: String): Seq[String] =
+      merges.sortBy(_._1).foldLeft(BpeTrain.charSymsLocal(w)) {
+        case (acc, (_, a, b, _)) => BpeTrain.mergeSymsLocal(acc, a, b)
+      }.toSeq
+    for (w <- Seq("abb", "abab", "bba", "aabbb", "babab"))
+      assert(BpeTrain.encodeWord(w, rankOf, byRank).toSeq == sequential(w),
+        s"heap != sequential on '$w'")
+    assert(BpeTrain.encodeWord("abb", rankOf, byRank).toSeq == Seq("ab", "b"))
+  }
+
   test("bpe mergeSyms is greedy left-to-right and non-overlapping") {
     import spark.implicits._
     import graft.operators.BpeTrain
