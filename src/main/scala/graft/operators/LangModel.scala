@@ -113,11 +113,20 @@ object LangModel {
     // EXACTLY the oracle's LEFT-JOIN semantics (the old collect path
     // threw instead; [[nll]], the spec surface, keeps [[modelSlices]]
     // and its non-empty guard).
+    //
+    // COMPOSITE-KEY single branch (round 12c): slicing the model by
+    // `kind` filters would push each filter below the branch's
+    // exchange and de-canonicalize the two subtrees — two full
+    // model-fit scans (the q87 exchange-reuse lesson). Folding kind
+    // into the key (k = kind·1024 + b) leaves both broadcast builds
+    // as alias-only projections of ONE subtree, which canonicalize
+    // equal → the second BroadcastExchange is a ReusedExchange: the
+    // model is fitted and broadcast ONCE, looked up twice.
     val model = bigramModel(docs, targetPred)
-    val m1 = model.filter(col("kind") === 1)
-      .select(col("b").as("b1"), col("c").as("c1"))
-    val m2 = model.filter(col("kind") === 2)
-      .select(col("b").as("b2"), col("c").as("c2"))
+      .select((col("kind").cast("long") * NumBuckets + col("b")).as("k"),
+        col("c"))
+    val m1 = model.select(col("k").as("k1"), col("c").as("c1"))
+    val m2 = model.select(col("k").as("k2"), col("c").as("c2"))
     // Round 12b: the zero-row stitch join is GONE. The old shape
     // LEFT-joined a second doc_id-only corpus scan to re-attach docs
     // with no bigram (short/NULL text) as zero rows — one extra
@@ -132,13 +141,21 @@ object LangModel {
     // q87-style exchange-reuse trap, because this stream has exactly
     // one consumer.
     val pairs = contextPairs(trim(col("text")))
+    // sentinel bucket: −4·NumBuckets, so BOTH composite keys stay
+    // negative (model keys live in [1024, 3072)) — a plain −1 would
+    // alias kind-1's bucket 1023 after the +1024 shift
+    val sentinelB = -4L * NumBuckets
     val withSentinel = concat(
       coalesce(pairs, array().cast("array<struct<b1:bigint,b2:bigint>>")),
-      array(struct(lit(-1L).as("b1"), lit(-1L).as("b2"))))
+      array(struct(lit(sentinelB).as("b1"), lit(sentinelB).as("b2"))))
     docs.select(col("doc_id"), explode(withSentinel).as("p"))
-      .select(col("doc_id"), col("p.b1").as("b1"), col("p.b2").as("b2"))
-      .join(broadcast(m1), Seq("b1"), "left")
-      .join(broadcast(m2), Seq("b2"), "left")
+      // composite probe keys: kind 1 = context bucket, kind 2 =
+      // bigram bucket; the sentinel's negative keys miss both lookups
+      .select(col("doc_id"),
+        (lit(NumBuckets) + col("p.b1")).as("k1"),
+        (lit(2 * NumBuckets) + col("p.b2")).as("k2"))
+      .join(broadcast(m1), Seq("k1"), "left")
+      .join(broadcast(m2), Seq("k2"), "left")
       .groupBy(col("doc_id"))
       .agg((count(lit(1)) - 1L).as("n_bi"),
         sum(coalesce(col("c2"), lit(0L))).as("sum_c2"),
