@@ -372,10 +372,15 @@ object BpeTrain {
       .mapPartitions { it =>
         val (rk, br) = bc.value
         it.map { case (id, text) =>
+          // NULL text stays NULL (encode/encodeIter propagate NULL
+          // through split/trim/flatten — an empty array would be a
+          // silent divergence from the spec-pinned equality);
           // trimSpaces, NOT String.trim: the word stream must split
           // exactly like the distributed `split(trim(col), " ")`
-          val toks = trimSpaces(Option(text).getOrElse("")).split(" ").iterator
-            .filter(_.nonEmpty).flatMap(w => encodeWord(w, rk, br)).toArray
+          val toks =
+            if (text == null) null
+            else trimSpaces(text).split(" ").iterator
+              .filter(_.nonEmpty).flatMap(w => encodeWord(w, rk, br)).toArray
           (id, toks)
         }
       }.toDF(idCol, "tokens")

@@ -64,50 +64,67 @@ object Diversity {
     // sel and the superseded accumulator, so live storage is the
     // und chain + one kept pin, total O(nodes).
     var keptAcc: DataFrame = null
+    // mid-round pins, tracked so ANY failure exit — a task failure
+    // surfaced by next.count(), an eager Pin materialization, the
+    // nbrMin job, or non-convergence — releases everything instead
+    // of stranding O(nodes) of blocks in a long-lived session (the
+    // leak class the success-path fix closed; a bare maxIter check
+    // alone would miss every exception path)
+    var selLive: DataFrame = null
+    var newAccLive: DataFrame = null
     var it = 0
-    var remaining = und.count()
-    while (remaining > 0 && it < maxIter) {
-      it += 1
-      // min (priority, id) among UNDECIDED neighbors
-      val nbrMin = edges
-        .join(und.select(col("node").as("yn"), col("p").as("yp")),
-          edges("y") === col("yn"))
-        .groupBy(col("x"))
-        .agg(min(struct(col("yp"), col("yn"))).as("nm"))
-      val sel = und
-        .join(nbrMin, und("node") === nbrMin("x"), "left")
-        .filter(col("nm").isNull ||
-          struct(col("p"), col("node")) < col("nm"))
-        .select(col("node"), col("p"))
-        .transform(Pin(_, eager = true))
-      val newAcc = (if (keptAcc == null) sel.select(col("node"))
-        else keptAcc.unionAll(sel.select(col("node"))))
-        .transform(Pin(_, eager = true))
-      // remove selected nodes and everything adjacent to them
-      val dominated = edges
-        .join(sel.select(col("node").as("sx")), edges("x") === col("sx"))
-        .select(col("y").as("node"))
-      val next = und
-        .join(sel.select(col("node")), Seq("node"), "left_anti")
-        .join(dominated, Seq("node"), "left_anti")
-        .transform(Pin(_, eager = true))
-      remaining = next.count()
-      Pin.release(pinned)
-      Pin.release(sel)
-      if (keptAcc != null) Pin.release(keptAcc)
-      keptAcc = newAcc
-      pinned = next
-      und = next
-    }
-    // release EVERYTHING on the non-convergence path too — an error
-    // must not strand O(nodes) of pinned blocks in a long-lived
-    // session (the same leak class the success-path fix closed)
-    if (remaining != 0) {
-      Pin.release(edges)
-      Pin.release(pinned)
-      if (keptAcc != null) Pin.release(keptAcc)
-      throw new IllegalStateException(
-        s"independentSet did not converge in $maxIter rounds")
+    var succeeded = false
+    try {
+      var remaining = und.count()
+      while (remaining > 0 && it < maxIter) {
+        it += 1
+        // min (priority, id) among UNDECIDED neighbors
+        val nbrMin = edges
+          .join(und.select(col("node").as("yn"), col("p").as("yp")),
+            edges("y") === col("yn"))
+          .groupBy(col("x"))
+          .agg(min(struct(col("yp"), col("yn"))).as("nm"))
+        val sel = und
+          .join(nbrMin, und("node") === nbrMin("x"), "left")
+          .filter(col("nm").isNull ||
+            struct(col("p"), col("node")) < col("nm"))
+          .select(col("node"), col("p"))
+          .transform(Pin(_, eager = true))
+        selLive = sel
+        val newAcc = (if (keptAcc == null) sel.select(col("node"))
+          else keptAcc.unionAll(sel.select(col("node"))))
+          .transform(Pin(_, eager = true))
+        newAccLive = newAcc
+        // remove selected nodes and everything adjacent to them
+        val dominated = edges
+          .join(sel.select(col("node").as("sx")), edges("x") === col("sx"))
+          .select(col("y").as("node"))
+        val next = und
+          .join(sel.select(col("node")), Seq("node"), "left_anti")
+          .join(dominated, Seq("node"), "left_anti")
+          .transform(Pin(_, eager = true))
+        remaining = next.count()
+        Pin.release(pinned)
+        Pin.release(sel)
+        selLive = null
+        if (keptAcc != null) Pin.release(keptAcc)
+        keptAcc = newAcc
+        newAccLive = null
+        pinned = next
+        und = next
+      }
+      if (remaining != 0)
+        throw new IllegalStateException(
+          s"independentSet did not converge in $maxIter rounds")
+      succeeded = true
+    } finally {
+      if (!succeeded) {
+        Pin.release(edges)
+        Pin.release(pinned)
+        if (selLive != null) Pin.release(selLive)
+        if (newAccLive != null) Pin.release(newAccLive)
+        if (keptAcc != null) Pin.release(keptAcc)
+      }
     }
     Pin.release(edges)
     Pin.release(pinned)

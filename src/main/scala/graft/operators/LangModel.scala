@@ -131,11 +131,12 @@ object LangModel {
     // LEFT-joined a second doc_id-only corpus scan to re-attach docs
     // with no bigram (short/NULL text) as zero rows — one extra
     // scan, one extra keyed join, one extra exchange. Instead every
-    // document appends ONE in-row sentinel pair (b1 = b2 = −1; real
-    // buckets live in [0, 1024), and a NULL pair array coalesces to
-    // empty first so NULL text still gets its sentinel): the
-    // sentinel misses both broadcast lookups (contributing 0 to both
-    // sums) and guarantees every doc_id reaches the aggregate, where
+    // document appends ONE in-row sentinel pair (bucket −4096, see
+    // below — it must stay negative AFTER the composite-key shifts;
+    // a NULL pair array coalesces to empty first so NULL text still
+    // gets its sentinel): the sentinel misses both broadcast lookups
+    // (contributing 0 to both sums) and guarantees every doc_id
+    // reaches the aggregate, where
     // n_bi = count − 1 removes it from the bigram count. One scan,
     // two broadcast joins, one map-side-combined aggregate — and no
     // q87-style exchange-reuse trap, because this stream has exactly

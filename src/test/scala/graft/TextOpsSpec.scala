@@ -349,7 +349,10 @@ class TextOpsSpec extends SparkTestBase {
     val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
       Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
     val merges = BpeTrain.trainLocal(Seq((1L, text)).toDF("doc_id", "text"), 3)
-    val docs = Seq((1L, "newest low"), (2L, "widest lowest"), (3L, " "))
+    // doc 4: NULL text — encode propagates NULL through
+    // split/trim/flatten; encodeBulk must too (not an empty array)
+    val docs = Seq((1L, Option("newest low")), (2L, Option("widest lowest")),
+      (3L, Option(" ")), (4L, Option.empty[String]))
       .toDF("doc_id", "text")
     val inline = docs.select(col("doc_id"),
       BpeTrain.encode(col("text"), merges).as("tokens"))
