@@ -325,8 +325,12 @@ object BpeTrain {
       rankOf.getOrElse((a, b), Nil).foreach { k =>
         if (k > after && !queued(k)) { pq += k; queued += k }
       }
+    // seed at Int.MinValue, not 0: train/trainLocal emit ranks from 1,
+    // but a caller-loaded table with 0-based (or negative) ranks must
+    // still apply its full rank domain — a 0 seed would silently skip
+    // rank <= 0 entries and diverge from encode/encodeIter
     var i = 0
-    while (i < syms.length - 1) { push(syms(i), syms(i + 1), 0); i += 1 }
+    while (i < syms.length - 1) { push(syms(i), syms(i + 1), Int.MinValue); i += 1 }
     while (pq.nonEmpty) {
       val k = pq.dequeue()
       val (a, b) = byRank(k)

@@ -137,7 +137,16 @@ object Diversity {
 
   /** End-to-end diversity dedup: keep the MIS of the pair graph plus
     * every doc in no pair (the survivors discipline — the anti-join
-    * side holds only clustered non-kept docs). */
+    * side holds only clustered non-kept docs).
+    *
+    * Pin ownership: [[independentSet]]'s kept-set pin is RELEASED in
+    * here — the dropped-id set (strictly a subset of the graph's
+    * nodes, one long column) is eagerly pinned in its place, so the
+    * large kept-side blocks never outlive this call. The returned
+    * plan references only that slim dropped pin; callers that want a
+    * fully unpinned session after their final action can pass the
+    * RESULT to [[Pin.release]] (it finds the LogicalRDD leaf). Bench
+    * and Verify's releaseQueryState already do. */
   def diversitySurvivors(docs: DataFrame, pairs: DataFrame,
                          idCol: String = "doc_id",
                          a: String = "a", b: String = "b",
@@ -145,8 +154,9 @@ object Diversity {
     val keptNodes = independentSet(pairs, a, b, seed)
     val graphNodes = pairs.select(col(a).as("node"))
       .unionAll(pairs.select(col(b).as("node"))).distinct()
-    val dropped = graphNodes.join(keptNodes, Seq("node"), "left_anti")
-      .select(col("node").as(idCol))
+    val dropped = Pin(graphNodes.join(keptNodes, Seq("node"), "left_anti")
+      .select(col("node").as(idCol)), eager = true)
+    Pin.release(keptNodes)
     docs.join(dropped, Seq(idCol), "left_anti")
   }
 }

@@ -98,7 +98,25 @@ object LangModel {
     * Documents with no bigram (or NULL text) report zeros. Pins the
     * target fit, the stream alignment, both joins, and the per-doc
     * aggregation; only the final `ln` map is left to [[nll]]. */
-  def pplFeatures(docs: DataFrame, targetPred: Column): DataFrame = {
+  def pplFeatures(docs: DataFrame, targetPred: Column,
+                  requireModel: Boolean = false): DataFrame = {
+    // Empty-model guard (opt-in): all-miss zeros from an EMPTY model
+    // are indistinguishable from a legitimately out-of-model corpus,
+    // so a misconfigured exemplar predicate would yield
+    // plausible-looking zero features silently. `requireModel = true`
+    // fails fast instead: a limit-1 existence probe of the target
+    // slice for any doc with >= 1 context pair (== "the fitted model
+    // has >= 1 row", by construction of [[bigramModel]]) — early-
+    // terminating, no aggregation, and OFF the default path so the
+    // single-action plan shape below is unchanged when not asked for.
+    if (requireModel) {
+      val any = docs.filter(targetPred)
+        .filter(size(contextPairs(trim(col("text")))) > 0)
+        .limit(1).count()
+      require(any > 0,
+        "LangModel.pplFeatures: empty bigram model — no target doc " +
+          "has two words; features would be all-zero")
+    }
     // Round 12: the model rides the SAME action as the scoring scan.
     // The old shape collected the ≤2·1024-row model to the driver
     // first — a full sequential fit action (scan + aggregate + 1

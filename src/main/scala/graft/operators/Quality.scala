@@ -381,9 +381,12 @@ object Quality {
     * 1024-step densify, one doc_id exchange), then the
     * [[RegressionHead]] conventions verbatim: spark.ml
     * LogisticRegression (one treeAggregate pass per LBFGS step — no
-    * row shuffle), balanced weights, standardization ON, L2,
-    * deterministic from the zero start. Driver cost: the 1024+1
-    * fitted doubles. */
+    * row shuffle), balanced weights, standardization ON, L2.
+    * Determinism is FIXED-PARTITIONING determinism, not bitwise:
+    * treeAggregate sums floats in task-completion order within a
+    * level, so re-fits on a different cluster/parallelism can differ
+    * in low-order bits (the spec compares coefficients at 1e-9, not
+    * bit equality). Driver cost: the 1024+1 fitted doubles. */
   def classifierFit(docs: DataFrame, exemplarPred: Column,
                     regParam: Double = 0.01): QualityClassifier = {
     import org.apache.spark.ml.classification.LogisticRegression

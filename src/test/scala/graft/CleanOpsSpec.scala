@@ -48,6 +48,27 @@ class CleanOpsSpec extends SparkTestBase {
       s"strata: $lab")
   }
 
+  test("lm ppl features: requireModel fails fast on an empty target") {
+    import graft.operators.LangModel
+    val d = docsOf(0L -> "the cat", 1L -> "solo")
+    // no doc matches -> default path: all-zero features (the oracle's
+    // LEFT-JOIN semantics); opt-in guard: loud failure
+    val zeros = LangModel.pplFeatures(d, col("doc_id") < 0).collect()
+    assert(zeros.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L),
+      "empty model must score all-zero on the default path")
+    intercept[IllegalArgumentException] {
+      LangModel.pplFeatures(d, col("doc_id") < 0, requireModel = true)
+    }
+    // one-word-only target (no bigram) is ALSO an empty model
+    intercept[IllegalArgumentException] {
+      LangModel.pplFeatures(d, col("doc_id") === 1L, requireModel = true)
+    }
+    // non-empty target passes the guard and scores identically
+    val guarded = LangModel.pplFeatures(d, col("doc_id") === 0L,
+      requireModel = true).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(guarded(0L) == 1L && guarded(1L) == 0L, s"guarded scores: $guarded")
+  }
+
   test("lm ppl features: bigram-LM invariant holds on the real table") {
     import spark.implicits._
     // sum_c1 >= sum_c2 row-wise is NOT an invariant (different hash

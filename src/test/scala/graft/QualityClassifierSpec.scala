@@ -51,8 +51,15 @@ class QualityClassifierSpec extends SparkTestBase {
   test("fit is deterministic and learns the planted preference") {
     val m1 = Quality.classifierFit(corpus, enPred)
     val m2 = Quality.classifierFit(corpus, enPred)
-    assert(m1.weights.sameElements(m2.weights) && m1.intercept == m2.intercept,
-      "re-fit on identical input changed the coefficients")
+    // FIXED-PARTITIONING determinism, not bitwise: LBFGS's
+    // treeAggregate float sums can combine in task-completion order,
+    // so on larger clusters re-fits may differ in low-order bits —
+    // the contract is coefficient stability to 1e-9, which is what
+    // the scorer's planted-preference decisions actually rest on
+    val tol = 1e-9
+    assert(m1.weights.zip(m2.weights).forall { case (a, b) =>
+      math.abs(a - b) <= tol } && math.abs(m1.intercept - m2.intercept) <= tol,
+      "re-fit on identical input moved the coefficients by > 1e-9")
     // held-out docs, not in the training corpus
     val held = docsOf(
       // exemplar-like: reuses trained stopword buckets (the/is/and/it)

@@ -403,6 +403,23 @@ class TextOpsSpec extends SparkTestBase {
     assert(bulk == inline, s"bulk $bulk != inline $inline on edge corpus")
   }
 
+  test("bpe encodeBulk applies 0-based (and negative) caller rank domains") {
+    import spark.implicits._
+    import graft.operators.BpeTrain
+    // train/trainLocal emit ranks from 1, but an externally loaded
+    // table may be 0-based — every rank must apply, including <= 0
+    // (the round-12 advice: a 0 heap seed silently skipped them)
+    val zeroBased = Seq((0, "l", "o", "lo"), (1, "lo", "w", "low"))
+    val negBased = Seq((-1, "l", "o", "lo"), (0, "lo", "w", "low"))
+    val d = Seq((1L, "low lower")).toDF("doc_id", "text")
+    for (tbl <- Seq(zeroBased, negBased)) {
+      val bulk = BpeTrain.encodeBulk(d, "doc_id", "text", tbl)
+        .collect().map(_.getSeq[String](1)).head
+      assert(bulk == Seq("low", "low", "e", "r"),
+        s"rank domain ${tbl.map(_._1)} not fully applied: $bulk")
+    }
+  }
+
   test("bpe encodeWord applies BOTH ranks of a duplicated merge-table pair") {
     import graft.operators.BpeTrain
     // a table can legitimately contain the same pair twice; the

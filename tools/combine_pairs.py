@@ -64,9 +64,13 @@ def main():
 
     stot = round(sum(smin.values()), 3)
     dtot = round(sum(dmin.values()), 3)
+    # guard q in smin: dmin is built restricted to smin today, but if
+    # the sets ever diverge (a query skipped on one side only) the
+    # watch computation must degrade to the intersection, not KeyError
+    # and lose the round's artifact
     watch = sorted(
-        q for q in dmin
-        if dmin[q] >= WATCH_MIN_DUCK_S and smin[q] > WATCH_RATIO * dmin[q])
+        q for q in dmin if q in smin
+        and dmin[q] >= WATCH_MIN_DUCK_S and smin[q] > WATCH_RATIO * dmin[q])
     with open("bench_sf1_out.json", "w") as f:
         f.write(json.dumps({"metric": "passes", "note": note}) + "\n")
         f.write(json.dumps({"metric": "total", "value": stot, "unit": "sec",
@@ -83,7 +87,7 @@ def main():
     print("\n| query | Spark s | DuckDB s | ratio |")
     print("| --- | --- | --- | --- |")
     for q in sorted(dmin, key=lambda q: -dmin[q]):
-        if dmin[q] >= 0.3:
+        if q in smin and dmin[q] >= 0.3:
             print(f"| {q} | {smin[q]:.2f} | {dmin[q]:.2f} | {smin[q]/dmin[q]:.2f} |")
     print(f"\nWATCH (> {WATCH_RATIO}x with DuckDB >= {WATCH_MIN_DUCK_S} s): "
           + (", ".join(watch) if watch else "EMPTY"))
