@@ -114,6 +114,24 @@ object TextFunctions {
     * TextFunctionsSpec. */
   def textStats(text: Column): Column = graft.plans.TextStats(text)
 
+  /** The q30 quality score, verbatim (the oracle-established
+    * formula): 0.4·[20 ≤ words ≤ 1000] + 1.5·stopword-ratio +
+    * 0.3·(1 − punct-ratio). Shared by q98/q99's ordering tier and
+    * the capstone's optional tail stages. */
+  def qualityScore(c: Column): Column = {
+    val st = textStats(c)
+    val nChars = length(c).cast("bigint")
+    val nWords = st.getField("n_words")
+    // NULL-guarded divisions (ANSI mode): an empty document — which
+    // the capstone's span surgery CAN produce — scores NULL rather
+    // than erroring, matching SQL NULL propagation; the established
+    // q98/q99 oracle surfaces never see the empty case
+    val punct = when(nChars > 0, st.getField("n_punct") / nChars)
+    val stop = when(nWords > 0, st.getField("n_stop") / nWords)
+    lit(0.4) * when(nWords >= 20 && nWords <= 1000, 1).otherwise(0) +
+      lit(0.3) * stop * 5 + lit(0.3) * (lit(1) - punct)
+  }
+
   /** Whole-document fingerprint: md5 of whitespace-collapsed,
     * lowercased, trimmed text (reference: scripts/anonymize.py:24
     * hash-of-normalized-identity analog). */

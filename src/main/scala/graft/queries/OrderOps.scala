@@ -1,12 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.GlobalRank
 
 /** Training-stream ORDERING operators — the two selection/ordering
   * stages between a scored corpus and the data loader that neither
@@ -29,34 +27,21 @@ import graft.operators.GlobalRank
   *    BEFORE the doc (a doc that straddles the boundary is kept —
   *    budgets are floors, not ceilings, in the standard recipe).
   *
-  * Scale notes: q98 is one range exchange + per-partition sorts +
-  * a 32-long driver collect (the SequencePack/GlobalRank bound).
-  * q99's per-source running sum is inherently a per-source total
-  * order — the window exchanges on source (keyed, not
-  * SinglePartition) and sorts each source's docs on one task chain;
-  * at 100 TB with few giant sources the honest mitigation is a
-  * pre-prune on a per-source quality quantile (sketch-estimated)
-  * before the exact window, which composes in front of this operator
-  * unchanged — the cut itself needs the exact running sum either
-  * way. Both outputs are pure functions of the corpus (no RNG state,
-  * no driver-dependent ordering): rerunnable, resumable,
+  * Round 13: both queries are thin wrappers over the PARAMETERIZED
+  * operators in [[graft.operators.Curriculum]] (callable like
+  * q67/q68/q95's), and q99 runs the production path — the
+  * sketch-quantile per-source PRE-PRUNE in front of the exact
+  * running-sum window (a giant source's window input is bounded near
+  * the budget instead of the source; superset proof + spec-pinned
+  * byte-identity with the exact form in Curriculum). Both outputs
+  * are pure functions of the corpus (no RNG state, no
+  * driver-dependent ordering): rerunnable, resumable,
   * partition-count-independent.
   */
 object OrderOps extends QueryModule {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
-
-  /** q30's quality score, verbatim (the established oracle formula). */
-  private def qualityScore(c: org.apache.spark.sql.Column) = {
-    val st = textStats(c)
-    val nChars = length(c).cast("bigint")
-    val nWords = st.getField("n_words")
-    val punct = st.getField("n_punct") / nChars
-    val stop = st.getField("n_stop") / nWords
-    lit(0.4) * when(nWords >= 20 && nWords <= 1000, 1).otherwise(0) +
-      lit(0.3) * stop * 5 + lit(0.3) * (lit(1) - punct)
-  }
 
   private val qualitySqlExpr =
     s"""(0.4 * (CASE WHEN len(string_split(trim(text), ' ')) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END)
@@ -65,25 +50,10 @@ object OrderOps extends QueryModule {
        | + 0.3 * (1 - CAST(len(regexp_extract_all(text, '$PunctRe')) AS BIGINT)
        |          / CAST(length(text) AS BIGINT)))""".stripMargin.replaceAll("\n", " ")
 
-  // curriculum phases: fixed score thresholds (deterministic at any
-  // SF — a quantile-based phasing would need a global sort/sketch and
-  // make the phase of doc X depend on the rest of the corpus)
-  private def phaseOf(qs: org.apache.spark.sql.Column) =
-    when(qs >= 0.8, 0L).when(qs >= 0.6, 1L).when(qs >= 0.4, 2L).otherwise(3L)
-
-  private def q98(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir)
-      .withColumn("qs", qualityScore(col("text")))
-      .withColumn("phase", phaseOf(col("qs")))
-      .withColumn("skey",
-        conv(substring(md5(concat(lit("order:"), col("doc_id").cast("string"))),
-          1, 12), 16, 10).cast("long"))
-      .select(col("doc_id"), col("phase"), col("skey"))
-    GlobalRank.withRowNumber(base,
-      Seq(col("phase"), col("skey"), col("doc_id")), "pos")
-      .select(col("doc_id"), col("phase"), col("skey"), col("pos"))
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curriculum.curriculumOrder(
+      docs(s, dir), qualityScore(col("text")))
       .sortWithinPartitions(col("pos"))
-  }
 
   private val q98Sql =
     s"""WITH b AS (SELECT doc_id, $qualitySqlExpr AS qs FROM documents),
@@ -100,22 +70,13 @@ object OrderOps extends QueryModule {
     * training actually consumes). */
   val Budget = 1000L
 
-  private def q99(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("qs").desc, col("doc_id"))
-    val base = docs(s, dir)
-      .withColumn("qs", qualityScore(col("text")))
-      .withColumn("tok", bpeTokenCount(col("text")))
-    base
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("cum_before",
-        coalesce(sum(col("tok")).over(
-          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .filter(col("cum_before") < Budget)
-      .select(col("source"), col("doc_id"), col("tok"), col("rank"),
-        col("cum_before"))
+  // the PRODUCTION path — sketch pre-prune ON, so the oracle gates
+  // the pruned shape's byte-identity with the exact form every round
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curriculum.tokenBudget(
+      docs(s, dir), Budget,
+      qualityScore(col("text")), bpeTokenCount(col("text")))
       .sortWithinPartitions(col("source"), col("rank"))
-  }
 
   private val q99Sql =
     s"""WITH b AS (SELECT source, doc_id, $qualitySqlExpr AS qs,

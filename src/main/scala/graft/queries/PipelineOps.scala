@@ -65,12 +65,27 @@ object PipelineOps extends QueryModule {
         .filter(col("doc_id") >= BenchDocs)
         .select(col("doc_id"), col("red_text").as("text")))
 
-  private def q96(s: SparkSession, dir: String): DataFrame = {
-    val raw = docs(s, dir)
+  /** The CALLABLE capstone (round 13): `raw` must carry (doc_id,
+    * text). Optional TAIL STAGES between the split and the packer —
+    * the two ordering/selection operators the round-12 verdict asked
+    * to compose ([[graft.operators.Curriculum]]):
+    *
+    *  - `budgetPerSource`: per-source token-budget selection of the
+    *    train slice (q99's operator, pre-prune ON) — `raw` must then
+    *    also carry `source`;
+    *  - `curriculumTail`: the packed stream follows q98's curriculum
+    *    order (phase buckets on the CLEANED text's quality score +
+    *    seeded in-phase shuffle) instead of doc_id order.
+    *
+    * Defaults leave the stream byte-identical to the q96 oracle. */
+  def capstone(raw: DataFrame,
+               curriculumTail: Boolean = false,
+               budgetPerSource: Option[Long] = None): DataFrame = {
     // PINNED before the strip: decontaminateStrip references its
     // training side twice (window join + final left join) — unpinned
     // that would re-run the entire clean pipeline per reference
-    val unioned = cleanPlusBench(raw).transform(graft.operators.Pin(_))
+    val unioned = cleanPlusBench(raw.select(col("doc_id"), col("text")))
+      .transform(graft.operators.Pin(_))
     val decon = Dedup.decontaminateStrip(unioned, col("doc_id") < BenchDocs, SubL)
       .select(col("doc_id"), col("clean_text"))
       // ONE materialization fans out to the pair, split-probe and
@@ -85,7 +100,25 @@ object PipelineOps extends QueryModule {
     val train = decon.join(
       split.filter(col("split") === "train").select(col("doc_id")),
       Seq("doc_id"))
-    val mix = train
+    // optional tail: best-N-tokens per source (slim id join back)
+    val selected = budgetPerSource match {
+      case Some(b) =>
+        val kept = graft.operators.Curriculum.tokenBudget(
+          train.join(raw.select(col("doc_id"), col("source")), Seq("doc_id")),
+          b, TextFunctions.qualityScore(col("clean_text")),
+          bpeTokenCount(col("clean_text")))
+        train.join(kept.select(col("doc_id")), Seq("doc_id"))
+      case None => train
+    }
+    // optional tail: curriculum stream order (default = doc_id order,
+    // exactly the round-12 stream the oracle mirrors)
+    val ordered =
+      if (curriculumTail)
+        selected.join(graft.operators.Curriculum.curriculumOrder(
+          selected, TextFunctions.qualityScore(col("clean_text")))
+          .select(col("doc_id"), col("pos")), Seq("doc_id"))
+      else selected.withColumn("pos", col("doc_id"))
+    val mix = ordered
       .withColumn("_st", textStats(col("clean_text")))
       .withColumn("lang_pred",
         when(col("_st.n_stop") / col("_st.n_words") >= 0.05, "en")
@@ -96,15 +129,18 @@ object PipelineOps extends QueryModule {
           when(TextFunctions.hashBucket(col("doc_id"), "mix_", 1000) < col("w") % 1000, 1L)
             .otherwise(0L))
       .filter(col("n_copies") >= 1)
-      .select(col("doc_id"), bpeTokenCount(col("clean_text")).as("tok"),
+      .select(col("doc_id"), col("pos"), bpeTokenCount(col("clean_text")).as("tok"),
         explode(sequence(lit(1L), col("n_copies"))).as("copy"))
     SequencePack.withBin(mix, col("tok"),
-      Seq(col("doc_id"), col("copy")), Capacity)
+      Seq(col("pos"), col("doc_id"), col("copy")), Capacity)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_rows"), sum(col("tok")).as("tok_sum"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderBy(col("bin"))
   }
+
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    capstone(docs(s, dir))
 
   // The chained oracle mirror: q78's clean CTEs → q81's strip CTEs
   // (benchmark windows from RAW bench text) → q36's unguarded pair

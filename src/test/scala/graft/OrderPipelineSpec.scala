@@ -52,6 +52,103 @@ class OrderPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("tokenBudget: pre-pruned kept set is byte-identical to the exact window") {
+    import spark.implicits._
+    import graft.operators.Curriculum
+    val rnd = new scala.util.Random(13)
+    // planted shapes: a giant source (most of it prunable), a source
+    // whose total fits under the budget (keep-all), a tie-heavy
+    // source (threshold can't separate — prune must degrade, not
+    // drop), and a source with NULL scores mixed in
+    val rows =
+      (1L to 2000L).map(i => ("giant", i, rnd.nextDouble() * 10, 1L + rnd.nextInt(20).toLong)) ++
+      (1L to 5L).map(i => ("tiny", i, rnd.nextDouble(), 10L)) ++
+      (1L to 400L).map(i => ("ties", i, if (i % 7 == 0) 2.0 else 1.0, 5L)) ++
+      (1L to 300L).map(i => ("nulls", i,
+        if (i % 3 == 0) Double.NaN else rnd.nextDouble(), 8L))
+    val df = rows.toDF("source", "doc_id", "qs0", "tok0")
+      .select(col("source"), col("doc_id"),
+        when(isnan(col("qs0")), lit(null)).otherwise(col("qs0")).as("qs0"),
+        col("tok0"))
+    for (budget <- Seq(37L, 500L, 100000L); bins <- Seq(8, 4096)) {
+      val exact = Curriculum.tokenBudget(df, budget, col("qs0"), col("tok0"),
+          prePrune = false).collect().map(_.toSeq).toSet
+      val pruned = Curriculum.tokenBudget(df, budget, col("qs0"), col("tok0"),
+          prePrune = true, bins = bins).collect().map(_.toSeq).toSet
+      assert(pruned == exact,
+        s"budget=$budget bins=$bins: pruned set diverged from exact " +
+          s"(only-pruned=${(pruned -- exact).take(3)}, only-exact=${(exact -- pruned).take(3)})")
+    }
+    // the prune is a real prune: on the giant source with a small
+    // budget the window input is a sliver, not the source
+    val sliver = Curriculum.pruneSliver(
+      df.select(col("source"), col("doc_id"), col("qs0").as("qs"),
+        col("tok0").as("tok")), 37L, "source", 4096)
+      .filter(col("source") === "giant").count()
+    assert(sliver < 200L,
+      s"giant-source sliver should be near the budget, got $sliver of 2000")
+    // an all-NULL-score source survives untouched (no cut exists)
+    val allNull = Seq(("n", 1L, Option.empty[Double], 5L),
+      ("n", 2L, Option.empty[Double], 5L)).toDF("source", "doc_id", "qs0", "tok0")
+    val keptNull = Curriculum.tokenBudget(allNull, 100L, col("qs0"), col("tok0"))
+      .collect().map(_.getLong(1)).toSet
+    assert(keptNull == Set(1L, 2L), s"all-NULL source lost docs: $keptNull")
+  }
+
+  test("curriculumOrder: parameterized thresholds/salt reproduce and re-order") {
+    import spark.implicits._
+    import graft.operators.Curriculum
+    val d = (1L to 100L).map(i => (i, i / 100.0)).toDF("doc_id", "s")
+    val a = Curriculum.curriculumOrder(d, col("s"), thresholds = Seq(0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(a.map(_._2).toSet == Set(0L, 1L), "one threshold -> two phases")
+    assert(a.sortBy(_._3).map(_._3).toSeq == (1L to 100L).toSeq, "dense pos")
+    // phase 0 = s >= 0.5 ranks wholly before phase 1
+    val byPos = a.sortBy(_._3).map(_._2)
+    assert(byPos.zip(byPos.tail).forall { case (x, y) => x <= y })
+    // multi-threshold nesting: the HIGHEST threshold must win (the
+    // fold-order bug the oracle caught in round 13)
+    val m = Curriculum.curriculumOrder(d, col("s"),
+      thresholds = Seq(0.8, 0.6, 0.4))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(90L) == 0L && m(70L) == 1L && m(50L) == 2L && m(10L) == 3L,
+      s"threshold bands misassigned: ${m.toSeq.sortBy(_._1).take(10)}")
+    // a different salt permutes within-phase order but not membership
+    val b = Curriculum.curriculumOrder(d, col("s"), thresholds = Seq(0.5),
+      salt = "other:")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(a.map(x => x._1 -> x._2).toMap == b.map(x => x._1 -> x._2).toMap,
+      "salt must not change phase membership")
+    assert(a.map(x => x._1 -> x._3).toMap != b.map(x => x._1 -> x._3).toMap,
+      "a different salt should permute the in-phase order")
+  }
+
+  test("capstone tail stages: curriculum order and per-source token budget compose") {
+    import graft.operators.Curriculum
+    import graft.functions.TextFunctions
+    val raw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val default = PipelineOps.capstone(raw).collect()
+    // curriculum tail: same multiset of packed tokens (a permutation
+    // of the stream), bins still contiguous from 0
+    val curr = PipelineOps.capstone(raw, curriculumTail = true).collect()
+    assert(curr.map(_.getLong(0)).toSeq == (0L until curr.length).toSeq,
+      "curriculum-ordered bins must stay contiguous")
+    assert(curr.map(_.getLong(2)).sum == default.map(_.getLong(2)).sum &&
+      curr.map(_.getLong(1)).sum == default.map(_.getLong(1)).sum,
+      "curriculum tail must permute the stream, not change its content")
+    assert(curr.map(r => (r.getLong(2), r.getLong(3))).toSeq !=
+      default.map(r => (r.getLong(2), r.getLong(3))).toSeq,
+      "curriculum tail should actually re-order the packed stream")
+    // budget tail: strictly fewer packed tokens than the un-budgeted
+    // stream, and bounded by #sources x (budget + max doc straddle)
+    val b = 200L
+    val bud = PipelineOps.capstone(raw, budgetPerSource = Some(b)).collect()
+    assert(bud.map(_.getLong(2)).sum < default.map(_.getLong(2)).sum,
+      "a tight budget must shrink the packed stream")
+    assert(bud.nonEmpty && bud.map(_.getLong(3)).min >= PipelineOps.BenchDocs)
+  }
+
   test("q96: bins are contiguous, bench docs excluded, fill bounded by capacity+straddle") {
     val rows = q("q96_pretrain_capstone").orderBy(col("bin")).collect()
     assert(rows.nonEmpty)
