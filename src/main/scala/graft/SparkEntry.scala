@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AgreementOps, CleanOps, DatasetOps, DedupOps, EvalOps, EventOps, ExtraHeuristics, FinetuneOps, HumanEvalOps, JoinOps, OrderOps, PackOps, PipelineOps, PromptOps, QueryDef, QueryModule, Relational, SimilarityOps, TextOps}
+import graft.queries.{AgreementOps, CleanOps, DatasetOps, DedupOps, EvalOps, EventOps, ExtraHeuristics, FinetuneOps, HumanEvalOps, IcOocOps, JoinOps, OrderOps, PackOps, PipelineOps, PromptOps, QueryDef, QueryModule, Relational, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,7 +11,7 @@ object SparkEntry {
   def modules: Seq[QueryModule] =
     Seq(Relational, EventOps, TextOps, DedupOps, SimilarityOps, FinetuneOps,
       ExtraHeuristics, JoinOps, DatasetOps, PromptOps, EvalOps, AgreementOps,
-      HumanEvalOps, PackOps, CleanOps, PipelineOps, OrderOps)
+      HumanEvalOps, PackOps, CleanOps, PipelineOps, OrderOps, IcOocOps)
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.all)
 
