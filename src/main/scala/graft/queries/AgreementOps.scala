@@ -82,6 +82,66 @@ object AgreementOps extends QueryModule {
         (lit(1) + bucket(rqm, "int_", 7)).as("interesting"))
   }
 
+  // ----------------------------------------------------------------
+  // q102: the Qualtrics EXPORT ingest (round 13; reference:
+  // human_eval/qualtrics_rank_to_matrix.py + results_analysis.py:52-74
+  // User.from_qualtrics_row). The export is an external file like the
+  // ratings CSV, so a deterministic WIDE stand-in is built from the
+  // same rater set: one row per rater, the survey-design constant
+  // column grid (seen{q} page flags; Sense/Specific binary matrix
+  // answers post-RecodeValues; Interesting 1-10 slider answers — the
+  // QSF's CSSliderMax=10). The operator under test is the UNPIVOT
+  // (operators/QualtricsIngest.rankToMatrix): wide → (rater, item,
+  // rating) long matrix, q64's input shape.
+
+  private val WScenarios = 1 to 8
+  private val WModels = 1 to NModels
+
+  /** The deterministic wide export stand-in: 1 row × 128 answer
+    * columns per rater. */
+  private def wideExport(s: SparkSession, dir: String): DataFrame = {
+    val ev = norm(Tables.events(s, dir))
+    val raters = ev.filter(isState)
+      .select(col("user_id").as("r")).distinct()
+      .orderBy(col("r")).limit(NRaters)
+    def kq(q: Int) = concat(col("r").cast("string"), lit(s"_$q"))
+    def k(q: Int, m: Int) = concat(col("r").cast("string"), lit(s"_${q}_$m"))
+    val answerCols = WScenarios.flatMap { q =>
+      bucket(kq(q), "wseen_", 2).as(s"seen$q") +:
+        WModels.flatMap { m => Seq(
+          bucket(k(q, m), "wsense_", 2).as(s"Sense${q}_$m"),
+          bucket(k(q, m), "wspec_", 2).as(s"Specific${q}_$m"),
+          (lit(1) + bucket(k(q, m), "wint_", 10)).as(s"Interesting${q}_$m"))
+        }
+    }
+    raters.select(col("r") +: answerCols: _*)
+  }
+
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualtricsIngest.rankToMatrix(
+      wideExport(s, dir), "r", WScenarios, WModels)
+      .sortWithinPartitions(col("r"), col("q"), col("m"))
+
+  private val q102Sql =
+    s"""WITH $NormSql,
+       |raters AS (
+       |  SELECT user_id AS r FROM ev WHERE event_type = 'signup'
+       |  GROUP BY user_id ORDER BY user_id LIMIT $NRaters),
+       |scen(q) AS (VALUES ${WScenarios.map(q => s"($q)").mkString(", ")}),
+       |models(m) AS (VALUES ${WModels.map(m => s"($m)").mkString(", ")}),
+       |cells AS (
+       |  SELECT r, q, m,
+       |    CAST(('0x' || substr(md5('wseen_' || CAST(r AS VARCHAR) || '_' || CAST(q AS VARCHAR)), 1, 4)) AS BIGINT) % 2 AS seen,
+       |    CAST(('0x' || substr(md5('wsense_' || key), 1, 4)) AS BIGINT) % 2 AS sense,
+       |    CAST(('0x' || substr(md5('wspec_' || key), 1, 4)) AS BIGINT) % 2 AS specific,
+       |    1 + CAST(('0x' || substr(md5('wint_' || key), 1, 4)) AS BIGINT) % 10 AS interesting
+       |  FROM (SELECT r, q, m,
+       |          CAST(r AS VARCHAR) || '_' || CAST(q AS VARCHAR) || '_' || CAST(m AS VARCHAR) AS key
+       |        FROM raters CROSS JOIN scen CROSS JOIN models))
+       |SELECT r, CAST(q AS BIGINT) AS q, CAST(m AS BIGINT) AS m,
+       |  sense, specific, interesting
+       |FROM cells WHERE seen = 1 ORDER BY r, q, m""".stripMargin
+
   /** Paired items of overlapping rater pairs: one row per
     * (r1 < r2, scenario, model) both rated. */
   private def pairItems(rt: DataFrame): DataFrame = {
@@ -94,8 +154,15 @@ object AgreementOps extends QueryModule {
 
   /** Per-pair agreement: n_items, kappa, tau (NULL when tau has a
     * zero-variance side). */
-  private def pairAgreement(s: SparkSession, dir: String): DataFrame = {
-    val items = pairItems(ratings(s, dir))
+  private def pairAgreement(s: SparkSession, dir: String): DataFrame =
+    pairAgreementOf(ratings(s, dir))
+
+  /** The q64 computation over ANY (r, q, m, sense, specific,
+    * interesting) panel — public so an ingested export
+    * ([[graft.operators.QualtricsIngest.rankToMatrix]]'s output)
+    * feeds it unchanged (spec-exercised). */
+  def pairAgreementOf(rt: DataFrame): DataFrame = {
+    val items = pairItems(rt)
 
     // Cohen's kappa over the interleaved (sense, specific) binary
     // sequences: po−pe arithmetic on exact counts —
@@ -301,5 +368,6 @@ object AgreementOps extends QueryModule {
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q64_annotator_agreement", q64, Some(q64Sql)),
     QueryDef("q65_agreement_summary", q65, Some(q65Sql)),
-    QueryDef("q69_krippendorff_alpha", q69, Some(q69Sql)))
+    QueryDef("q69_krippendorff_alpha", q69, Some(q69Sql)),
+    QueryDef("q102_qualtrics_matrix", q102, Some(q102Sql)))
 }
