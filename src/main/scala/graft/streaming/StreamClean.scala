@@ -31,12 +31,25 @@ import org.apache.spark.sql.functions._
 object StreamClean {
 
   /** Streaming q78: dedup-within-watermark → repetition keep → PII
-    * redaction → token count. Input rows are [[StreamDedup.Doc]]
-    * (docId, event-time ts, text). */
+    * redaction → [optional quality-classifier keep] → token count.
+    * Input rows are [[StreamDedup.Doc]] (docId, event-time ts, text).
+    *
+    * `classifier` (round 13): a FITTED [[graft.operators
+    * .QualityClassifier]] + keep threshold — the q97 scorer riding
+    * the stream. The fit stays a batch job on exemplar data (models
+    * are versioned artifacts, not per-batch state); scoring is
+    * [[graft.operators.Quality.classifierScore]]'s pure in-row
+    * projection (constant-folded weight literals, no explode/join/
+    * shuffle — the streaming-composability the batch scaladoc
+    * claims, proven here by the batch-equivalence spec). Scored on
+    * the REDACTED text — the text the model trains on is the text
+    * that should be quality-gated. */
   def cleanCorpusStream(docs: Dataset[StreamDedup.Doc],
-                        watermarkDelay: String = "10 seconds"): DataFrame = {
+                        watermarkDelay: String = "10 seconds",
+                        classifier: Option[(graft.operators.Quality.QualityClassifier, Double)] = None)
+      : DataFrame = {
     val st = graft.plans.RepetitionStats(trim(col("text")))
-    docs
+    val cleaned = docs
       .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
@@ -46,8 +59,17 @@ object StreamClean {
       .withColumn("red_text",
         graft.plans.PiiScan(col("text"), withCounts = false)
           .getField("red_text"))
-      .select(col("docId").as("doc_id"), col("ts"), col("red_text"),
-        graft.functions.TextFunctions.bpeTokenCount(col("red_text")).as("n_tokens"))
+    val gated = classifier match {
+      case Some((m, threshold)) => cleaned
+        .withColumn("p_quality",
+          graft.operators.Quality.classifierScore(col("red_text"), m))
+        .filter(col("p_quality") >= threshold)
+      case None => cleaned
+    }
+    gated.select(
+      col("docId").as("doc_id") +: col("ts") +: col("red_text") +:
+        graft.functions.TextFunctions.bpeTokenCount(col("red_text")).as("n_tokens") +:
+        classifier.map(_ => col("p_quality")).toSeq: _*)
   }
 
   /** Streaming DECONTAMINATION (q71 live): the benchmark n-gram

@@ -363,6 +363,56 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming clean-corpus with classifier stage equals batch clean+filter") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{StreamClean, StreamDedup}
+    import graft.streaming.StreamDedup.Doc
+    import graft.operators.Quality
+    // fit a real classifier on the corpus (batch job — the model is a
+    // versioned artifact the stream receives as a parameter)
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val st = graft.functions.TextFunctions.textStats(col("text"))
+    val enPred = (st.getField("n_stop") / st.getField("n_words")) >= 0.05
+    val m = Quality.classifierFit(corpus, enPred)
+    val threshold = 0.5
+    val real = corpus.orderBy("doc_id").limit(40)
+      .as[(Long, String)].collect()
+    val rows = real.toSeq.zipWithIndex.map { case ((id, text), i) =>
+      Doc(id, new Timestamp(100000L + i * 10), text)
+    }
+    val input = MemoryStream[Doc]
+    val query = StreamClean.cleanCorpusStream(input.toDS(), "10 seconds",
+        classifier = Some((m, threshold)))
+      .writeStream.format("memory").queryName("sclean_cls_out")
+      .outputMode("append").start()
+    try {
+      rows.grouped(7).foreach { g => input.addData(g); query.processAllAvailable() }
+      val got = spark.table("sclean_cls_out")
+        .select("doc_id", "red_text", "n_tokens")
+        .as[(Long, String, Long)].collect().toSet
+      // batch composition: q78's clean, then the q97 filter on the
+      // redacted text at the same threshold
+      val cleaned = graft.operators.Quality.cleanCorpus(
+        real.toSeq.toDF("doc_id", "text"))
+      val want = cleaned
+        .withColumn("p_quality", Quality.classifierScore(col("red_text"), m))
+        .filter(col("p_quality") >= threshold)
+        .select("doc_id", "red_text", "n_tokens")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == want,
+        s"stream/batch classifier divergence: extra=${got -- want}, missing=${want -- got}")
+      // the stage actually gates: some cleaned doc scored under the
+      // threshold (otherwise this test proves nothing)
+      assert(got.size < cleaned.count(),
+        "threshold never fired — pick a corpus slice where it does")
+      // and the emitted p_quality column matches the batch scorer
+      val p = spark.table("sclean_cls_out").select("doc_id", "p_quality")
+        .as[(Long, Double)].collect().toMap
+      assert(p.values.forall(v => v >= threshold && v <= 1.0))
+    } finally query.stop()
+  }
+
   test("running heuristics accumulate across micro-batches per instance") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
