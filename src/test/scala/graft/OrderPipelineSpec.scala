@@ -149,6 +149,48 @@ class OrderPipelineSpec extends SparkTestBase {
     assert(bud.nonEmpty && bud.map(_.getLong(3)).min >= PipelineOps.BenchDocs)
   }
 
+  test("incremental capstone equals the batch front restricted to the delta") {
+    import spark.implicits._
+    def ws(seed: String, n: Int) = (1 to n).map(i => s"$seed$i").mkString(" ")
+    val benchText = "the held out benchmark passage with forty plus " +
+      "characters of exact evaluation text content appearing verbatim here"
+    val bench = Seq((-1L, benchText)).toDF("doc_id", "text")
+    val real = Tables.documents(spark, sfDir).orderBy("doc_id").limit(20)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val b1 = ws("alpha", 40); val b2 = ws("beta", 40)
+    val base = (real ++ Seq(2001L -> b1, 2002L -> b2)).toDF("doc_id", "text")
+    val delta = Seq(
+      5001L -> b1,                                               // exact dup of base
+      5002L -> ((1 to 38).map(i => s"beta$i") ++ Seq("zz1", "zz2")).mkString(" "), // near-dup of base
+      5003L -> ws("gamma", 40),                                  // fresh
+      5004L -> ((1 to 38).map(i => s"gamma$i") ++ Seq("qq1", "qq2")).mkString(" "), // near-dup of 5003
+      5006L -> ((1 to 36).map(i => s"beta$i") ++ Seq("zz1", "zz2", "ww1", "ww2")).mkString(" "), // chained to base via 5002
+      5007L -> (ws("fresh", 20) + " " + benchText.take(60) + " " + ws("tail", 20)) // contaminated
+    ).toDF("doc_id", "text")
+
+    val idx = PipelineOps.baseIndexes(base, bench)
+    val inc = PipelineOps.incrementalCapstone(idx, delta, bench)
+      .as[(Long, String)].collect().toSet
+    val batchRestricted = PipelineOps.frontSurvivors(
+      base.unionByName(delta), bench)
+      .filter(col("doc_id") >= 5000L)
+      .as[(Long, String)].collect().toSet
+    assert(inc == batchRestricted,
+      s"incremental != batch-restricted: only-inc=${(inc -- batchRestricted).map(_._1)}, " +
+        s"only-batch=${(batchRestricted -- inc).map(_._1)}")
+    val keptIds = inc.map(_._1)
+    assert(!keptIds.contains(5001L), "exact dup of base survived")
+    assert(!keptIds.contains(5002L), "near-dup of base survived the band probe")
+    assert(!keptIds.contains(5006L), "member of a base-hit cluster survived")
+    assert(keptIds.contains(5003L) && !keptIds.contains(5004L),
+      s"within-delta cluster must keep its min id only: $keptIds")
+    val d7 = inc.find(_._1 == 5007L)
+    assert(d7.isDefined, "contaminated doc must survive with its spans cut")
+    assert(!d7.get._2.contains(benchText.take(45)),
+      "benchmark span not stripped from the surviving delta doc")
+  }
+
   test("q96: bins are contiguous, bench docs excluded, fill bounded by capacity+straddle") {
     val rows = q("q96_pretrain_capstone").orderBy(col("bin")).collect()
     assert(rows.nonEmpty)
