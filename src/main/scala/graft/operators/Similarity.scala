@@ -536,4 +536,110 @@ object Similarity {
       .select(col("pc.cent_id").as("cell"), col("query_id"), col("qe"), col("qn"))
     probeRerank(members, q, k)
   }
+
+  /** Ranked (negsim, coarse_id) struct array of a vector against an
+    * inlined COARSE codebook — the [[ivfSearch]] literal core
+    * generalized to caller-supplied embedding/norm columns (identical
+    * arithmetic and zero-norm sentinels). Bounded: coarse codebooks
+    * are ≤ [[LargeCodebookCells]] by contract. */
+  private def coarseRankArray(coarse: Array[(Long, Seq[Float])],
+                              emb: Column, nrm: Column): Column =
+    array_sort(array(coarse.map { case (cid, ce) =>
+      val cn = math.sqrt(
+        ce.map { x => val q = math.floor(x.toDouble * QScale); q * q }.sum)
+      val negsim =
+        if (cn == 0.0) lit(Double.MaxValue)
+        else when(nrm === 0.0, lit(0.0))
+          .otherwise(-(dotQ(emb, typedLit(ce)) / (nrm * lit(cn))))
+      struct(negsim.as("negsim"), lit(cid).as("coarse_id"))
+    }.toIndexedSeq: _*))
+
+  /** TWO-LEVEL coarse-quantized IVF — the 10⁴⁺-cell shape
+    * [[ivfSearchJoin]]'s scaladoc names. The single-level join scores
+    * every vector against EVERY fine centroid (a corpus × cells
+    * map-side product — the assignment itself becomes the bottleneck
+    * once cells reaches 10⁴⁺). The standard fix (FAISS's IVF coarse
+    * level): quantize the CODEBOOK — k-means a small coarse codebook
+    * over the fine-centroid table (cells rows, bounded), assign each
+    * fine centroid to its nearest coarse cell, and let every vector
+    * rank only the coarse codebook inline (the [[ivfSearch]] literal
+    * core: coarseCells ≤ [[LargeCodebookCells]] structs, shuffle-free)
+    * then score just the fine centroids living in its `coarseProbes`
+    * nearest coarse cells — corpus × (coarseProbes · cells/coarseCells
+    * on balanced cells) instead of corpus × cells, a
+    * coarseCells/coarseProbes-fold cut of the dominant product.
+    *
+    * Exactness pin (spec): with coarseProbes = coarseCells every fine
+    * centroid is scored exactly once, so assignment — and the whole
+    * output — equals [[ivfSearchJoin]] on the same codebook
+    * bit-for-bit. Partial coarse probing is approximate at the
+    * ASSIGNMENT level (a vector's true nearest fine centroid can live
+    * in an unprobed coarse cell); recall vs brute force is
+    * spec-measured on planted clustered data and soaked in SoakAnn. */
+  private[graft] def ivfTwoLevelSearch(n: DataFrame, fineCents: DataFrame,
+      queryPred: Column, k: Int, probes: Int,
+      coarseCells: Int, coarseProbes: Int, seed: Long = 42L): DataFrame = {
+    require(coarseCells <= LargeCodebookCells,
+      s"coarse codebook must stay literal-inlinable: $coarseCells")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // coarse codebook: k-means over the fine-centroid TABLE (bounded
+    // input — quantizing the codebook, not the corpus)
+    val cm = new KMeans()
+      .setK(coarseCells).setSeed(seed).setMaxIter(20).setFeaturesCol("features")
+      .fit(fineCents.select(array_to_vector(col("cembedding")).as("features")))
+    val coarse = cm.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toArray.toSeq.map(_.toFloat))
+    }
+    // fine → home coarse cell (bounded table, broadcast with norms)
+    val fineByCoarse = broadcast(fineCents
+      .select(col("cent_id"), col("cembedding"), normQ(col("cembedding")).as("cnrm"))
+      .withColumn("coarse",
+        coarseRankArray(coarse, col("cembedding"), col("cnrm"))
+          .getItem(0).getField("coarse_id")))
+    def probeCoarse(df: DataFrame): DataFrame = df
+      .withColumn("coarse", explode(transform(
+        slice(coarseRankArray(coarse, col("embedding"), col("nrm")),
+          1, coarseProbes),
+        s => s.getField("coarse_id"))))
+    // corpus × probed-fine product exists map-side only (broadcast
+    // join + immediate slim projection — the ivfSearchJoin discipline)
+    val scored = probeCoarse(n).join(fineByCoarse, Seq("coarse"))
+      .select(col("vec_id"), negsimCol.as("negsim"), col("cent_id"))
+    val home = scored.groupBy(col("vec_id"))
+      .agg(min(struct(col("negsim"), col("cent_id"))).getField("cent_id").as("cell"))
+    val members = n.join(home, Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+    val qn = n.filter(queryPred)
+    val qw = Window.partitionBy(col("vec_id")).orderBy(col("negsim"), col("cent_id"))
+    val q = probeCoarse(qn).join(fineByCoarse, Seq("coarse"))
+      .select(col("vec_id"), negsimCol.as("negsim"), col("cent_id"))
+      .withColumn("rk", row_number().over(qw))
+      .filter(col("rk") <= probes)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+      .join(qn.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("nrm").as("qn")), Seq("query_id"))
+      .select(col("cell"), col("query_id"), col("qe"), col("qn"))
+    probeRerank(members, q, k)
+  }
+
+  /** [[ivfTwoLevelSearch]] with the fine codebook LEARNED on the
+    * corpus ([[ivfLearned]]'s k-means conventions). */
+  def ivfTwoLevel(corpus: DataFrame, queryPred: Column, k: Int,
+                  cells: Int = 4096, coarseCells: Int = 64,
+                  probes: Int = 2, coarseProbes: Int = 4,
+                  seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = withNorm(corpus)
+    val model = new KMeans()
+      .setK(cells).setSeed(seed).setMaxIter(20).setFeaturesCol("features")
+      .fit(n.select(array_to_vector(col("embedding")).as("features")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val fine = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toArray.toSeq.map(_.toFloat))
+    }.toSeq.toDF("cent_id", "cembedding")
+    ivfTwoLevelSearch(n, fine, queryPred, k, probes, coarseCells, coarseProbes, seed)
+  }
 }

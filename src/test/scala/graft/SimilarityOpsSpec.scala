@@ -114,6 +114,54 @@ class SimilarityOpsSpec extends SparkTestBase {
       "full-probe learned IVF diverged from brute force")
   }
 
+  test("two-level IVF: full coarse probe equals the single-level join bit-for-bit") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = Similarity.withNorm(emb)
+    // deterministic fine codebook: the first 40 corpus vectors
+    val cents = emb.orderBy("vec_id").limit(40)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cembedding"))
+      .as[(Long, Seq[Float])].collect().toSeq.toDF("cent_id", "cembedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val single = rows(Similarity.ivfSearchJoin(n, cents,
+      col("vec_id") < 10, k = 5, probes = 3))
+    val two = rows(Similarity.ivfTwoLevelSearch(n, cents,
+      col("vec_id") < 10, k = 5, probes = 3,
+      coarseCells = 4, coarseProbes = 4))
+    assert(two == single,
+      s"full-coarse two-level diverged: only-two=${(two -- single).take(3)}, " +
+        s"only-single=${(single -- two).take(3)}")
+  }
+
+  test("two-level IVF: partial coarse probe keeps recall on clustered data") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val Dim = graft.functions.VectorFunctions.Dim
+    val rnd = new scala.util.Random(41)
+    // 16 tight clusters x 30 members: true neighbors are in-cluster,
+    // so a codebook that separates clusters keeps them co-celled
+    val centers = Seq.fill(16)(Array.fill(Dim)(rnd.nextGaussian().toFloat))
+    val docs = (for (c <- centers.indices; j <- 0 until 30) yield {
+      val v = centers(c).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      ((c * 100 + j).toLong, v.toSeq)
+    }).toDF("vec_id", "embedding")
+    val queries = col("vec_id") % 100 === 0 // one query per cluster
+    val brute = Similarity.knnBrute(docs, queries, k = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val two = Similarity.ivfTwoLevel(docs, queries, k = 5,
+      cells = 32, coarseCells = 8, probes = 2, coarseProbes = 3, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    assert(two.keySet == brute.keySet, "a query lost all its candidates")
+    val recall = brute.map { case (q, want) =>
+      two(q).intersect(want).size.toDouble / want.size }.sum / brute.size
+    assert(recall >= 0.8,
+      f"two-level recall $recall%.2f below 0.8 on planted clusters")
+  }
+
   test("knnGraph: family collapse, high-sim neighbors found, sims agree with direct cosine") {
     import spark.implicits._
     import graft.operators.Similarity
