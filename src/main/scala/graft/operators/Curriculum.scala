@@ -127,8 +127,18 @@ object Curriculum {
     require(budget > 0, s"budget must be positive: $budget")
     val staged = docs.select(col(sourceCol), col(idCol),
       score.as("qs"), tok.as("tok"))
-    val in = if (prePrune) pruneSliver(staged, budget, sourceCol, bins)
-             else staged
+    // Pre-prune consumers (min/max stats, histogram, final filter)
+    // would each re-scan the corpus and RE-EVALUATE the score/token
+    // expressions — typically full text scans (measured 3x q99's wall
+    // at sf1). Pin the SLIM staged projection once: one text scan +
+    // one ~4-column materialization, three cheap slim reads. At
+    // deployment the staged table is usually an already-stored
+    // scored corpus — pass cheap column refs and the pin is of slim
+    // rows either way. Released by the caller's query-state hygiene
+    // (the result plan carries the LogicalRDD).
+    val in = if (prePrune)
+      pruneSliver(Pin(staged, eager = true), budget, sourceCol, bins)
+    else staged
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(col("qs").desc, col(idCol))
     in
