@@ -88,13 +88,13 @@ object Keywords {
     * before the rank window, preserving the WindowGroupLimit prune. */
   def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
     val nRow = docs.groupBy().agg(count(lit(1)).as("n"))
-    val trimmed = trim(col("text"))
-    val zipped = zip_with(
-      split(trimmed, " "),
-      graft.plans.ShingleHashes(trimmed, 1, HashP),
-      (w, h) => struct(w.as("term"), h.as("h")))
-    val occ = docs.select(col("doc_id"), explode(zipped).as("t"))
-      .filter(length(col("t.term")) > 0)
+    // Round 13: the word stream is ONE codegen'd byte pass
+    // (plans/WordHashPairs: segments + md5 + empty-drop fused) — the
+    // previous zip_with(split, ShingleHashes) ran the zip INTERPRETED
+    // (higher-order functions have no codegen) over two separate text
+    // passes, and the empty-segment filter churned exploded rows.
+    val occ = docs.select(col("doc_id"),
+        explode(graft.plans.WordHashPairs(trim(col("text")), HashP)).as("t"))
       .select(col("doc_id"), col("t.h").as("h"), col("t.term").as("term"))
       .repartition(col("h"))
     // The (doc, term) rollup is WINDOWS over the h-clustered stream,

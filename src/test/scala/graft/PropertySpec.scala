@@ -191,6 +191,34 @@ class PropertySpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("WordHashPairs equals the zip_with(split, ShingleHashes)+filter composition") {
+    import spark.implicits._
+    import graft.operators.Keywords.HashP
+    val wordGen = Gen.oneOf(Gen.identifier.map(_.take(6)), Gen.const(""),
+      Gen.const("héllo"), Gen.const("日本語"))
+    val textGen = Gen.listOf(wordGen).map(_.take(12).mkString(" "))
+    val texts = "" +: "a" +: "a b" +: "a  b   c" +: " lead trail " +: "  " +:
+      (1 to 120).map(i => sample(textGen, 1000L + i))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def pairsOf(c: org.apache.spark.sql.DataFrame) = c.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val composed = pairsOf(df.select(col("doc_id"),
+        explode(zip_with(split(col("text"), " "),
+          graft.plans.ShingleHashes(col("text"), 1, HashP),
+          (w, h) => struct(w.as("term"), h.as("h")))).as("t"))
+      .filter(length(col("t.term")) > 0)
+      .select(col("doc_id"), col("t.term"), col("t.h")))
+    val native = pairsOf(df.select(col("doc_id"),
+        explode(graft.plans.WordHashPairs(col("text"), HashP)).as("t"))
+      .select(col("doc_id"), col("t.term"), col("t.h")))
+    assert(native == composed)
+    // NULL text: both produce no rows through explode
+    val nulls = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    assert(nulls.select(explode(
+      graft.plans.WordHashPairs(col("text"), HashP))).count() == 0)
+  }
+
   test("minhashPairsOwned equals the slim join+distinct+join-back pipeline on random corpora") {
     import spark.implicits._
     import graft.operators.Dedup
