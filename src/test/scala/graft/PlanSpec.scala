@@ -183,6 +183,26 @@ class PlanSpec extends SparkTestBase {
       s"capstone stage A reintroduced a window:\n$plan")
   }
 
+  test("q99 pruned shape: one text pass via the pin, bounded broadcasts, keyed window") {
+    // Round 13: tokenBudget's pre-prune consumers (min/max stats,
+    // token-weighted histogram, final filter) all read the PINNED
+    // slim staged projection — the FINAL plan must contain zero
+    // parquet scans (the one text scan happened at pin
+    // materialization) and only broadcast joins (the per-source
+    // stats and cut-bin sides are bounded by construction); the
+    // running-sum window stays keyed on source (the generic
+    // no-SinglePartition gate covers the rest).
+    val plan = SparkEntry.queries("q99_token_budget")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 0, s"q99's prune re-scans parquet $scans times " +
+      s"instead of reading the staged pin:\n$plan")
+    assert(!plan.contains("ShuffledHashJoin") && !plan.contains("SortMergeJoin"),
+      s"q99's bounded prune sides must broadcast, not shuffle-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q99 lost its broadcast prune joins:\n$plan")
+  }
+
   test("stand-in-derived tables collapse onto the probe side: q57/q63 plan zero joins") {
     // Round-9 structure locks. q57's label CSV stand-in is a derived
     // column on the profile (its key universe IS the profile's
