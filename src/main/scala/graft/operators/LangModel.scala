@@ -42,15 +42,14 @@ object LangModel {
     * entry i (1-based, i = 1..n-1) pairs word_i's unigram bucket with
     * (word_i, word_i+1)'s bigram bucket, so Σ_w2 c(w1, w2) = c(w1) —
     * the bigram-LM normalization invariant — holds by construction.
-    * Both streams are native one-pass byte scans zipped INSIDE the
-    * row; input must be trim'd (the ShingleHashes contract). Fewer
-    * than two words → empty array; NULL text → NULL. */
-  def contextPairs(trimmed: Column): Column = {
-    val u1 = graft.plans.ShingleHashes(trimmed, 1, NumBuckets)
-    val b2 = graft.plans.ShingleHashes(trimmed, 2, NumBuckets)
-    zip_with(slice(u1, lit(1), greatest(size(u1) - 1, lit(0))), b2,
-      (a, b) => struct(a.as("b1"), b.as("b2")))
-  }
+    * One native byte pass (round 13: `plans/ContextPairHashes` —
+    * both n-gram widths hashed zero-copy in one loop; the previous
+    * two-ShingleHashes + zip_with form ran the zip INTERPRETED, the
+    * q87 WordHashPairs lesson); input must be trim'd (the
+    * ShingleHashes contract). Fewer than two words → empty array;
+    * NULL text → NULL. Property-pinned equal to the composed form. */
+  def contextPairs(trimmed: Column): Column =
+    graft.plans.ContextPairHashes(trimmed, NumBuckets)
 
   /** The fitted model over the target slice, one pass: per-bucket
     * CONTEXT counts (kind 1: unigram buckets of words 1..n-1) and

@@ -219,6 +219,30 @@ class PropertySpec extends SparkTestBase {
       graft.plans.WordHashPairs(col("text"), HashP))).count() == 0)
   }
 
+  test("ContextPairHashes equals the two-ShingleHashes zip composition") {
+    import spark.implicits._
+    import graft.operators.LangModel.NumBuckets
+    val wordGen = Gen.oneOf(Gen.identifier.map(_.take(6)), Gen.const(""),
+      Gen.const("héllo"), Gen.const("日本語"))
+    val textGen = Gen.listOf(wordGen).map(_.take(12).mkString(" "))
+    val texts = "" +: "a" +: "a b" +: "a  b   c" +: " lead trail " +: "a " +:
+      " " +: (1 to 120).map(i => sample(textGen, 2000L + i))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def pairsOf(c: org.apache.spark.sql.Column) = df
+      .select(col("doc_id"), c.as("p")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1))))
+      .toMap
+    val u1 = graft.plans.ShingleHashes(col("text"), 1, NumBuckets)
+    val b2 = graft.plans.ShingleHashes(col("text"), 2, NumBuckets)
+    val composed = pairsOf(zip_with(
+      slice(u1, lit(1), greatest(size(u1) - 1, lit(0))), b2,
+      (a, b) => struct(a.as("b1"), b.as("b2"))))
+    val native = pairsOf(graft.plans.ContextPairHashes(col("text"), NumBuckets))
+    assert(native == composed)
+  }
+
   test("minhashPairsOwned equals the slim join+distinct+join-back pipeline on random corpora") {
     import spark.implicits._
     import graft.operators.Dedup
