@@ -195,10 +195,13 @@ object Dedup {
   /** Explode signatures into (band, bkey) LSH buckets. */
   def lshBuckets(signed: DataFrame): DataFrame =
     signed
+      // all band keys in ONE native pass (plans/BandKeys, round 13),
+      // then explode + element_at — the per-exploded-row interpreted
+      // slice/join/md5 chain is gone
+      .withColumn("_bks", graft.plans.BandKeys(col("sg"), Bands, RowsPerBand))
       .withColumn("b", explode(sequence(lit(0), lit(Bands - 1))))
-      .withColumn("bkey", md5(array_join(
-        transform(slice(col("sg"), col("b") * RowsPerBand + 1, lit(RowsPerBand)),
-          v => v.cast("string")), ",")))
+      .withColumn("bkey", element_at(col("_bks"), col("b") + 1))
+      .drop("_bks")
 
   /** Candidate pairs + similarity from a (doc_id, sg) signature table
     * in ONE band self-join — first-match-band ownership instead of
@@ -226,10 +229,10 @@ object Dedup {
     * groupBy(doc_id) aggregate); PropertySpec asserts equality with
     * the distinct pipeline on generated corpora. */
   def minhashPairsOwned(signed: DataFrame): DataFrame = {
-    val bandKeys = transform(sequence(lit(0), lit(Bands - 1)),
-      b => md5(array_join(
-        transform(slice(col("sg"), b * RowsPerBand + 1, lit(RowsPerBand)),
-          v => v.cast("string")), ",")))
+    // all 20 band keys per signature in ONE native pass (round 13:
+    // plans/BandKeys — the transform/slice/array_join/md5 chain ran
+    // interpreted per row, the q87 WordHashPairs lesson)
+    val bandKeys = graft.plans.BandKeys(col("sg"), Bands, RowsPerBand)
     val bands = signed
       .withColumn("bks", bandKeys)
       .withColumn("b", explode(sequence(lit(0), lit(Bands - 1))))

@@ -243,6 +243,24 @@ class PropertySpec extends SparkTestBase {
     assert(native == composed)
   }
 
+  test("BandKeys equals the transform+array_join+md5 composition on random signatures") {
+    import spark.implicits._
+    import graft.operators.Dedup.{Bands, RowsPerBand, NumHashes, P}
+    val sigGen = Gen.containerOfN[Seq, Long](NumHashes, Gen.chooseNum(0L, P - 1))
+    val sigs = (1 to 150).map(i => sample(sigGen, 3000L + i)) :+
+      Seq.fill(NumHashes)(0L) :+ (0L until NumHashes.toLong)
+    val df = sigs.toDF("sg")
+    val composed = df.select(transform(sequence(lit(0), lit(Bands - 1)),
+        b => md5(array_join(
+          transform(slice(col("sg"), b * RowsPerBand + 1, lit(RowsPerBand)),
+            v => v.cast("string")), ","))).as("k"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    val native = df.select(
+        graft.plans.BandKeys(col("sg"), Bands, RowsPerBand).as("k"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(native == composed)
+  }
+
   test("minhashPairsOwned equals the slim join+distinct+join-back pipeline on random corpora") {
     import spark.implicits._
     import graft.operators.Dedup
