@@ -253,10 +253,11 @@ object Dedup {
   }
 
   /** Estimated Jaccard from two signatures: matching fraction (k a
-    * power of two → the division is exact in float64). */
+    * power of two → the division is exact in float64). One native
+    * codegen'd loop (round 13: plans/SigMatches — the zip_with +
+    * filter + size chain ran interpreted per candidate pair). */
   def signatureSimilarity(sa: Column, sb: Column): Column =
-    size(filter(zip_with(sa, sb, (x, y) => x === y), v => v))
-      .cast("double") / NumHashes
+    graft.plans.SigMatches(sa, sb).cast("double") / NumHashes
 
   /** 60-bit SimHash of a document's text — plans/SimHash60 native
     * expression (one codegen'd pass: split on single spaces, md5 per

@@ -261,6 +261,23 @@ class PropertySpec extends SparkTestBase {
     assert(native == composed)
   }
 
+  test("SigMatches equals the zip_with+filter+size composition on random signatures") {
+    import spark.implicits._
+    import graft.operators.Dedup.{NumHashes, P}
+    val sigGen = Gen.containerOfN[Seq, Long](NumHashes, Gen.chooseNum(0L, 7L))
+    val pairs = (1 to 150).map(i =>
+      (sample(sigGen, 4000L + i), sample(sigGen, 5000L + i))) :+
+      ((0L until NumHashes.toLong).toSeq, (0L until NumHashes.toLong).toSeq)
+    val df = pairs.toDF("sa", "sb")
+    val composed = df.select(
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), v => v))
+          .cast("long").as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    val native = df.select(graft.plans.SigMatches(col("sa"), col("sb")).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(native == composed)
+  }
+
   test("minhashPairsOwned equals the slim join+distinct+join-back pipeline on random corpora") {
     import spark.implicits._
     import graft.operators.Dedup
