@@ -36,13 +36,13 @@ object Dsir {
   val NumBuckets = 1024L
 
   /** The per-document feature-bucket stream: 48-bit md5 of each word
-    * 1-gram and 2-gram mod [[NumBuckets]], via the zero-copy
-    * [[graft.plans.ShingleHashes]] byte scan (duplicates kept — bag,
-    * not set, semantics). Input must be trim'd. */
+    * 1-gram and 2-gram mod [[NumBuckets]] (duplicates kept — bag,
+    * not set, semantics). Input must be trim'd. Round 13: ONE native
+    * byte pass ([[graft.plans.UniBiBuckets]] — the previous
+    * concat-of-two-ShingleHashes form scanned the text twice);
+    * property-pinned equal to the composed form. */
   def featureBuckets(trimmed: Column): Column =
-    concat(
-      graft.plans.ShingleHashes(trimmed, 1, NumBuckets),
-      graft.plans.ShingleHashes(trimmed, 2, NumBuckets))
+    graft.plans.UniBiBuckets(trimmed, NumBuckets)
 
   /** The fitted DSIR model — q76's oracle surface. One row per
     * occupied bucket: occurrences in the target subset and in the

@@ -278,6 +278,25 @@ class PropertySpec extends SparkTestBase {
     assert(native == composed)
   }
 
+  test("UniBiBuckets equals the concat-of-two-ShingleHashes composition") {
+    import spark.implicits._
+    import graft.operators.Dsir.NumBuckets
+    val wordGen = Gen.oneOf(Gen.identifier.map(_.take(6)), Gen.const(""),
+      Gen.const("héllo"), Gen.const("日本語"))
+    val textGen = Gen.listOf(wordGen).map(_.take(12).mkString(" "))
+    val texts = "" +: "a" +: "a b" +: "a  b   c" +: " lead trail " +: "a " +:
+      " " +: (1 to 120).map(i => sample(textGen, 6000L + i))
+    val df = texts.toDF("text")
+    val composed = df.select(concat(
+        graft.plans.ShingleHashes(col("text"), 1, NumBuckets),
+        graft.plans.ShingleHashes(col("text"), 2, NumBuckets)).as("v"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    val native = df.select(
+        graft.plans.UniBiBuckets(col("text"), NumBuckets).as("v"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(native == composed)
+  }
+
   test("minhashPairsOwned equals the slim join+distinct+join-back pipeline on random corpora") {
     import spark.implicits._
     import graft.operators.Dedup
