@@ -152,11 +152,17 @@ object Diversity {
                          a: String = "a", b: String = "b",
                          seed: Long = 42L): DataFrame = {
     val keptNodes = independentSet(pairs, a, b, seed)
-    val graphNodes = pairs.select(col(a).as("node"))
-      .unionAll(pairs.select(col(b).as("node"))).distinct()
-    val dropped = Pin(graphNodes.join(keptNodes, Seq("node"), "left_anti")
-      .select(col("node").as(idCol)), eager = true)
-    Pin.release(keptNodes)
+    // release the O(nodes) kept pin on EVERY exit — a task failure
+    // during the eager dropped-set materialization must not strand it
+    // (the exception-path leak class independentSetWithRounds closes
+    // internally, applied one level up)
+    val dropped =
+      try {
+        val graphNodes = pairs.select(col(a).as("node"))
+          .unionAll(pairs.select(col(b).as("node"))).distinct()
+        Pin(graphNodes.join(keptNodes, Seq("node"), "left_anti")
+          .select(col("node").as(idCol)), eager = true)
+      } finally Pin.release(keptNodes)
     docs.join(dropped, Seq(idCol), "left_anti")
   }
 }

@@ -501,30 +501,11 @@ object Similarity {
   private[graft] def ivfSearch(n: DataFrame, cents: Array[(Long, Seq[Float])],
                                queryPred: Column, k: Int, probes: Int): DataFrame = {
     require(cents.nonEmpty, "ivf: empty centroid set")
-    // centroid norms driver-side with the IDENTICAL quantized
-    // arithmetic (every term and the Dim-term sum stay < 2^53: the
-    // double math is exact, bit-equal to the engine's)
-    val simStructs = cents.map { case (cid, ce) =>
-      val cn = math.sqrt(
-        ce.map { x => val q = math.floor(x.toDouble * QScale); q * q }.sum)
-      // Zero-norm degenerate inputs: 0/0 would be NaN (and ANSI makes
-      // the division THROW), and NaN's sort position differs between
-      // array_sort (last) and the old row_number-over-DESC shape
-      // (first). A zero-norm VECTOR gets a pinned 0.0 against every
-      // centroid (deterministic min-cent_id home); a zero-norm
-      // CENTROID gets a +MaxValue sentinel so it sorts LAST and can
-      // never capture vectors whose true similarities are all
-      // negative (it would otherwise outrank any negative-cosine
-      // centroid from its pinned 0.0).
-      val negsim =
-        if (cn == 0.0) lit(Double.MaxValue)
-        else when(col("nrm") === 0.0, lit(0.0))
-          .otherwise(-(dotQ(col("embedding"), typedLit(ce)) / (col("nrm") * lit(cn))))
-      struct(negsim.as("negsim"), lit(cid).as("cent_id"))
-    }
-    // ascending struct sort on (negsim, cent_id) == (csim DESC, cent_id)
+    // ascending struct sort on (negsim, cent_id) == (csim DESC,
+    // cent_id); arithmetic + zero-norm sentinels live in ONE place
+    // ([[centRankArray]] — also the two-level coarse level)
     val assigned = n.withColumn("cells",
-      array_sort(array(simStructs.toIndexedSeq: _*)))
+      centRankArray(cents.toIndexedSeq, col("embedding"), col("nrm")))
     // cells(0) is the vector's home cell; a query probes its `probes`
     // nearest cells, candidates live in their home cell only.
     val members = assigned.select(
@@ -537,21 +518,31 @@ object Similarity {
     probeRerank(members, q, k)
   }
 
-  /** Ranked (negsim, coarse_id) struct array of a vector against an
-    * inlined COARSE codebook — the [[ivfSearch]] literal core
-    * generalized to caller-supplied embedding/norm columns (identical
-    * arithmetic and zero-norm sentinels). Bounded: coarse codebooks
-    * are ≤ [[LargeCodebookCells]] by contract. */
-  private def coarseRankArray(coarse: Array[(Long, Seq[Float])],
-                              emb: Column, nrm: Column): Column =
-    array_sort(array(coarse.map { case (cid, ce) =>
+  /** Ranked (negsim, cent_id) struct array of a vector against an
+    * inlined codebook — THE literal assignment core ([[ivfSearch]]
+    * calls it directly; the two-level path calls it for its coarse
+    * level): one copy of the value-equality-critical arithmetic.
+    * Centroid norms are computed driver-side with the IDENTICAL
+    * quantized arithmetic (every term and the Dim-term sum stay
+    * < 2^53: the double math is exact, bit-equal to the engine's).
+    * Zero-norm degenerate inputs: 0/0 would be NaN (and ANSI makes
+    * the division THROW), and NaN's sort position differs between
+    * array_sort (last) and a row_number-over-DESC shape (first). A
+    * zero-norm VECTOR gets a pinned 0.0 against every centroid
+    * (deterministic min-cent_id home); a zero-norm CENTROID gets a
+    * +MaxValue sentinel so it sorts LAST and can never capture
+    * vectors whose true similarities are all negative. Bounded:
+    * inlined codebooks are ≤ [[LargeCodebookCells]] by contract. */
+  private def centRankArray(cents: Seq[(Long, Seq[Float])],
+                            emb: Column, nrm: Column): Column =
+    array_sort(array(cents.map { case (cid, ce) =>
       val cn = math.sqrt(
         ce.map { x => val q = math.floor(x.toDouble * QScale); q * q }.sum)
       val negsim =
         if (cn == 0.0) lit(Double.MaxValue)
         else when(nrm === 0.0, lit(0.0))
           .otherwise(-(dotQ(emb, typedLit(ce)) / (nrm * lit(cn))))
-      struct(negsim.as("negsim"), lit(cid).as("coarse_id"))
+      struct(negsim.as("negsim"), lit(cid).as("cent_id"))
     }.toIndexedSeq: _*))
 
   /** TWO-LEVEL coarse-quantized IVF — the 10⁴⁺-cell shape
@@ -590,18 +581,30 @@ object Similarity {
       .fit(fineCents.select(array_to_vector(col("cembedding")).as("features")))
     val coarse = cm.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i.toLong, c.toArray.toSeq.map(_.toFloat))
-    }
+    }.toIndexedSeq
     // fine → home coarse cell (bounded table, broadcast with norms)
-    val fineByCoarse = broadcast(fineCents
+    val fineAssigned = fineCents
       .select(col("cent_id"), col("cembedding"), normQ(col("cembedding")).as("cnrm"))
       .withColumn("coarse",
-        coarseRankArray(coarse, col("cembedding"), col("cnrm"))
-          .getItem(0).getField("coarse_id")))
+        centRankArray(coarse, col("cembedding"), col("cnrm"))
+          .getItem(0).getField("cent_id"))
+    val fineByCoarse = broadcast(fineAssigned)
+    // probe only NON-EMPTY coarse cells: k-means trains Euclidean but
+    // assignment here is cosine, so coarse cells CAN end up owning no
+    // fine centroid — a vector whose every probed cell were empty
+    // would silently vanish from the index (no home, no candidates).
+    // Restricting the inlined probe codebook to occupied cells makes
+    // every probe productive and an orphan impossible. The distinct
+    // is a bounded action over the ≤cells-row fine table (the IVF
+    // centroid-collect contract, not a data collect).
+    val occupied = fineAssigned.select(col("coarse")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val probeBook = coarse.filter { case (cid, _) => occupied(cid) }
     def probeCoarse(df: DataFrame): DataFrame = df
       .withColumn("coarse", explode(transform(
-        slice(coarseRankArray(coarse, col("embedding"), col("nrm")),
+        slice(centRankArray(probeBook, col("embedding"), col("nrm")),
           1, coarseProbes),
-        s => s.getField("coarse_id"))))
+        s => s.getField("cent_id"))))
     // corpus × probed-fine product exists map-side only (broadcast
     // join + immediate slim projection — the ivfSearchJoin discipline)
     val scored = probeCoarse(n).join(fineByCoarse, Seq("coarse"))

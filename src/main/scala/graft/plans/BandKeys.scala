@@ -45,6 +45,14 @@ case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val sg = input.asInstanceOf[ArrayData]
+    // LOUD on undersized signatures: the codegen path would otherwise
+    // read adjacent unsafe-buffer memory and emit garbage keys
+    // silently (e.g. an older persisted index with a different
+    // NumHashes) — the composed slice form degraded deterministically
+    if (sg.numElements() < bands * rowsPerBand)
+      throw new IllegalArgumentException(
+        s"band_keys: signature has ${sg.numElements()} entries, " +
+          s"need ${bands * rowsPerBand}")
     val md = java.security.MessageDigest.getInstance("MD5")
     val sb = new java.lang.StringBuilder(24 * rowsPerBand)
     val out = new Array[AnyRef](bands)
@@ -89,6 +97,11 @@ case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
       val d = ctx.freshName("digest")
       val hex = ctx.freshName("hex")
       s"""
+         |if ($in.numElements() < ${bands * rowsPerBand}) {
+         |  throw new IllegalArgumentException(
+         |    "band_keys: signature has " + $in.numElements() +
+         |    " entries, need ${bands * rowsPerBand}");
+         |}
          |final Object[] $out = new Object[$bands];
          |final java.lang.StringBuilder $sb = new java.lang.StringBuilder(${24 * rowsPerBand});
          |for (int $b = 0; $b < $bands; $b++) {

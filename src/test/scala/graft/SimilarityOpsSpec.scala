@@ -160,6 +160,14 @@ class SimilarityOpsSpec extends SparkTestBase {
       two(q).intersect(want).size.toDouble / want.size }.sum / brute.size
     assert(recall >= 0.8,
       f"two-level recall $recall%.2f below 0.8 on planted clusters")
+    // orphan-proofing: with the probe codebook restricted to OCCUPIED
+    // coarse cells, even the tightest probe leaves no query (or
+    // corpus vector) without a home — every query still answers
+    val tight = Similarity.ivfTwoLevel(docs, queries, k = 5,
+      cells = 32, coarseCells = 8, probes = 2, coarseProbes = 1, seed = 7L)
+      .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(tight == brute.keySet,
+      s"a query vanished under coarseProbes=1: missing ${brute.keySet -- tight}")
   }
 
   test("knnGraph: family collapse, high-sim neighbors found, sims agree with direct cosine") {

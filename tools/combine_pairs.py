@@ -64,6 +64,14 @@ def main():
 
     stot = round(sum(smin.values()), 3)
     dtot = round(sum(dmin.values()), 3)
+    # the headline RATIO must compare the same query set on both
+    # sides: when the sets diverge (a query timed on one side only),
+    # stot/dtot above would drift silently while the per-query table
+    # looks consistent — compute the printed ratio over the
+    # intersection and carry it in the artifact
+    common = sorted(set(smin) & set(dmin))
+    cstot = round(sum(smin[q] for q in common), 3)
+    cdtot = round(sum(dmin[q] for q in common), 3)
     # guard q in smin: dmin is built restricted to smin today, but if
     # the sets ever diverge (a query skipped on one side only) the
     # watch computation must degrade to the intersection, not KeyError
@@ -75,6 +83,8 @@ def main():
         f.write(json.dumps({"metric": "passes", "note": note}) + "\n")
         f.write(json.dumps({"metric": "total", "value": stot, "unit": "sec",
                             "queries": {q: round(t, 3) for q, t in sorted(smin.items())},
+                            "common": {"n": len(common), "spark_s": cstot,
+                                       "duck_s": cdtot},
                             "watch": watch,
                             "band": {"watch_ratio": WATCH_RATIO,
                                      "watch_min_duck_s": WATCH_MIN_DUCK_S,
@@ -83,7 +93,10 @@ def main():
         f.write(json.dumps({"total": dtot,
                             "queries": {q: round(t, 3) for q, t in sorted(dmin.items())}}) + "\n")
 
-    print(f"Spark {stot:.1f} s vs DuckDB {dtot:.1f} s -> {stot/dtot:.2f}x over {len(smin)} queries")
+    print(f"Spark {cstot:.1f} s vs DuckDB {cdtot:.1f} s -> {cstot/cdtot:.2f}x "
+          f"over {len(common)} common queries"
+          + ("" if len(common) == len(smin) else
+             f" (Spark-only extra: {round(stot-cstot,3)} s over {len(smin)-len(common)} queries)"))
     print("\n| query | Spark s | DuckDB s | ratio |")
     print("| --- | --- | --- | --- |")
     for q in sorted(dmin, key=lambda q: -dmin[q]):
