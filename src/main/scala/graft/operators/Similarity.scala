@@ -465,8 +465,9 @@ object Similarity {
     * min-struct hash aggregation (map-side partial combine — the only
     * corpus shuffle moves slim best-cell rows, never a sort window) and
     * a keyed join back for member embeddings. Query probe ranking runs
-    * on the bounded query×cells side only. At true IVF scale a
-    * two-level coarse quantizer would cut the corpus×cells product
+    * on the bounded query×cells side only. At true IVF scale the
+    * two-level coarse quantizer ([[ivfTwoLevelSearch]], round 13)
+    * cuts the corpus×cells product
     * itself; this shape is the single-level contract. */
   private[graft] def ivfSearchJoin(n: DataFrame, cents: DataFrame,
                                    queryPred: Column, k: Int, probes: Int): DataFrame = {
