@@ -43,7 +43,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus, cpus)
 
-    val names = SparkEntry.headline
+    // SPARK_GRAFT_BENCH_EXTRA=1 appends the non-headline queries
+    // (Spark-only floors — no DuckDB side; combine_pairs reports the
+    // engine ratio over the common set and lists these as
+    // "Spark-only extra"). Default OFF so the driver's per-round
+    // sf0.1 bench stays comparable across rounds.
+    val names =
+      if (sys.env.get("SPARK_GRAFT_BENCH_EXTRA").contains("1"))
+        SparkEntry.headline ++ SparkEntry.benchExtra
+      else SparkEntry.headline
     val queries = SparkEntry.queries
 
     def runOne(name: String, phase: String): Double = {

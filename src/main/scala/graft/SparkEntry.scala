@@ -34,4 +34,18 @@ object SparkEntry {
   /** Benchmark headline set: representative queries per §2 family,
     * run by graft.Bench at sf0.1 (warm-up + timed pass). */
   def headline: Seq[String] = modules.flatMap(_.headline)
+
+  /** Oracle queries EXCLUDED from the headline set (quadratic
+    * correctness baselines, recursive-closure oracle mirrors, the
+    * capstone). They have no DuckDB timing side — their oracle
+    * mirrors are correctness surfaces, not fair timing ones — but
+    * they still deserve a Spark-only perf floor: q96 is the single
+    * most expensive production job in the repo, and a silent codegen
+    * fallback there would otherwise be invisible to BenchGuard.
+    * graft.Bench times them when SPARK_GRAFT_BENCH_EXTRA=1;
+    * BenchGuardSpec gates any of them with an envelope line. */
+  def benchExtra: Seq[String] = {
+    val head = headline.toSet
+    defs.map(_.name).filterNot(head).sorted
+  }
 }

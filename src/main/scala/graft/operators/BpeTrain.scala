@@ -325,12 +325,18 @@ object BpeTrain {
       rankOf.getOrElse((a, b), Nil).foreach { k =>
         if (k > after && !queued(k)) { pq += k; queued += k }
       }
-    // seed at Int.MinValue, not 0: train/trainLocal emit ranks from 1,
-    // but a caller-loaded table with 0-based (or negative) ranks must
-    // still apply its full rank domain — a 0 seed would silently skip
-    // rank <= 0 entries and diverge from encode/encodeIter
+    // seeding enqueues EVERY rank of the initially-present pairs with
+    // no lower bound (the strictly-after filter only applies to pairs
+    // formed BY a merge): train/trainLocal emit ranks from 1, but a
+    // caller-loaded table may be 0-based or negative — a sentinel
+    // `after` seed would silently skip its own value (the round-13
+    // Int.MinValue seed still dropped a rank == Int.MinValue entry)
+    def seed(a: String, b: String): Unit =
+      rankOf.getOrElse((a, b), Nil).foreach { k =>
+        if (!queued(k)) { pq += k; queued += k }
+      }
     var i = 0
-    while (i < syms.length - 1) { push(syms(i), syms(i + 1), Int.MinValue); i += 1 }
+    while (i < syms.length - 1) { seed(syms(i), syms(i + 1)); i += 1 }
     while (pq.nonEmpty) {
       val k = pq.dequeue()
       val (a, b) = byRank(k)

@@ -36,8 +36,8 @@ object QualtricsIngest {
     * `wide` must carry `raterCol`, `seen{q}`, `Sense{q}_{m}`,
     * `Specific{q}_{m}`, `Interesting{q}_{m}` for every q in
     * `scenarios`, m in `models`. */
-  def rankToMatrix(wide: DataFrame, raterCol: String = "r",
-                   scenarios: Seq[Int], models: Seq[Int]): DataFrame = {
+  def rankToMatrix(wide: DataFrame, scenarios: Seq[Int], models: Seq[Int],
+                   raterCol: String = "r"): DataFrame = {
     val cells: Seq[Column] = for (q <- scenarios; m <- models) yield struct(
       lit(q.toLong).as("q"), lit(m.toLong).as("m"),
       col(s"seen$q").cast("bigint").as("seen"),

@@ -43,6 +43,12 @@ case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
 
   private val HexChars = "0123456789abcdef".getBytes
 
+  // Interpreted-path digest, hoisted like the codegen path's mutable
+  // state: expressions deserialize per task, so instance reuse is
+  // thread-safe and a codegen fallback no longer allocates per row.
+  @transient private lazy val mdShared =
+    java.security.MessageDigest.getInstance("MD5")
+
   override def nullSafeEval(input: Any): Any = {
     val sg = input.asInstanceOf[ArrayData]
     // LOUD on undersized signatures: the codegen path would otherwise
@@ -53,7 +59,7 @@ case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
       throw new IllegalArgumentException(
         s"band_keys: signature has ${sg.numElements()} entries, " +
           s"need ${bands * rowsPerBand}")
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdShared
     val sb = new java.lang.StringBuilder(24 * rowsPerBand)
     val out = new Array[AnyRef](bands)
     var b = 0

@@ -45,9 +45,14 @@ case class ContextPairHashes(child: Expression, buckets: Long)
     containsNull = false)
   override def prettyName: String = "context_pair_hashes"
 
+  // Interpreted-path digest, hoisted like the codegen path's mutable
+  // state (per-task instance — see BandKeys.mdShared).
+  @transient private lazy val mdShared =
+    java.security.MessageDigest.getInstance("MD5")
+
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdShared
     def h48(off: Int, len: Int): Long = {
       md.reset()
       md.update(bytes, off, len)

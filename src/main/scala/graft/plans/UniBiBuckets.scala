@@ -35,9 +35,14 @@ case class UniBiBuckets(child: Expression, buckets: Long)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "uni_bi_buckets"
 
+  // Interpreted-path digest, hoisted like the codegen path's mutable
+  // state (per-task instance — see BandKeys.mdShared).
+  @transient private lazy val mdShared =
+    java.security.MessageDigest.getInstance("MD5")
+
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdShared
     def h48(off: Int, len: Int): Long = {
       md.reset()
       md.update(bytes, off, len)

@@ -50,9 +50,14 @@ case class WordHashPairs(child: Expression, p: Long) extends UnaryExpression {
     containsNull = false)
   override def prettyName: String = "word_hash_pairs"
 
+  // Interpreted-path digest, hoisted like the codegen path's mutable
+  // state (per-task instance — see BandKeys.mdShared).
+  @transient private lazy val mdShared =
+    java.security.MessageDigest.getInstance("MD5")
+
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdShared
     val out = new java.util.ArrayList[AnyRef]()
     var start = 0
     var i = 0

@@ -119,7 +119,7 @@ object AgreementOps extends QueryModule {
 
   private def q102(s: SparkSession, dir: String): DataFrame =
     graft.operators.QualtricsIngest.rankToMatrix(
-      wideExport(s, dir), "r", WScenarios, WModels)
+      wideExport(s, dir), WScenarios, WModels)
       .sortWithinPartitions(col("r"), col("q"), col("m"))
 
   private val q102Sql =

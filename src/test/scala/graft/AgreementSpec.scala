@@ -29,7 +29,7 @@ class AgreementSpec extends SparkTestBase {
       (9L, 1, 0, 1, 5L, 0, 1, 1, 8L))
       .toDF("r", "seen1", "Sense1_1", "Specific1_1", "Interesting1_1",
         "seen2", "Sense2_1", "Specific2_1", "Interesting2_1")
-    val long = QualtricsIngest.rankToMatrix(wide, "r", Seq(1, 2), Seq(1))
+    val long = QualtricsIngest.rankToMatrix(wide, Seq(1, 2), Seq(1))
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
         x.getLong(3), x.getLong(4), x.getLong(5))).toSet
     assert(long == Set(
@@ -38,7 +38,7 @@ class AgreementSpec extends SparkTestBase {
       s"melted rows wrong: $long")
     // interest normalization: per-rater population z-scores
     val norm = QualtricsIngest.withInterestNormalized(
-      QualtricsIngest.rankToMatrix(wide, "r", Seq(1, 2), Seq(1)))
+      QualtricsIngest.rankToMatrix(wide, Seq(1, 2), Seq(1)))
       .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(6)).toMap
     // rater 7: values (9, 3) -> mean 6, pop std 3 -> z = +1, -1
     assert(math.abs(norm((7L, 1L)) - 1.0) < 1e-12 &&

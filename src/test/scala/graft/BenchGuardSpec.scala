@@ -54,7 +54,11 @@ class BenchGuardSpec extends AnyFunSuite {
           k.trim -> v.trim.toDouble
         }.toMap
     }
-    val names = SparkEntry.headline.filter(envelope.contains)
+    // headline + the Spark-only extras (non-headline queries with a
+    // committed floor — q96 etc.); an extra without an envelope line
+    // is simply not gated yet
+    val names =
+      (SparkEntry.headline ++ SparkEntry.benchExtra).filter(envelope.contains)
     assert(names.nonEmpty, "envelope names none of the headline queries")
 
     val spark = GraftSession.local("32", "32", logLevel = "ERROR")

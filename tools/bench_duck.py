@@ -60,7 +60,12 @@ def main():
     # q96: the capstone chains the q81 slice mirror AND the q95
     # recursive closure — both already skipped individually; it is
     # excluded from the Spark headline too (PipelineOps.headline)
-    skipped = sorted(n for n in ("q79_strip_dup_spans",
+    # q35/q38: the deliberately quadratic correctness baselines —
+    # excluded from the Spark headline, so they must not enter the
+    # duck side either (they carry Spark-only envelope floors instead)
+    skipped = sorted(n for n in ("q35_dedup_jaccard",
+                                 "q38_dedup_embedding",
+                                 "q79_strip_dup_spans",
                                  "q81_decontaminate_strip",
                                  "q82_survivors_quality",
                                  "q84_semdedup",
