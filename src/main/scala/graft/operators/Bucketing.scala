@@ -20,8 +20,21 @@ object Bucketing {
     * ScaleJoinSpec for the plan assertion). */
   def writeBucketed(df: DataFrame, table: String, path: String,
                     keyCol: String, buckets: Int): Unit =
+    writeBucketed(df, table, path, Seq(keyCol), buckets)
+
+  /** Multi-column variant: bucketed + sorted on `keyCols` (the table's
+    * scan reports HashPartitioning(keyCols, buckets), so a join whose
+    * keys contain the bucket columns plans with NO exchange on this
+    * side — the probe side alone shuffles, with `buckets` partitions).
+    * Used by the persisted incremental-capstone indexes (rawFp on fp,
+    * deconBands on (b, bkey) — PipelineOps.persistBaseIndexes). */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    keyCols: Seq[String], buckets: Int): Unit = {
+    require(keyCols.nonEmpty, "at least one bucket column")
     df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
       .option("path", path)
       .saveAsTable(table)
+  }
 }

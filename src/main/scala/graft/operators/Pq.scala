@@ -1,0 +1,283 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.plans.{PqAdc, PqCodes, PqLut, PqPack}
+
+/** IVF-PQ: product-quantized vector index — the 100 TB ANN MEMORY
+  * path. The IVF machinery ([[Similarity.ivf]]/[[Similarity
+  * .ivfTwoLevel]]) bounds CANDIDATE volume, but its index still
+  * stores full float vectors: at 10⁹ × 64-dim × 4 B = 256 GB the
+  * index itself is the cost. PQ (Jégou et al., TPAMI 2011 — the
+  * FAISS IVFPQ layout) compresses each vector to m bytes: split the
+  * RESIDUAL against the home coarse centroid into m subspaces of
+  * Dim/m dims, quantize each subspace against a 256-entry codebook,
+  * store only the m codeword ids. Search is ASYMMETRIC: the query
+  * residual is never quantized — per (query, probed cell) a lookup
+  * table of m × ksub exact partial distances is built once
+  * ([[graft.plans.PqLut]]), and every candidate scores as m table
+  * loads + m adds ([[graft.plans.PqAdc]]) without touching a float.
+  *
+  * Spark shape: train is bounded driver work (coarse k-means +
+  * m per-subspace k-means — each fit a treeAggregate pass; the
+  * codebook is m·ksub·dsub longs, a reference object, never a plan
+  * literal). Encode is ONE map-side pass over the corpus (literal
+  * coarse assignment + broadcast centroid join + the PqCodes codegen
+  * loop) — at 100 TB the scan is the only full pass and the output
+  * is the slim (vec_id, cell, pq) index. Search broadcasts
+  * |queries|·probes LUT rows and joins them to the index on the home
+  * cell: the only per-candidate work is the ADC sum, and nothing
+  * wide ever moves.
+  *
+  * Exactness: code assignment and ADC totals are exact int64 sums of
+  * squared quantized-component differences — deterministic arithmetic
+  * both engines reproduce bit-for-bit, so the ENCODE surface is a
+  * DuckDB oracle row (q103, over the [[modelFromRows]] deterministic
+  * codebook); the k-means-trained path and ADC recall are spec-gated
+  * (PqSpec: full-probe recall ≥ 0.8 vs exact L2 on planted clusters;
+  * SoakIvfPq: scale data point + 32x size cut).
+  */
+object Pq {
+
+  /** A trained IVF-PQ model. `coarse`: (cell id, centroid) — bounded
+    * (≤ [[Similarity.LargeCodebookCells]], the literal-inline
+    * contract). `codebook`: flat row-major m × ksub × dsub QUANTIZED
+    * residual entries (entry (j, c) starts at (j·ksub + c)·dsub). */
+  final case class PqModel(m: Int, ksub: Int,
+                           coarse: Seq[(Long, Seq[Float])],
+                           codebook: Seq[Long]) {
+    require(Dim % m == 0, s"m=$m must divide Dim=$Dim")
+    require(ksub <= 256, s"byte-packed codes need ksub <= 256: $ksub")
+    require(coarse.nonEmpty && coarse.size <= Similarity.LargeCodebookCells,
+      s"coarse codebook must stay literal-inlinable: ${coarse.size}")
+    val dsub: Int = Dim / m
+    require(codebook.size == m * ksub * dsub,
+      s"codebook size ${codebook.size} != ${m * ksub * dsub}")
+  }
+
+  /** Coarse-codebook size at which the inlined-literal assignment
+    * gives way to the broadcast-join shape. Much lower than
+    * [[Similarity.LargeCodebookCells]] (the codegen-LIMIT bound):
+    * SoakIvfPq measured the literal path at 256 cells costing ~80 s
+    * per 200k-row pass (the generated 256-struct array_sort loses
+    * whole-stage codegen) where the join + min-struct aggregation
+    * shape does the identical assignment in ~5 s. Both shapes share
+    * [[Similarity.negsimCol]]'s arithmetic and sentinels, so the
+    * assignment is value-equal either way (the ivfSearchJoin
+    * property); q103's 8-cell oracle rides the literal path. */
+  val LiteralCells = 64
+
+  private def coarseDf(spark: SparkSession, model: PqModel): DataFrame = {
+    import spark.implicits._
+    model.coarse.toDF("cell", "cembedding")
+  }
+
+  /** Home coarse cell of every row: the [[Similarity.ivfSearch]]
+    * literal assignment below [[LiteralCells]] (identical arithmetic
+    * + zero-norm sentinels, so q103's cell column mirrors q41's
+    * oracle CTE exactly); the broadcast-join + min-struct shape above
+    * it (the [[Similarity.ivfSearchJoin]] discipline — the
+    * corpus × cells product exists map-side only and the one corpus
+    * shuffle moves slim best-cell rows). */
+  private def withCell(n: DataFrame, model: PqModel): DataFrame =
+    if (model.coarse.size <= LiteralCells)
+      n.withColumn("cell",
+        Similarity.centRankArray(model.coarse, col("embedding"), col("nrm"))
+          .getItem(0).getField("cent_id"))
+    else {
+      val c = broadcast(coarseDf(n.sparkSession, model)
+        .select(col("cell").as("cent_id"), col("cembedding"),
+          normQ(col("cembedding")).as("cnrm")))
+      val home = n.join(c)
+        .select(col("vec_id"), Similarity.negsimCol.as("negsim"), col("cent_id"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("negsim"), col("cent_id")))
+          .getField("cent_id").as("cell"))
+      n.join(home, Seq("vec_id"))
+    }
+
+  /** The `probes` nearest coarse cells of each QUERY row (bounded
+    * side by contract), as (query_id, cell, qe) — literal ranking
+    * below [[LiteralCells]], join + row_number above it. */
+  private def queryProbes(qn: DataFrame, model: PqModel, probes: Int): DataFrame =
+    if (model.coarse.size <= LiteralCells)
+      qn.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(slice(
+          Similarity.centRankArray(model.coarse, col("embedding"), col("nrm")),
+          1, probes)).as("pc"))
+        .select(col("query_id"), col("pc.cent_id").as("cell"), col("qe"))
+    else {
+      val c = broadcast(coarseDf(qn.sparkSession, model)
+        .select(col("cell").as("cent_id"), col("cembedding"),
+          normQ(col("cembedding")).as("cnrm")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("negsim"), col("cent_id"))
+      qn.join(c)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.negsimCol.as("negsim"), col("cent_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= probes)
+        .select(col("vec_id").as("query_id"), col("cent_id").as("cell"),
+          col("embedding").as("qe"))
+    }
+
+  /** ENCODE: (vec_id, cell, codes array<long>, pq binary) — one
+    * map-side corpus pass. `codes` is the oracle surface; `pq` the
+    * m-byte stored form ([[graft.plans.PqPack]]). */
+  def encode(corpus: DataFrame, model: PqModel): DataFrame = {
+    val n = Similarity.withNorm(corpus)
+    withCell(n, model)
+      .join(broadcast(coarseDf(corpus.sparkSession, model)), Seq("cell"))
+      .withColumn("codes",
+        PqCodes(col("embedding"), col("cembedding"), model.m, model.ksub, model.codebook))
+      .select(col("vec_id"), col("cell"), col("codes"),
+        PqPack(col("codes"), model.m, model.ksub).as("pq"))
+  }
+
+  /** ADC SEARCH over a stored index (`index`: the [[encode]] output's
+    * (vec_id, cell, pq) — at deployment a parquet table; `corpus`
+    * supplies query vectors only). Per query: rank the coarse cells
+    * (literal, shuffle-free), build one LUT per probed cell, join the
+    * broadcast LUT rows to the index on the home cell, ADC-score and
+    * top-k. Output (query_id, neighbor_id, rank, adist) with `adist`
+    * the exact int64 approximate squared distance (ascending = most
+    * similar first; ties break on neighbor_id — fully deterministic). */
+  def searchAdcIndex(index: DataFrame, corpus: DataFrame, model: PqModel,
+                     queryPred: Column, k: Int, probes: Int): DataFrame = {
+    val n = Similarity.withNorm(corpus)
+    val qn = n.filter(queryPred)
+    val q = queryProbes(qn, model, probes)
+      .join(coarseDf(corpus.sparkSession, model), Seq("cell"))
+      .select(col("cell"), col("query_id"),
+        PqLut(col("qe"), col("cembedding"), model.m, model.ksub, model.codebook).as("lut"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    broadcast(q).join(index, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", PqAdc(col("pq"), col("lut"), model.m, model.ksub))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
+  }
+
+  /** [[searchAdcIndex]] with the index built inline (the spec/soak
+    * convenience; deployment encodes once and persists). */
+  def searchAdc(corpus: DataFrame, model: PqModel, queryPred: Column,
+                k: Int, probes: Int = 2): DataFrame =
+    searchAdcIndex(encode(corpus, model).select(col("vec_id"), col("cell"), col("pq")),
+      corpus, model, queryPred, k, probes)
+
+  /** ADC + EXACT REFINE (the FAISS IVFPQR shape): ADC shortlists
+    * `shortlist` candidates per query from the compressed index, then
+    * the shortlist ALONE joins back to the full vectors for an exact
+    * quantized squared-L2 rerank to top-k. Why this exists: PQ cannot
+    * discriminate WITHIN a quantization cell — every vector sharing a
+    * code word ties on adist, so raw ADC top-k on clustered data
+    * returns an arbitrary k of the tied cluster and recall@k is
+    * ~k/cluster-size by construction. The refine restores recall
+    * while the expensive float-vector work stays bounded by
+    * |queries|·shortlist rows — the scan itself still never touches a
+    * vector. SIZE `shortlist` at or above the expected code-TIE-group
+    * (≈ corpus / distinct-content-modes on clustered data): SoakIvfPq
+    * at 200k vectors / 512 planted clusters measured recall@5 = 0.70
+    * at shortlist 200 (< the ~390-member tie groups — the refine can
+    * only rescue what the shortlist admits) vs 0.96 at 800, at
+    * unchanged wall (the refine is |queries|·shortlist rows either
+    * way). Output (query_id, neighbor_id, rank, d2), d2 the exact
+    * int64 squared L2 of the quantized vectors. */
+  def searchAdcRerank(corpus: DataFrame, model: PqModel, queryPred: Column,
+                      k: Int, probes: Int = 2, shortlist: Int = 100): DataFrame =
+    searchAdcRerankIndex(
+      encode(corpus, model).select(col("vec_id"), col("cell"), col("pq")),
+      corpus, model, queryPred, k, probes, shortlist)
+
+  /** [[searchAdcRerank]] over a PERSISTED index (deployment encodes
+    * once; every query session reruns only the ADC + refine tail). */
+  def searchAdcRerankIndex(index: DataFrame, corpus: DataFrame, model: PqModel,
+                           queryPred: Column, k: Int, probes: Int,
+                           shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val cand = searchAdcIndex(index, corpus, model, queryPred, k = shortlist, probes)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = corpus.select(col("vec_id"), quantizeQ(col("embedding")).as("qv"))
+    val d2 = aggregate(zip_with(col("qq"), col("nv"),
+      (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+    cand
+      .join(qv.select(col("vec_id").as("neighbor_id"), col("qv").as("nv")),
+        Seq("neighbor_id"))
+      .join(broadcast(qv.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("qv").as("qq"))), Seq("query_id"))
+      .withColumn("d2", d2)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("d2"))
+  }
+
+  /** DETERMINISTIC model from designated corpus rows — the oracle
+    * path (no k-means): coarse centroids are the rows under
+    * `centPred`, codebook entry (j, c) is the QUANTIZED subspace-j
+    * slice of the c-th row under `cwPred` (ordered by vec_id). Both
+    * collects are bounded by contract (the IVF centroid-collect
+    * precedent — cells + ksub rows, never data). */
+  def modelFromRows(corpus: DataFrame, centPred: Column, cwPred: Column,
+                    m: Int): PqModel = {
+    def rows(pred: Column): Seq[(Long, Seq[Float])] = corpus.filter(pred)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val coarse = rows(centPred)
+    val cws = rows(cwPred)
+    val ksub = cws.size
+    val dsub = Dim / m
+    val codebook = for {
+      j <- 0 until m
+      c <- 0 until ksub
+      t <- 0 until dsub
+    } yield math.floor(cws(c)._2(j * dsub + t).toDouble * QScale).toLong
+    PqModel(m, ksub, coarse, codebook)
+  }
+
+  /** TRAIN: coarse k-means over the corpus ([[Similarity.ivfLearned]]
+    * conventions), then m per-subspace k-means fits over the FLOAT
+    * residuals — each fit a bounded sequence of treeAggregate passes;
+    * the residual table is pinned once so the m fits share one
+    * assignment pass, and released before returning. Codebook entries
+    * are quantized with the encode-side arithmetic (floor(x·1e7)), so
+    * a trained model and a [[modelFromRows]] model flow through the
+    * identical exact-int64 encode. */
+  def train(corpus: DataFrame, cells: Int, m: Int = 8, ksub: Int = 256,
+            seed: Long = 42L): PqModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dsub = Dim / m
+    val n = Similarity.withNorm(corpus)
+    val coarseModel = new KMeans()
+      .setK(cells).setSeed(seed).setMaxIter(20).setFeaturesCol("features")
+      .fit(n.select(array_to_vector(col("embedding")).as("features")))
+    val coarse: Seq[(Long, Seq[Float])] =
+      coarseModel.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i.toLong, c.toArray.toSeq.map(_.toFloat))
+      }.toSeq
+    val interim = PqModel(m, ksub, coarse,
+      Seq.fill(m * ksub * dsub)(0L)) // shape carrier for withCell only
+    val spark = corpus.sparkSession
+    val resid = Pin(withCell(n, interim)
+      .join(broadcast(coarseDf(spark, interim)), Seq("cell"))
+      .select(zip_with(col("embedding"), col("cembedding"),
+        (x, c) => x - c).as("r")))
+    try {
+      val codebook = (0 until m).flatMap { j =>
+        val slab = resid.select(array_to_vector(
+          slice(col("r"), j * dsub + 1, dsub)).as("features"))
+        val km = new KMeans()
+          .setK(ksub).setSeed(seed + j).setMaxIter(20).setFeaturesCol("features")
+          .fit(slab)
+        km.clusterCenters.toSeq.flatMap(c =>
+          c.toArray.toSeq.map(x => math.floor(x * QScale).toLong))
+      }
+      PqModel(m, ksub, coarse, codebook)
+    } finally Pin.release(resid)
+  }
+}

@@ -439,7 +439,7 @@ object Similarity {
   /** Exact rerank tail shared by both IVF assignment shapes:
     * `q` = (cell, query_id, qe, qn) probe rows (small — broadcast),
     * `members` = (cell, vec_id, embedding, nrm) home-cell corpus. */
-  private def probeRerank(members: DataFrame, q: DataFrame, k: Int): DataFrame =
+  private[operators] def probeRerank(members: DataFrame, q: DataFrame, k: Int): DataFrame =
     broadcast(q).join(members, Seq("cell")).filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", cosineWithNorms(col("qe"), col("qn"), col("embedding"), col("nrm")))
       // no dedup needed: every member has exactly one home cell, so a
@@ -451,7 +451,7 @@ object Similarity {
     * (`cembedding`/`cnrm` columns) — the IDENTICAL arithmetic and
     * zero-norm sentinels as [[ivfSearch]]'s literal path, so the two
     * assignment shapes are value-equal (property-tested). */
-  private def negsimCol: Column =
+  private[operators] def negsimCol: Column =
     when(col("cnrm") === 0.0, lit(Double.MaxValue))
       .otherwise(when(col("nrm") === 0.0, lit(0.0))
         .otherwise(-(dotQ(col("embedding"), col("cembedding")) / (col("nrm") * col("cnrm")))))
@@ -534,7 +534,7 @@ object Similarity {
     * +MaxValue sentinel so it sorts LAST and can never capture
     * vectors whose true similarities are all negative. Bounded:
     * inlined codebooks are ≤ [[LargeCodebookCells]] by contract. */
-  private def centRankArray(cents: Seq[(Long, Seq[Float])],
+  private[operators] def centRankArray(cents: Seq[(Long, Seq[Float])],
                             emb: Column, nrm: Column): Column =
     array_sort(array(cents.map { case (cid, ce) =>
       val cn = math.sqrt(

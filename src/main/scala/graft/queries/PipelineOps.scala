@@ -198,6 +198,30 @@ object PipelineOps extends QueryModule {
       Dedup.lshBuckets(sig).select(col("b"), col("bkey"), col("sg")))
   }
 
+  /** The DEPLOYMENT shape of [[BaseIndexes]]: persist both indexes as
+    * BUCKETED + SORTED parquet tables ([[graft.operators.Bucketing]] —
+    * rawFp on `fp`, deconBands on `(b, bkey)`, the exact join keys the
+    * incremental path probes) and return a [[BaseIndexes]] reading
+    * them back through the catalog. The payoff is the whole point of
+    * persisting: every nightly [[incrementalCapstone]] run's fp
+    * anti-join and band probe plan with ZERO exchanges on the index
+    * side — the base corpus is shuffled once at ingest, never per
+    * delta (plan-gated in OrderPipelineSpec; `buckets` should match
+    * `spark.sql.shuffle.partitions` so the delta side's exchange
+    * co-partitions without a second shuffle). Tables are
+    * `<prefix>_rawfp` / `<prefix>_bands` under `basePath`. */
+  def persistBaseIndexes(idx: BaseIndexes, basePath: String,
+                         prefix: String = "graft_baseidx",
+                         buckets: Int = 32): BaseIndexes = {
+    graft.operators.Bucketing.writeBucketed(
+      idx.rawFp, s"${prefix}_rawfp", s"$basePath/rawfp", Seq("fp"), buckets)
+    graft.operators.Bucketing.writeBucketed(
+      idx.deconBands, s"${prefix}_bands", s"$basePath/bands",
+      Seq("b", "bkey"), buckets)
+    val spark = idx.rawFp.sparkSession
+    BaseIndexes(spark.table(s"${prefix}_rawfp"), spark.table(s"${prefix}_bands"))
+  }
+
   /** The INCREMENTAL capstone front: clean → decontaminate → dedup
     * the DELTA against the base indexes + itself. Equivalence
     * contract (spec-pinned, soaked at 500k/5k): when delta ids exceed
@@ -222,7 +246,31 @@ object PipelineOps extends QueryModule {
     * SHUFFLE_HASH-pinned; at deployment the band probe's build side
     * is the delta, both indexes are bucketed parquet). */
   def incrementalCapstone(idx: BaseIndexes, rawDelta: DataFrame,
-                          bench: DataFrame): DataFrame = {
+                          bench: DataFrame): DataFrame =
+    incrementalFront(idx, rawDelta, bench)._1
+
+  /** One incremental step PLUS the index delta: the batch's survivors
+    * and the rows to append to the base indexes so the NEXT delta
+    * dedups against this one — the micro-batch unit of the streaming
+    * capstone ([[graft.streaming.StreamCapstone]]). The delta is
+    * sufficient by the same decomposition argument: new distinct raw
+    * fingerprints (base-seen fps are already indexed, and identical
+    * raw text decontaminates identically, so a dropped fp-dup's bands
+    * are its base twin's), and the band rows of ALL the batch's
+    * decontaminated docs — including docs the near-dup stage then
+    * drops, exactly as [[baseIndexes]] indexes the base's deconFront
+    * (pre-survivor), so a later doc connected only THROUGH a dropped
+    * one still band-hits it. */
+  def incrementalStep(idx: BaseIndexes, rawDelta: DataFrame,
+                      bench: DataFrame): (DataFrame, BaseIndexes) = {
+    val (survivors, fresh, sig) = incrementalFront(idx, rawDelta, bench)
+    (survivors, BaseIndexes(
+      fresh.select(TextFunctions.fingerprint(col("text")).as("fp")).distinct(),
+      Dedup.lshBuckets(sig).select(col("b"), col("bkey"), col("sg"))))
+  }
+
+  private def incrementalFront(idx: BaseIndexes, rawDelta: DataFrame,
+                               bench: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val fresh = rawDelta
       .withColumn("_fp", TextFunctions.fingerprint(col("text")))
       .join(idx.rawFp.select(col("fp").as("_fp")).hint("SHUFFLE_HASH"),
@@ -249,7 +297,7 @@ object PipelineOps extends QueryModule {
       .unionAll(cl.filter(col("node") =!= col("cluster_id"))
         .select(col("node").as("doc_id")))
       .distinct()
-    decon.join(drops, Seq("doc_id"), "left_anti")
+    (decon.join(drops, Seq("doc_id"), "left_anti"), fresh, sig)
   }
 
   // The chained oracle mirror: q78's clean CTEs → q81's strip CTEs

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.functions.VectorFunctions.Dim
+import graft.operators.{Pq, Similarity}
 
 /** §2.E — similarity search over `embeddings`. q39 is the exact
   * baseline; q40/q41 are the bucketed ANN scale paths. ALL THREE are
@@ -281,6 +282,59 @@ object SimilarityOps extends QueryModule {
        |  nid AS negative_id, nsim AS neg_sim
        |FROM pos JOIN neg USING (query_id) ORDER BY anchor_id""".stripMargin
 
+  // q103: IVF-PQ ENCODE (operators/Pq) — the compressed-index build:
+  // home coarse cell (q41's assignment arithmetic verbatim) + the m
+  // per-subspace residual codeword argmins, every distance an exact
+  // int64 sum of squared quantized diffs. The oracle fixes the
+  // codebook deterministically (codewords = the vec_id < NumCodewords
+  // corpus rows, coarse = the q41 centroid rows) so the whole encode
+  // is cross-engine reproducible SQL; the k-means-trained model and
+  // the ADC search path are spec-gated (PqSpec), their recall soaked
+  // (SoakIvfPq). Long output (vec_id, cell, j, code): one row per
+  // subspace — no pivot, exact BIGINTs end to end.
+  private val PqM = 4           // 4 subspaces × 16 dims
+  private val NumCodewords = 16 // PQ codebook rows: vec_id < 16
+
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = Pq.modelFromRows(emb,
+      col("vec_id") < NumCents, col("vec_id") < NumCodewords, PqM)
+    Pq.encode(emb, model)
+      .select(col("vec_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("j", "code")))
+      .select(col("vec_id"), col("cell"),
+        col("j").cast("bigint").as("j"), col("code"))
+      .sortWithinPartitions(col("vec_id"), col("j"))
+  }
+
+  private val q103Sql =
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, qv,
+       |    sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+       |  FROM q),
+       |cents AS (SELECT vec_id AS cent_id, qv AS cv, nrm AS cn FROM n WHERE vec_id < $NumCents),
+       |asg AS (SELECT n.vec_id, c.cent_id,
+       |    CAST(list_sum(list_transform(range(1,65), i -> n.qv[i] * c.cv[i])) AS DOUBLE)
+       |      / (n.nrm * c.cn) AS csim
+       |  FROM n, cents c),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crank FROM asg),
+       |home AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crank = 1),
+       |rv AS (SELECT n.vec_id, h.cell,
+       |    list_transform(range(1,65), i -> n.qv[i] - c.cv[i]) AS r
+       |  FROM n JOIN home h USING (vec_id) JOIN cents c ON c.cent_id = h.cell),
+       |cw AS (SELECT vec_id AS cw_id, qv AS cwv FROM q WHERE vec_id < $NumCodewords),
+       |d AS (SELECT rv.vec_id, rv.cell, js.j, cw.cw_id,
+       |    list_sum(list_transform(range(1, ${Dim / PqM + 1}), t ->
+       |      (rv.r[js.j*${Dim / PqM} + t] - cw.cwv[js.j*${Dim / PqM} + t])
+       |      * (rv.r[js.j*${Dim / PqM} + t] - cw.cwv[js.j*${Dim / PqM} + t]))) AS dist
+       |  FROM rv, range(0, $PqM) js(j), cw),
+       |best AS (SELECT vec_id, cell, j, cw_id AS code,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cw_id) AS rk FROM d)
+       |SELECT vec_id, cell, CAST(j AS BIGINT) AS j, code
+       |FROM best WHERE rk = 1 ORDER BY vec_id, j""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q39_knn_brute", q39, Some(q39Sql)),
     QueryDef("q40_ann_lsh", q40, Some(q40Sql)),
@@ -288,7 +342,8 @@ object SimilarityOps extends QueryModule {
     QueryDef("q72_embedding_neardup", q72, Some(q72Sql)),
     QueryDef("q83_knn_graph", q83, Some(q83Sql)),
     QueryDef("q84_semdedup", q84, Some(q84Sql)),
-    QueryDef("q94_contrastive_triples", q94, Some(q94Sql)))
+    QueryDef("q94_contrastive_triples", q94, Some(q94Sql)),
+    QueryDef("q103_pq_codes", q103, Some(q103Sql)))
 
   /** q84's oracle mirror re-runs q72's pair listing plus a recursive
     * closure (DuckDB's weakest surface — the q82 precedent), so it is

@@ -191,6 +191,85 @@ class OrderPipelineSpec extends SparkTestBase {
       "benchmark span not stripped from the surviving delta doc")
   }
 
+  test("persisted bucketed base indexes: identical output, zero exchanges on the index side") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def ws(seed: String, n: Int) = (1 to n).map(i => s"$seed$i").mkString(" ")
+    val bench = Seq((-1L, "the held out benchmark passage with forty plus " +
+      "characters of exact evaluation text content appearing verbatim here"))
+      .toDF("doc_id", "text")
+    val base = ((1 to 30).map(i => (1000L + i) -> ws(s"b$i ", 40)) :+
+      (2001L -> ws("alpha", 40))).toDF("doc_id", "text")
+    val delta = Seq(
+      5001L -> ws("alpha", 40),  // exact dup of base
+      5002L -> ws("gamma", 40)   // fresh
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_baseidx").toString
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      val idx = PipelineOps.baseIndexes(base, bench)
+      val pidx = PipelineOps.persistBaseIndexes(idx, tmp, buckets = 32)
+
+      // output equality: the persisted-index run IS the in-memory run
+      val mem = PipelineOps.incrementalCapstone(idx, delta, bench)
+        .as[(Long, String)].collect().toSet
+      val per = PipelineOps.incrementalCapstone(pidx, delta, bench)
+        .as[(Long, String)].collect().toSet
+      assert(per == mem, s"persisted-index output diverged: $per vs $mem")
+      assert(per.map(_._1) == Set(5002L))
+
+      // plan gate (AQE off so the physical tree is directly walkable;
+      // the pins inside incrementalCapstone hide its internal joins,
+      // so gate the two index probes EXACTLY as the operator builds
+      // them): no ShuffleExchange may sit above a bucketed index scan
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def indexScanUnderExchange(df: org.apache.spark.sql.DataFrame,
+                                 table: String): Boolean =
+        df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e.collectLeaves().exists {
+            case f: FileSourceScanExec =>
+              f.tableIdentifier.exists(_.table.contains(table))
+            case _ => false
+          }
+        }.exists(identity)
+      def hasBucketedScan(df: org.apache.spark.sql.DataFrame,
+                          table: String): Boolean =
+        df.queryExecution.executedPlan.collectLeaves().exists {
+          case f: FileSourceScanExec =>
+            f.tableIdentifier.exists(_.table.contains(table)) && f.bucketedScan
+          case _ => false
+        }
+      val fpJoin = delta
+        .withColumn("_fp", TextFunctions.fingerprint(col("text")))
+        .join(pidx.rawFp.select(col("fp").as("_fp")).hint("SHUFFLE_HASH"),
+          Seq("_fp"), "left_anti")
+      assert(hasBucketedScan(fpJoin, "rawfp"),
+        "fp index must plan as a bucketed scan")
+      assert(!indexScanUnderExchange(fpJoin, "rawfp"),
+        s"fp anti-join shuffles the persisted index:\n${fpJoin.queryExecution.executedPlan}")
+      assert(fpJoin.count() == 1) // 5001 dropped against the base fp index
+
+      val sig = Dedup.withSignatureFromHashes(Dedup.shingleHashRows(
+        PipelineOps.deconFront(fpJoin.drop("_fp"), bench)
+          .select(col("doc_id"), col("clean_text").as("text"))))
+      val bandProbe = Dedup.lshBuckets(sig)
+        .join(pidx.deconBands
+          .select(col("b"), col("bkey"), col("sg").as("_bsg"))
+          .hint("SHUFFLE_HASH"), Seq("b", "bkey"))
+      assert(hasBucketedScan(bandProbe, "bands"),
+        "band index must plan as a bucketed scan")
+      assert(!indexScanUnderExchange(bandProbe, "bands"),
+        s"band probe shuffles the persisted index:\n${bandProbe.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.sql("DROP TABLE IF EXISTS graft_baseidx_rawfp")
+      spark.sql("DROP TABLE IF EXISTS graft_baseidx_bands")
+    }
+  }
+
   test("q96: bins are contiguous, bench docs excluded, fill bounded by capacity+straddle") {
     val rows = q("q96_pretrain_capstone").orderBy(col("bin")).collect()
     assert(rows.nonEmpty)
