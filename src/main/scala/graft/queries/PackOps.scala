@@ -98,7 +98,46 @@ object PackOps extends QueryModule {
        |WHERE n_copies >= 1
        |ORDER BY doc_id, copy""".stripMargin
 
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    SequencePack.packBinned(
+      docs(s, dir).select(col("doc_id"), bpeTokenCount(col("text")).as("tok")),
+      col("tok"), col("doc_id"), Capacity)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tok_sum"),
+        max(col("fit")).as("fit"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("bin"))
+
+  private val q104Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '$BpeTokenRe')) AS BIGINT) AS tok
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, tok,
+       |    $Capacity // greatest(tok, 1) AS m,
+       |    greatest($Capacity // greatest(tok, 1), 1) AS k,
+       |    substr(md5('pack_' || CAST(doc_id AS VARCHAR)), 1, 8) AS s
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, tok, m, k,
+       |    ROW_NUMBER() OVER (PARTITION BY m ORDER BY s, doc_id) - 1 AS r
+       |  FROM b),
+       |o AS (
+       |  SELECT m, (count(*) + min(k) - 1) // min(k) AS nb FROM r GROUP BY m),
+       |p AS (
+       |  SELECT m, COALESCE(SUM(nb) OVER (ORDER BY m
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boff
+       |  FROM o)
+       |SELECT CAST(p.boff + r.r // r.k AS BIGINT) AS bin,
+       |  count(*) AS n_docs, CAST(sum(r.tok) AS BIGINT) AS tok_sum,
+       |  CAST(max(r.k) AS BIGINT) AS fit,
+       |  min(r.doc_id) AS first_doc, max(r.doc_id) AS last_doc
+       |FROM r JOIN p USING (m)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q67_pack_sequences", q67, Some(q67Sql)),
-    QueryDef("q68_mixture_sample", q68, Some(q68Sql)))
+    QueryDef("q68_mixture_sample", q68, Some(q68Sql)),
+    QueryDef("q104_pack_binned", q104, Some(q104Sql)))
 }
