@@ -246,6 +246,30 @@ object TextOps extends QueryModule {
        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
   }
 
+  // q105: the unigram-LM tokenizer trainer's data surface (Kudo 2018,
+  // the SentencePiece seed step — operators/UnigramLm): every ≤6-char
+  // substring of the word-count vocabulary with its summed occurrence
+  // weight, top-1000 by (cnt desc, piece asc). Exact int64 counts;
+  // the EM/prune loop is driver-iterative over this bounded surface
+  // and spec-gated on the hand-computable forward-backward round
+  // (UnigramLmSpec).
+  private val UniSeedLen = 6
+
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    graft.operators.UnigramLm.seedCounts(
+      graft.operators.BpeTrain.vocab(docs(s, dir)), UniSeedLen)
+      .orderBy(col("cnt").desc, col("piece")).limit(1000)
+
+  private val q105Sql =
+    s"""WITH wr AS (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents),
+       |v AS (SELECT w, count(*) AS cnt FROM wr WHERE len(w) > 0 GROUP BY w),
+       |p AS (SELECT cnt, unnest(flatten(list_transform(range(1, len(w) + 1),
+       |        i -> list_transform(range(1, least($UniSeedLen, len(w) - i + 1) + 1),
+       |               l -> substr(w, i, l))))) AS piece FROM v)
+       |SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+       |FROM p GROUP BY piece
+       |ORDER BY cnt DESC, piece LIMIT 1000""".stripMargin
+
   override val all: Seq[QueryDef] = Seq(
     QueryDef("q25_regex_scrub", q25, Some(q25Sql)),
     QueryDef("q26_ooc_filter", q26, Some(q26Sql)),
@@ -257,5 +281,6 @@ object TextOps extends QueryModule {
     QueryDef("q32_anonymize", q32, Some(q32Sql)),
     QueryDef("q33_train_test_split", q33, Some(q33Sql)),
     QueryDef("q86_bpe_pairs", q86, Some(q86Sql)),
-    QueryDef("q87_tfidf_keywords", q87, Some(q87Sql)))
+    QueryDef("q87_tfidf_keywords", q87, Some(q87Sql)),
+    QueryDef("q105_unigram_seed", q105, Some(q105Sql)))
 }
