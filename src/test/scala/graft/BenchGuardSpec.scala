@@ -40,10 +40,28 @@ class BenchGuardSpec extends AnyFunSuite {
   test("sf1 headline queries stay within 2x of the committed envelope") {
     assume(sys.env.get("GRAFT_BENCH_GUARD").contains("1"),
       "opt-in: set GRAFT_BENCH_GUARD=1")
-    val envPath = Paths.get("bench_envelope_sf1.conf")
+    guard("bench_envelope_sf1.conf",
+      sys.env.getOrElse("GRAFT_BENCH_SF_DIR", "/root/repo/.bench/sf1"))
+  }
+
+  /** The sf10 envelope (round 14): same gate, 10x the data, the
+    * full-suite headline floors from the sf10 bench pair
+    * (BENCH_SF10.md). Separately opt-in — tens of minutes of
+    * wall-clock — so the sf1 guard stays runnable alone. Uses the
+    * sf10 canonical run config (SPARK_DRIVER_MEM=24g, see the conf
+    * header): floors were measured at that heap, and gating an 8g
+    * run against 24g floors would fail on spill, not regression. */
+  test("sf10 headline queries stay within 2x of the committed envelope") {
+    assume(sys.env.get("GRAFT_BENCH_GUARD_SF10").contains("1"),
+      "opt-in: set GRAFT_BENCH_GUARD_SF10=1")
+    guard("bench_envelope_sf10.conf",
+      sys.env.getOrElse("GRAFT_BENCH_SF_DIR", "/root/repo/.bench/sf10"))
+  }
+
+  private def guard(envelopeFile: String, sfDir: String): Unit = {
+    val envPath = Paths.get(envelopeFile)
     assume(Files.exists(envPath), s"no committed envelope at $envPath")
-    val sfDir = sys.env.getOrElse("GRAFT_BENCH_SF_DIR", "/root/repo/.bench/sf1")
-    assume(Files.isDirectory(Paths.get(sfDir)), s"sf1 tables missing at $sfDir")
+    assume(Files.isDirectory(Paths.get(sfDir)), s"bench tables missing at $sfDir")
 
     val envelope: Map[String, Double] = {
       import scala.jdk.CollectionConverters._
@@ -67,7 +85,12 @@ class BenchGuardSpec extends AnyFunSuite {
       def runOne(n: String): Double = {
         val t0 = System.nanoTime()
         queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // same per-query pin hygiene as graft.Bench (outside the timed
+        // window): floors are measured under the Bench protocol, so the
+        // guard must not carry cross-query pinned blocks Bench doesn't
+        Verify.releaseQueryState(spark)
+        sec
       }
       names.foreach(runOne) // warm-up: JIT, footer cache, codegen cache
 
@@ -91,7 +114,7 @@ class BenchGuardSpec extends AnyFunSuite {
         else None
       }
       assert(over.isEmpty,
-        s"perf regression vs committed sf1 envelope:\n  ${over.mkString("\n  ")}")
+        s"perf regression vs committed $envelopeFile:\n  ${over.mkString("\n  ")}")
     } finally spark.stop()
   }
 }

@@ -31,6 +31,18 @@ def main():
     con = duckdb.connect()
     con.execute("SET threads=32")
     con.execute("SET TimeZone='UTC'")
+    # Bound memory and spill to disk instead of dying: the unbounded
+    # default let the sf10 q37 mirror's candidate DISTINCT grow to
+    # 130 GB RSS and take the OOM killer (exit 137, whole run lost).
+    # 55 GB (not 80: the q70 recursive-closure working table lives
+    # OUTSIDE the buffer-managed budget and still drew the OOM killer
+    # at 80) leaves real headroom on the 128 GB host; blocking
+    # operators (hash join/distinct/agg) spill to temp beyond it.
+    con.execute("SET memory_limit='55GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # the host disk has ~78 GB free; a 120 GB cap just trades the OOM
+    # killer for ENOSPC (q37 did exactly that)
+    con.execute("SET max_temp_directory_size='70GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet/*.parquet')")
@@ -93,7 +105,40 @@ SELECT d.doc_id, CAST(greatest(length(d.text)-39, 0) AS BIGINT) AS n_windows,
   CAST(coalesce(dup_windows, 0) AS DOUBLE) / nullif(greatest(length(d.text)-39, 0), 0) AS dup_frac
 FROM documents d LEFT JOIN dups USING (doc_id) ORDER BY d.doc_id"""
     res, total = {}, 0.0
+    # resume: skip queries already timed in a previous (killed) run's
+    # partial artifact, so one engine-death doesn't re-pay a 972 s q36
+    inflight_path = out_path + ".inflight"
+    if "--resume" in sys.argv:
+        try:
+            res = json.load(open(out_path + ".partial"))["queries"]
+            total = sum(max(t, 0.0) for t in res.values())
+            print(f"[duck] resuming past {len(res)} completed queries",
+                  file=sys.stderr, flush=True)
+        except FileNotFoundError:
+            pass
+        # a query that was in flight when the previous run was KILLED
+        # (OOM killer — no Python exception, no -1 recorded) must be
+        # marked DNF here, or a resume loop would retry it to the same
+        # death forever (the sf10 q70 recursive closure did exactly
+        # that at 80 GB)
+        try:
+            victim = open(inflight_path).read().strip()
+            if victim and victim not in res:
+                print(f"[duck] {victim}: DNF (killed in a previous run)"
+                      " -> -1", file=sys.stderr, flush=True)
+                res[victim] = -1.0
+        except FileNotFoundError:
+            pass
+    # interrupt watchdog: the slowest legitimate mirror (sf10 q36) is
+    # ~970 s; anything past GRAFT_DUCK_TIMEOUT (default 2400 s) is a
+    # formulation blow-up, not a timing — interrupt and record -1
+    # rather than hold the suite hostage
+    import os
+    import threading
+    timeout_s = float(os.environ.get("GRAFT_DUCK_TIMEOUT", "2400"))
     for name in sorted(sql):
+        if name in res:
+            continue
         q = sql[name]
         if ts_is_bigint:
             # regex, not exact-string: tolerate alias qualification and
@@ -101,15 +146,39 @@ FROM documents d LEFT JOIN dups USING (doc_id) ORDER BY d.doc_id"""
             # epoch_us( survives — a silent skip errors mid-suite later.
             q = re.sub(r"epoch_us\(\s*(\w+\.)?ts\s*\)", r"(\1ts // 1000)", q)
             assert "epoch_us(" not in q, f"unrewritten epoch_us in {name}"
+        open(inflight_path, "w").write(name)
+        timer = threading.Timer(timeout_s, con.interrupt)
+        timer.start()
         t0 = time.time()
         try:
-            con.execute(q).fetchall()
+            # stream the result as Arrow batches and discard: fetchall()
+            # builds the whole result as Python tuples, and the sf10 q37
+            # mirror's ~1e9-row pair list took the OOM killer through it
+            # (memory_limit only governs the engine, not the client
+            # buffer). Batch-consume is the analog of the Spark side's
+            # noop sink: full execution + row delivery, bounded client
+            # memory, no per-value Python object conversion.
+            reader = con.execute(q).fetch_record_batch(1 << 20)
+            for _batch in reader:
+                pass
             dt = time.time() - t0
         except Exception as e:
             dt = -1.0
             print(f"ERR {name}: {str(e)[:120]}")
+        finally:
+            timer.cancel()
         res[name] = round(dt, 3)
         total += max(dt, 0.0)
+        # per-query progress + a partial artifact: a multi-hundred-
+        # second suite (sf10) that dies mid-run must not lose every
+        # completed timing (the OOM kill above did exactly that)
+        print(f"[duck] {name}: {dt:.2f} s", file=sys.stderr, flush=True)
+        json.dump({"partial": True, "queries": res},
+                  open(out_path + ".partial", "w"))
+        try:
+            os.remove(inflight_path)
+        except FileNotFoundError:
+            pass
     json.dump({"total": round(total, 3), "queries": res,
                "overrides": overrides, "skipped": skipped},
               open(out_path, "w"))

@@ -55,7 +55,11 @@ def main():
     for f in duck_files:
         j = json.load(open(f))
         for q, t in j["queries"].items():
-            if q in smin:
+            # bench_duck records an errored/DNF query as -1 (e.g. the
+            # sf10 q37 mirror exhausting 75 GB of spill): that is a
+            # MISSING timing, not a 0-second one — min-combining it
+            # would hand the query a fake duck side
+            if q in smin and t >= 0:
                 dmin[q] = min(dmin.get(q, 1e9), t)
 
     missing = sorted(set(smin) - set(dmin))
