@@ -355,19 +355,28 @@ object Quality {
     * and the sklearn-"balanced" class weight w = n_docs / (2 ·
     * n_class) (doc-level counts — the q58 designMatrix formula).
     * Docs with NULL text contribute no rows (no feature stream) —
-    * mirrored by the oracle's explode. Scale shape: one explode →
-    * (doc_id, bucket)-keyed aggregation with map-side combine; the
-    * doc-level class counts are a 1-row aggregate broadcast back
-    * (no window, no driver round-trip). */
+    * mirrored by the oracle's explode. Scale shape (round 14): the
+    * per-doc bucket counts are grouped IN-ROW
+    * ([[graft.plans.BucketCounts]] — sort + run-length encode of the
+    * feature array), because every (doc_id, bucket) group lives
+    * entirely inside one input row: the former
+    * `groupBy(doc_id, bucket)` exchange moved O(docs × features)
+    * already-collapsed rows for zero combining benefit (~165M rows =
+    * most of the query's cost at sf10: 15.2 s → 5.3 s warm with the
+    * exchange and the range-sort sampler gone). The matrix is now
+    * a pure projection — no exchange at any corpus size — plus the
+    * 1-row class-count aggregate broadcast back (no window, no
+    * driver round-trip). */
   def classifierDesign(docs: DataFrame, exemplarPred: Column): DataFrame = {
     val stats = docs.agg(
       count(lit(1)).cast("double").as("_n"),
       sum(when(exemplarPred, 1.0).otherwise(0.0)).as("_np"))
     docs
       .select(col("doc_id"), exemplarPred.as("is_ex"),
-        explode(Dsir.featureBuckets(trim(col("text")))).as("bucket"))
-      .groupBy(col("doc_id"), col("bucket"))
-      .agg(count(lit(1)).as("n_occ"), max(col("is_ex")).as("is_ex"))
+        explode(graft.plans.BucketCounts(
+          Dsir.featureBuckets(trim(col("text"))))).as("bc"))
+      .select(col("doc_id"), col("is_ex"),
+        col("bc.bucket").as("bucket"), col("bc.n_occ").as("n_occ"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("bucket"), col("n_occ"),
         when(col("is_ex"), 1.0).otherwise(0.0).as("y"),
@@ -376,9 +385,10 @@ object Quality {
           .as("w"))
   }
 
-  /** Fit the classifier: dense 1024-bucket count vectors (sparse
-    * design rolled up per doc — `map_from_entries` + a bounded
-    * 1024-step densify, one doc_id exchange), then the
+  /** Fit the classifier: dense 1024-bucket count vectors (the
+    * in-row [[graft.plans.BucketCounts]] entries `map_from_entries`'d
+    * + a bounded 1024-step densify — a pure projection, no doc_id
+    * exchange since round 14), then the
     * [[RegressionHead]] conventions verbatim: spark.ml
     * LogisticRegression (one treeAggregate pass per LBFGS step — no
     * row shuffle), balanced weights, standardization ON, L2.
@@ -392,12 +402,21 @@ object Quality {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.functions.array_to_vector
     val k = Dsir.NumBuckets.toInt
-    val dense = classifierDesign(docs, exemplarPred)
-      .groupBy(col("doc_id"))
-      .agg(
-        map_from_entries(collect_list(struct(col("bucket"), col("n_occ"))))
-          .as("m"),
-        max(col("y")).as("y"), max(col("w")).as("w"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("_n"),
+      sum(when(exemplarPred, 1.0).otherwise(0.0)).as("_np"))
+    val dense = docs
+      .select(col("doc_id"), exemplarPred.as("is_ex"),
+        graft.plans.BucketCounts(
+          Dsir.featureBuckets(trim(col("text")))).as("bcs"))
+      .where(col("bcs").isNotNull) // NULL text: no feature stream (design parity)
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        when(col("is_ex"), 1.0).otherwise(0.0).as("y"),
+        when(col("is_ex"), col("_n") / (lit(2.0) * col("_np")))
+          .otherwise(col("_n") / (lit(2.0) * (col("_n") - col("_np"))))
+          .as("w"),
+        map_from_entries(col("bcs")).as("m"))
       .select(col("doc_id"), col("y"), col("w"),
         array_to_vector(transform(sequence(lit(0L), lit(k - 1L)),
           b => coalesce(element_at(col("m"), b), lit(0L)).cast("double")))

@@ -293,7 +293,16 @@ object CleanOps extends QueryModule {
     val enPred =
       (st.getField("n_stop") / st.getField("n_words")) >= 0.05
     Quality.classifierDesign(docs(s, dir), enPred)
-      .orderBy(col("doc_id"), col("bucket"))
+      // Presentation sort WITHIN partitions only (round 14, the q87
+      // lesson): the design matrix is O(docs × distinct buckets) —
+      // ~165M rows at sf10 — and a global orderBy's range sampler
+      // re-executes the child as a separate job, then merges output
+      // no consumer needs globally ordered. The matrix is a pure
+      // projection since round 14 (BucketCounts in-row grouping —
+      // see classifierDesign's scaladoc); a local sort appends to
+      // the scan stage. The driver compare re-sorts both engines'
+      // rows, so global order was never load-bearing.
+      .sortWithinPartitions(col("doc_id"), col("bucket"))
   }
 
   private val q97Sql = {

@@ -408,6 +408,22 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q97 design matrix is a pure projection: zero hash exchanges, zero range exchanges") {
+    // Round-14 structure lock: the per-doc bucket histogram is grouped
+    // IN-ROW (BucketCounts) because every (doc_id, bucket) group lives
+    // inside one input row — a reintroduced groupBy(doc_id, bucket)
+    // shows up as an Exchange hashpartitioning, and a reintroduced
+    // global orderBy as an Exchange rangepartitioning (whose sampler
+    // re-executes the child). The only allowed exchange is the 1-row
+    // class-count aggregate's SinglePartition.
+    val plan = SparkEntry.queries("q97_quality_classifier")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q97 plans a hash exchange:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"q97 plans a range exchange:\n$plan")
+  }
+
   test("prev/next columns collapse to one Window operator per sort order") {
     // NearestEvent emits all four prev/next columns in one select so
     // same-spec functions share a Window operator: 2 passes (asc+desc),

@@ -297,6 +297,29 @@ class PropertySpec extends SparkTestBase {
     assert(native == composed)
   }
 
+  test("BucketCounts equals the explode+groupBy histogram") {
+    import spark.implicits._
+    val arrGen = Gen.listOf(Gen.chooseNum(0L, 30L)).map(_.take(40))
+    val arrays = Seq.empty[Long] +: Seq(7L) +: Seq(3L, 3L, 3L) +:
+      (1 to 100).map(i => sample(arrGen, 9000L + i).toSeq)
+    val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "arr")
+    val composed = df
+      .select(col("id"), explode(col("arr")).as("bucket"))
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("n_occ"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val native = df
+      .select(col("id"),
+        explode(graft.plans.BucketCounts(col("arr"))).as("bc"))
+      .select(col("id"), col("bc.bucket"), col("bc.n_occ"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native == composed)
+    // in-row order contract: buckets strictly ascending per row
+    val asc = df.select(graft.plans.BucketCounts(col("arr")).as("bcs"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(0)))
+    assert(asc.forall(s => s.zip(s.drop(1)).forall { case (a, b) => a < b }))
+  }
+
   test("minhashPairsOwned equals the slim join+distinct+join-back pipeline on random corpora") {
     import spark.implicits._
     import graft.operators.Dedup
