@@ -2,7 +2,10 @@
 """Min-combine sf1 bench pairs into the committed artifacts.
 
 Usage:
-  python3 tools/combine_pairs.py <note> spark_run.json [spark_run...] -- duck_run.json [duck_run...]
+  python3 tools/combine_pairs.py [--prefix sfN] <note> spark_run.json [spark_run...] -- duck_run.json [duck_run...]
+
+--prefix sf10 writes bench_sf10_out.json / duck_sf10_out.json instead
+of the sf1 artifact names (the sf10 pair must not clobber the sf1 one).
 
 Each spark_run.json is a graft.Bench output (probe-gated, contains
 "passes": [{query: sec}, ...]); each duck_run.json a tools/bench_duck.py
@@ -29,9 +32,14 @@ WEAK_MIN_DUCK_S = 0.6
 
 
 def main():
-    note = sys.argv[1]
-    split = sys.argv.index("--")
-    spark_files, duck_files = sys.argv[2:split], sys.argv[split + 1:]
+    argv = list(sys.argv[1:])
+    prefix = "sf1"
+    if argv and argv[0] == "--prefix":
+        prefix = argv[1]
+        argv = argv[2:]
+    note = argv[0]
+    split = argv.index("--")
+    spark_files, duck_files = argv[1:split], argv[split + 1:]
 
     smin = {}
     for f in spark_files:
@@ -83,7 +91,7 @@ def main():
     watch = sorted(
         q for q in dmin if q in smin
         and dmin[q] >= WATCH_MIN_DUCK_S and smin[q] > WATCH_RATIO * dmin[q])
-    with open("bench_sf1_out.json", "w") as f:
+    with open(f"bench_{prefix}_out.json", "w") as f:
         f.write(json.dumps({"metric": "passes", "note": note}) + "\n")
         f.write(json.dumps({"metric": "total", "value": stot, "unit": "sec",
                             "queries": {q: round(t, 3) for q, t in sorted(smin.items())},
@@ -93,7 +101,7 @@ def main():
                             "band": {"watch_ratio": WATCH_RATIO,
                                      "watch_min_duck_s": WATCH_MIN_DUCK_S,
                                      "weak_min_duck_s": WEAK_MIN_DUCK_S}}) + "\n")
-    with open("duck_sf1_out.json", "w") as f:
+    with open(f"duck_{prefix}_out.json", "w") as f:
         f.write(json.dumps({"total": dtot,
                             "queries": {q: round(t, 3) for q, t in sorted(dmin.items())}}) + "\n")
 
