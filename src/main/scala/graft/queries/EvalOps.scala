@@ -193,7 +193,15 @@ object EvalOps extends QueryModule {
           when(graft.functions.TextFunctions.hashBucket(col("cmd_id"), salt + "ok", 3) =!= 0,
             gold).otherwise(concat(lit("!wrong "), gold)))
     }
-    withVariants.orderBy(col("cmd_id"))
+    // Presentation sort WITHIN partitions only (round 14, the
+    // q87/q97 lesson): this is a MAP-ONLY plan — no exchange below
+    // the sort — so a global orderBy's range sampler re-executes the
+    // whole scan+norm+filter child as a separate job (the norm regex
+    // pass is the query's cost; the sf10 pair measured q63 scaling
+    // 10.3x on 10x data, the double-execution made visible as sf1's
+    // action floor amortized). The driver compare re-sorts both
+    // engines' rows, so global order was never load-bearing.
+    withVariants.sortWithinPartitions(col("cmd_id"))
   }
 
   /** The REAL-file prediction merge (reference:
