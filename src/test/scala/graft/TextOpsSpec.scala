@@ -465,6 +465,9 @@ class TextOpsSpec extends SparkTestBase {
           s"${q.name} duplicated (doc_id, rank)")
       else if (df.columns.contains("doc_id"))
         assert(df.select("doc_id").distinct().count() == n, s"${q.name} duplicated doc_id")
+      else if (df.columns.contains("piece"))
+        assert(df.select("piece").distinct().count() == n,
+          s"${q.name} duplicated piece key")
       else
         assert(df.select("lft", "rgt").distinct().count() == n,
           s"${q.name} duplicated pair key")
