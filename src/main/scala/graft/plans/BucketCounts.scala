@@ -26,9 +26,10 @@ import org.apache.spark.sql.types._
 case class BucketCounts(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires ARRAY<BIGINT> input, got ${t.catalogString}")
+      s"$prettyName requires ARRAY<BIGINT> (containsNull=false) input, " +
+        s"got ${t.catalogString}")
   }
   override def dataType: DataType = ArrayType(
     StructType(Seq(

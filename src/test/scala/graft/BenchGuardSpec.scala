@@ -41,7 +41,9 @@ class BenchGuardSpec extends AnyFunSuite {
     assume(sys.env.get("GRAFT_BENCH_GUARD").contains("1"),
       "opt-in: set GRAFT_BENCH_GUARD=1")
     guard("bench_envelope_sf1.conf",
-      sys.env.getOrElse("GRAFT_BENCH_SF_DIR", "/root/repo/.bench/sf1"))
+      sys.env.get("GRAFT_BENCH_SF1_DIR")
+        .orElse(sys.env.get("GRAFT_BENCH_SF_DIR"))
+        .getOrElse("/root/repo/.bench/sf1"))
   }
 
   /** The sf10 envelope (round 14): same gate, 10x the data, the
@@ -54,8 +56,12 @@ class BenchGuardSpec extends AnyFunSuite {
   test("sf10 headline queries stay within 2x of the committed envelope") {
     assume(sys.env.get("GRAFT_BENCH_GUARD_SF10").contains("1"),
       "opt-in: set GRAFT_BENCH_GUARD_SF10=1")
+    // scale-specific var ONLY: honoring the generic GRAFT_BENCH_SF_DIR
+    // here would run the sf10 gate over sf1 data when both guards are
+    // enabled with the shared var set — a silent false-pass of the 2x
+    // floors (round-14 advisory).
     guard("bench_envelope_sf10.conf",
-      sys.env.getOrElse("GRAFT_BENCH_SF_DIR", "/root/repo/.bench/sf10"))
+      sys.env.getOrElse("GRAFT_BENCH_SF10_DIR", "/root/repo/.bench/sf10"))
   }
 
   private def guard(envelopeFile: String, sfDir: String): Unit = {

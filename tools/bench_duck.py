@@ -114,8 +114,12 @@ FROM documents d LEFT JOIN dups USING (doc_id) ORDER BY d.doc_id"""
             total = sum(max(t, 0.0) for t in res.values())
             print(f"[duck] resuming past {len(res)} completed queries",
                   file=sys.stderr, flush=True)
-        except FileNotFoundError:
-            pass
+        except (FileNotFoundError, json.JSONDecodeError, KeyError):
+            # a run killed mid json.dump leaves a truncated .partial;
+            # resume from nothing rather than crash exactly when the
+            # resume path is needed (the partial is also written
+            # atomically below, making this a legacy-artifact guard)
+            res, total = {}, 0.0
         # a query that was in flight when the previous run was KILLED
         # (OOM killer — no Python exception, no -1 recorded) must be
         # marked DNF here, or a resume loop would retry it to the same
@@ -147,7 +151,18 @@ FROM documents d LEFT JOIN dups USING (doc_id) ORDER BY d.doc_id"""
             q = re.sub(r"epoch_us\(\s*(\w+\.)?ts\s*\)", r"(\1ts // 1000)", q)
             assert "epoch_us(" not in q, f"unrewritten epoch_us in {name}"
         open(inflight_path, "w").write(name)
-        timer = threading.Timer(timeout_s, con.interrupt)
+        # per-query done-flag: timer.cancel() cannot stop a callback
+        # that is ALREADY running, so a timeout firing just as the
+        # query finishes would land con.interrupt() on the NEXT query
+        # and spuriously record it as -1. The callback re-checks the
+        # flag and no-ops once the query has completed.
+        done = threading.Event()
+
+        def _interrupt(flag=done):
+            if not flag.is_set():
+                con.interrupt()
+
+        timer = threading.Timer(timeout_s, _interrupt)
         timer.start()
         t0 = time.time()
         try:
@@ -166,6 +181,7 @@ FROM documents d LEFT JOIN dups USING (doc_id) ORDER BY d.doc_id"""
             dt = -1.0
             print(f"ERR {name}: {str(e)[:120]}")
         finally:
+            done.set()
             timer.cancel()
         res[name] = round(dt, 3)
         total += max(dt, 0.0)
@@ -173,8 +189,11 @@ FROM documents d LEFT JOIN dups USING (doc_id) ORDER BY d.doc_id"""
         # second suite (sf10) that dies mid-run must not lose every
         # completed timing (the OOM kill above did exactly that)
         print(f"[duck] {name}: {dt:.2f} s", file=sys.stderr, flush=True)
-        json.dump({"partial": True, "queries": res},
-                  open(out_path + ".partial", "w"))
+        # atomic write: dump to a temp file and rename, so a kill
+        # mid-dump never leaves a truncated .partial behind
+        tmp = out_path + ".partial.tmp"
+        json.dump({"partial": True, "queries": res}, open(tmp, "w"))
+        os.replace(tmp, out_path + ".partial")
         try:
             os.remove(inflight_path)
         except FileNotFoundError:
