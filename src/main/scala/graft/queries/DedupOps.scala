@@ -399,6 +399,56 @@ object DedupOps extends QueryModule {
        |SELECT a, b, hamming FROM p WHERE hamming <= 12 ORDER BY a, b""".stripMargin
 
   // ---------------------------------------------------------------
+  // q106: the SCALE-SAFE SimHash row (round-14 verdict #2). q37 is
+  // the correctness baseline — the UNCAPPED pair listing, whose sf10
+  // cost (276.7 s) is bounded by its genuinely quadratic output on a
+  // duplicate-heavy corpus (2.1B hamming≤12 pairs). A production run
+  // on such a corpus uses THIS row instead: maxBucketPop drops
+  // buckets whose population exceeds the cap (those are ≥cap-sized
+  // near-identical cliques — collapse them with exact/minhash dedup
+  // FIRST, never pair-list them), and maxHamming=3 is the web-scale
+  // operating point (Manku et al. used k=3 at 8B docs). The candidate
+  // set is integer-exact — the hot-bucket guard is a counted GROUP BY
+  // + anti-join — so the capped path carries a full value-hash oracle
+  // like q36's. Cap=16 is exercised by the oracle data itself (~20
+  // buckets over it at sf0.01, max pop 36); at production scale the
+  // cap is an absolute clique-size bound, corpus-size-independent.
+  private val SimCap = 16L
+
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), Dedup.simhash60(col("text")).as("simhash"))
+      .filter(col("simhash").isNotNull)
+    // capped path ends in a true-near-pair distinct (hash exchange),
+    // so the presentation sort re-reads from that boundary — no extra
+    // repartition needed (q37's exists because ITS pair stream has no
+    // exchange between the join and the sort).
+    Dedup.simhashPairs(base, maxHamming = 3, maxBucketPop = Some(SimCap))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val q106Sql =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+       |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM w),
+       |bits AS (SELECT doc_id, t.b,
+       |    sum(CASE WHEN (h >> CAST(t.b AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM h, range(0, 60) t(b) GROUP BY doc_id, t.b),
+       |sh AS (SELECT doc_id,
+       |    sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END) AS simhash
+       |  FROM bits GROUP BY doc_id),
+       |combos(c, s1, w1, s2, w2) AS (VALUES $simCombosSql),
+       |allbands AS (SELECT doc_id, simhash, c AS b,
+       |    ((simhash >> s1) % (CAST(1 AS BIGINT) << w1)) * (CAST(1 AS BIGINT) << w2)
+       |      + ((simhash >> s2) % (CAST(1 AS BIGINT) << w2)) AS bkey
+       |  FROM sh, combos),
+       |hot AS (SELECT b, bkey FROM allbands GROUP BY b, bkey HAVING count(*) > $SimCap),
+       |bands AS (SELECT a.* FROM allbands a ANTI JOIN hot h ON a.b = h.b AND a.bkey = h.bkey),
+       |p AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT a, b, hamming FROM p WHERE hamming <= 3 ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------------------------
   // q38: embedding-cosine near-dup pairs — top-100 all-pairs baseline
   // (the bucketed scale path for vectors is q72's dedup-first
   // nearDupPairs listing; q40's hyperplane LSH is the query-side path).
@@ -655,7 +705,8 @@ object DedupOps extends QueryModule {
     QueryDef("q90_incremental_dedup", q90, Some(q90Sql)),
     QueryDef("q92_diversity_mis", q92, Some(q92Sql)),
     QueryDef("q93_cdc_chunks", q93, Some(q93Sql)),
-    QueryDef("q95_leakage_free_split", q95, Some(q95Sql)))
+    QueryDef("q95_leakage_free_split", q95, Some(q95Sql)),
+    QueryDef("q106_simhash_capped", q106, Some(q106Sql)))
 
   /** q35/q38 are the quadratic correctness baselines and q79's oracle
     * mirror materializes every window's 40-char slice (fine at the
@@ -665,5 +716,6 @@ object DedupOps extends QueryModule {
   override def headline: Seq[String] =
     Seq("q34_dedup_exact", "q36_dedup_minhash", "q37_dedup_simhash",
       "q70_dedup_clusters", "q71_decontaminate", "q77_dup_substrings",
-      "q89_source_overlap", "q90_incremental_dedup", "q93_cdc_chunks")
+      "q89_source_overlap", "q90_incremental_dedup", "q93_cdc_chunks",
+      "q106_simhash_capped")
 }

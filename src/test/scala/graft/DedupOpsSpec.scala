@@ -299,6 +299,21 @@ class DedupOpsSpec extends SparkTestBase {
     assert(loose == owned, "loose cap must reproduce the ownership pair set")
   }
 
+  test("q106 capped simhash is a subset of q37's pairs at hamming<=3") {
+    val capped = q("q106_simhash_capped").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(capped.nonEmpty, "capped path found no pairs on the sf data")
+    assert(capped.forall(_._3 <= 3))
+    assert(capped.distinct.length == capped.length, "pair key duplicated")
+    // every capped pair must appear in the uncapped listing with the
+    // same hamming (the cap only ever DROPS pairs, never invents or
+    // re-scores them)
+    val full = q("q37_dedup_simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(_._3 <= 3).toSet
+    assert(capped.forall(full.contains), "capped pair absent from q37")
+  }
+
   test("embedding top-pairs are ordered by similarity and well-formed") {
     val p = q("q38_dedup_embedding").collect()
     assert(p.length > 0 && p.length <= 100)
