@@ -36,8 +36,11 @@ object BpeTrain {
   /** Corpus → word-count vocabulary (empty words from whitespace
     * runs dropped; one corpus exchange, map-side combined). */
   def vocab(docs: DataFrame): DataFrame =
-    docs.select(explode(split(trim(col("text")), " ")).as("w"))
-      .filter(length(col("w")) > 0)
+    // graft.plans.SpaceWords ≡ explode(split(trim(text), " ")) +
+    // filter(length > 0) in one native byte pass (PropertySpec-pinned;
+    // split pays java.util.regex per document, and the empty-segment
+    // filter a second branch per word — round-15, the q105 floor)
+    docs.select(explode(graft.plans.SpaceWords(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
 
   /** Per-character initial symbol array. */

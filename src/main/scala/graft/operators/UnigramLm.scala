@@ -70,7 +70,13 @@ object UnigramLm {
   val UnkLogProb: Double = -20.0
 
   /** All substrings of `w` up to `maxLen` code points, one entry per
-    * occurrence position (array<string>; `w` must be non-empty). */
+    * occurrence position (array<string>; `w` must be non-empty).
+    * COMPOSED REFERENCE form — the oracle-SQL mirror and the
+    * PropertySpec pin for [[graft.plans.SubstrPieces]]; the hot path
+    * ([[seedCounts]]) uses the native expression, which computes the
+    * identical stream in one byte pass instead of O(n²·maxLen)
+    * interpreted substr re-walks (round-15; the WordHashPairs
+    * precedent). */
   def substrPieces(w: Column, maxLen: Int): Column =
     flatten(transform(sequence(lit(1), length(w)), s =>
       transform(sequence(lit(1), least(lit(maxLen), length(w) - s + lit(1))),
@@ -78,9 +84,12 @@ object UnigramLm {
 
   /** Distributed seed surface over a (w, cnt) vocabulary: substring →
     * summed word count (one explode + one keyed sum; the q105 oracle
-    * body). */
+    * body). The substring stream is [[graft.plans.SubstrPieces]],
+    * native codegen. */
   def seedCounts(vocab: DataFrame, maxLen: Int): DataFrame =
-    vocab.select(explode(substrPieces(col("w"), maxLen)).as("piece"), col("cnt"))
+    vocab.select(
+        explode(graft.plans.SubstrPieces(col("w"), maxLen)).as("piece"),
+        col("cnt"))
       .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
 
   /** One E-step over a (w, cnt) vocabulary against `model`: per-piece

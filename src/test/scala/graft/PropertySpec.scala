@@ -191,6 +191,56 @@ class PropertySpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("SpaceWords equals the split(trim)+explode+nonempty-filter composition") {
+    import spark.implicits._
+    val wordGen = Gen.oneOf(Gen.identifier.map(_.take(6)), Gen.const(""),
+      Gen.const("héllo"), Gen.const("日本語"), Gen.const("a\tb"))
+    val textGen = Gen.listOf(wordGen).map(_.take(12).mkString(" "))
+    val texts = "" +: "a" +: "a b" +: "a  b   c" +: " lead trail " +: "  " +:
+      "\ttab\t" +: (1 to 120).map(i => sample(textGen, 4000L + i))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def wordsOf(c: org.apache.spark.sql.DataFrame) = c.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val composed = wordsOf(df
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0))
+    val native = wordsOf(df.select(col("doc_id"),
+      explode(graft.plans.SpaceWords(col("text"))).as("w")))
+    assert(native == composed)
+    val nulls = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    assert(nulls.select(explode(graft.plans.SpaceWords(col("text")))).count() == 0)
+  }
+
+  test("SubstrPieces equals the nested-transform substr composition") {
+    import spark.implicits._
+    val wordGen = Gen.oneOf(Gen.identifier.map(_.take(9)), Gen.const("a"),
+      Gen.const("héllo"), Gen.const("日本語のテキスト"), Gen.const("naïve🙂x"))
+    // NON-EMPTY words only: substrPieces' contract excludes "" (Spark's
+    // sequence(1, 0) DESCENDS, so the composed form emits garbage ""
+    // pieces there; every caller feeds len>0 vocab words). The native
+    // form's empty-input behavior is asserted separately below.
+    val words = "a" +: "ab" +: "日本語" +: "🙂🙂🙂🙂" +:
+      (1 to 150).map(i => sample(wordGen, 3000L + i)).filter(_.nonEmpty)
+    val df = words.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "w")
+    for (maxLen <- Seq(1, 3, 6)) {
+      val composed = df.select(col("doc_id"),
+          graft.operators.UnigramLm.substrPieces(col("w"), maxLen).as("ps"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val native = df.select(col("doc_id"),
+          graft.plans.SubstrPieces(col("w"), maxLen).as("ps"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native == composed, s"maxLen=$maxLen diverged")
+    }
+    // NULL word: NULL through the expression, no rows through explode;
+    // empty word: empty array (the native form is total where the
+    // composed reference was contractually partial)
+    val edge = Seq((1L, Option.empty[String]), (2L, Some(""))).toDF("doc_id", "w")
+    assert(edge.select(explode(
+      graft.plans.SubstrPieces(col("w"), 6))).count() == 0)
+  }
+
   test("WordHashPairs equals the zip_with(split, ShingleHashes)+filter composition") {
     import spark.implicits._
     import graft.operators.Keywords.HashP
