@@ -222,6 +222,57 @@ object PipelineOps extends QueryModule {
     BaseIndexes(spark.table(s"${prefix}_rawfp"), spark.table(s"${prefix}_bands"))
   }
 
+  /** DEPLOYMENT index growth: append a batch's index delta to the
+    * persisted bucketed tables from [[persistBaseIndexes]]. Spark
+    * appends NEW per-bucket files under the same bucket spec, so the
+    * hash-partitioning metadata — and therefore the zero-exchange
+    * probe plans — survive every append; what degrades is the file
+    * count (one file set per append) and the cross-file sort, which
+    * the nightly [[compactBaseIndexes]] restores. Appended rows are
+    * disjoint from the existing ones by construction:
+    * [[incrementalStep]] emits only base-unseen fingerprints and only
+    * fresh docs' band rows. */
+  def appendBaseIndexes(delta: BaseIndexes,
+                        prefix: String = "graft_baseidx",
+                        buckets: Int = 32): Unit = {
+    delta.rawFp.write.mode("append").format("parquet")
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .saveAsTable(s"${prefix}_rawfp")
+    delta.deconBands.write.mode("append").format("parquet")
+      .bucketBy(buckets, "b", "bkey").sortBy("b", "bkey")
+      .saveAsTable(s"${prefix}_bands")
+  }
+
+  /** The NIGHTLY COMPACTION job the streaming capstone's scaladoc
+    * promises: rewrite each index table's accumulated file sets
+    * (base + every appended delta) as one fresh bucketed+sorted copy
+    * under `compactPath`, then swap the catalog NAME to the new copy.
+    * The swap is the commit point: the compacted files are fully
+    * materialized (and `saveAsTable` has committed them) before the
+    * old name is dropped, so any reader resolves either the complete
+    * old table or the complete new one — never a half-written mix.
+    * Old data files are left on disk (the tables are external);
+    * retire `basePath` out-of-band once no running job references it.
+    * Returns the compacted [[BaseIndexes]] read back through the
+    * catalog — same rows, same zero-exchange probe plans, one file
+    * set per bucket again (OrderPipelineSpec gates all three). */
+  def compactBaseIndexes(spark: SparkSession, compactPath: String,
+                         prefix: String = "graft_baseidx",
+                         buckets: Int = 32): BaseIndexes = {
+    def compactOne(table: String, path: String, keyCols: Seq[String]): Unit = {
+      val tmpTable = s"${table}_compacting"
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+      graft.operators.Bucketing.writeBucketed(
+        spark.table(table), tmpTable, path, keyCols, buckets)
+      spark.sql(s"DROP TABLE $table")
+      spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
+    }
+    compactOne(s"${prefix}_rawfp", s"$compactPath/rawfp", Seq("fp"))
+    compactOne(s"${prefix}_bands", s"$compactPath/bands", Seq("b", "bkey"))
+    BaseIndexes(spark.table(s"${prefix}_rawfp"),
+      spark.table(s"${prefix}_bands"))
+  }
+
   /** The INCREMENTAL capstone front: clean → decontaminate → dedup
     * the DELTA against the base indexes + itself. Equivalence
     * contract (spec-pinned, soaked at 500k/5k): when delta ids exceed

@@ -33,9 +33,12 @@ import graft.queries.PipelineOps
   * after the new one materializes, so resident state is exactly one
   * fp set + one band set. At deployment the same delta rows instead
   * APPEND to the bucketed index tables
-  * ([[PipelineOps.persistBaseIndexes]]) and a nightly job compacts —
-  * the in-memory union here is the single-process form of the same
-  * contract. Batches must arrive with ids above all base ids (the
+  * ([[PipelineOps.appendBaseIndexes]] over the
+  * [[PipelineOps.persistBaseIndexes]] tables) and the nightly
+  * [[PipelineOps.compactBaseIndexes]] job rewrites the accumulated
+  * file sets and swaps the catalog names — the in-memory union here
+  * is the single-process form of the same contract
+  * (OrderPipelineSpec pins append → compact → identical output). Batches must arrive with ids above all base ids (the
   * [[PipelineOps.incrementalCapstone]] contract; Firehose delivery
   * ids are monotone by construction).
   */

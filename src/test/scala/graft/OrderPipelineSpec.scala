@@ -270,6 +270,94 @@ class OrderPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("nightly compaction: append deltas, compact, identical output, still bucketed, one file set") {
+    import spark.implicits._
+    def ws(seed: String, n: Int) = (1 to n).map(i => s"$seed$i").mkString(" ")
+    val bench = Seq((-1L, "the held out benchmark passage with forty plus " +
+      "characters of exact evaluation text content appearing verbatim here"))
+      .toDF("doc_id", "text")
+    val base = ((1 to 30).map(i => (1000L + i) -> ws(s"b$i ", 40)) :+
+      (2001L -> ws("alpha", 40))).toDF("doc_id", "text")
+    val delta1 = Seq(
+      5001L -> ws("alpha", 40), // exact dup of base -> drops, indexes nothing
+      5002L -> ws("gamma", 40)  // fresh -> survives and must be indexed
+    ).toDF("doc_id", "text")
+    val delta2 = Seq(
+      6001L -> ws("gamma", 40), // exact dup of DELTA1's survivor
+      6002L -> ((1 to 38).map(i => s"gamma$i") ++ Seq("qq1", "qq2"))
+        .mkString(" "),         // near-dup of delta1's survivor
+      6003L -> ws("delta", 40)  // fresh
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    try {
+      val idx0 = PipelineOps.baseIndexes(base, bench)
+      val pidx = PipelineOps.persistBaseIndexes(idx0, s"$tmp/v0", buckets = 32)
+      // day 1: process delta1 against the persisted base, APPEND its
+      // index delta to the tables (the deployment growth path)
+      def parquetFiles(dir: String): Seq[String] =
+        new java.io.File(dir).list().toSeq.filter(_.endsWith(".parquet"))
+      val fpFilesBase = parquetFiles(s"$tmp/v0/rawfp").size
+      val (_, d1idx) = PipelineOps.incrementalStep(pidx, delta1, bench)
+      PipelineOps.appendBaseIndexes(d1idx)
+      val fpFilesBefore = parquetFiles(s"$tmp/v0/rawfp").size
+      assert(fpFilesBefore > fpFilesBase, "append added no index files")
+      // reference: delta2 against the appended (uncompacted) union
+      val viaUnion = PipelineOps.incrementalCapstone(
+        PipelineOps.BaseIndexes(spark.table("graft_baseidx_rawfp"),
+          spark.table("graft_baseidx_bands")), delta2, bench)
+        .as[(Long, String)].collect().toSet
+      // nightly: compact into one bucketed file set, swap by name
+      val cidx = PipelineOps.compactBaseIndexes(spark, s"$tmp/v1")
+      val viaCompacted = PipelineOps.incrementalCapstone(cidx, delta2, bench)
+        .as[(Long, String)].collect().toSet
+      assert(viaCompacted == viaUnion,
+        s"compaction changed the output: $viaCompacted vs $viaUnion")
+      assert(viaCompacted.map(_._1) == Set(6003L),
+        s"delta2 survivors wrong: ${viaCompacted.map(_._1)}")
+      // the compacted tables carry the full row set, one file set per
+      // bucket (the append had added a second file set)
+      assert(spark.table("graft_baseidx_rawfp").count() ==
+        pidx.rawFp.count() + d1idx.rawFp.count())
+      // one file set: every bucket id (the _NNNNN filename component)
+      // appears at most once — the append's second file set is gone
+      val bucketIds = parquetFiles(s"$tmp/v1/rawfp")
+        .flatMap("_(\\d{5})\\.".r.findFirstMatchIn(_)).map(_.group(1))
+      assert(bucketIds.nonEmpty && bucketIds.distinct.size == bucketIds.size,
+        s"compacted table still has multiple file sets per bucket: $bucketIds")
+      // the compacted scan is still bucketed — the zero-exchange
+      // probe property survives the swap
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val fpJoin = delta2
+          .withColumn("_fp", graft.functions.TextFunctions.fingerprint(col("text")))
+          .join(cidx.rawFp.select(col("fp").as("_fp")).hint("SHUFFLE_HASH"),
+            Seq("_fp"), "left_anti")
+        val plan = fpJoin.queryExecution.executedPlan
+        assert(plan.collectLeaves().exists {
+          case f: FileSourceScanExec =>
+            f.tableIdentifier.exists(_.table.contains("rawfp")) && f.bucketedScan
+          case _ => false
+        }, "compacted fp index must still plan as a bucketed scan")
+        assert(!plan.collect {
+          case e: ShuffleExchangeExec => e.collectLeaves().exists {
+            case f: FileSourceScanExec =>
+              f.tableIdentifier.exists(_.table.contains("rawfp"))
+            case _ => false
+          }
+        }.exists(identity),
+          s"compacted fp index shuffles:\n$plan")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_baseidx_rawfp")
+      spark.sql("DROP TABLE IF EXISTS graft_baseidx_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_baseidx_rawfp_compacting")
+      spark.sql("DROP TABLE IF EXISTS graft_baseidx_bands_compacting")
+    }
+  }
+
   test("q96: bins are contiguous, bench docs excluded, fill bounded by capacity+straddle") {
     val rows = q("q96_pretrain_capstone").orderBy(col("bin")).collect()
     assert(rows.nonEmpty)
