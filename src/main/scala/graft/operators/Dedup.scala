@@ -168,12 +168,21 @@ object Dedup {
     * is the stored fingerprint index written once at ingest, so the
     * recurring cost is one scan of the delta plus a slim keyed
     * join — not a re-dedup of the accumulated corpus. */
-  def incrementalSurvivors(base: DataFrame, delta: DataFrame): DataFrame = {
+  /** `keep` (round 15): the columns the survivor rows carry — default
+    * ALL of delta's. A caller that doesn't need the text back (q90
+    * emits (doc_id, source)) should say so: the fp-keyed min_by
+    * shuffle then moves ~40-byte rows instead of whole documents (the
+    * q62 slim-boundary discipline; measured 1.53 → ~1.2 s at sf10).
+    * doc_id is always carried (it is the min_by order key). */
+  def incrementalSurvivors(base: DataFrame, delta: DataFrame,
+                           keep: Seq[String] = Seq.empty): DataFrame = {
+    val outCols = if (keep.isEmpty) delta.columns.toSeq
+      else "doc_id" +: keep.filterNot(_ == "doc_id")
     val fp = graft.functions.TextFunctions.fingerprint(col("text"))
     val baseFp = base.select(fp.as("fp")).distinct()
-    delta.withColumn("fp", fp)
+    delta.select(fp.as("fp") +: outCols.map(col): _*)
       .groupBy(col("fp"))
-      .agg(min_by(struct(delta.columns.map(col): _*), col("doc_id")).as("r"))
+      .agg(min_by(struct(outCols.map(col): _*), col("doc_id")).as("r"))
       // hint the BUILD side: the planner's compressed-size estimate
       // of the base's distinct fingerprints dips under the broadcast
       // threshold at test SF (PlanSpec-gated — a real ingest's base

@@ -71,7 +71,8 @@ object DedupOps extends QueryModule {
     val all = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
     graft.operators.Dedup.incrementalSurvivors(
       all.filter(col("doc_id") % 2 === 0),
-      all.filter(col("doc_id") % 2 === 1))
+      all.filter(col("doc_id") % 2 === 1),
+      keep = Seq("source")) // slim min_by shuffle: no document text
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
   }

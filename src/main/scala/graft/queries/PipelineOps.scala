@@ -235,10 +235,15 @@ object PipelineOps extends QueryModule {
   def appendBaseIndexes(delta: BaseIndexes,
                         prefix: String = "graft_baseidx",
                         buckets: Int = 32): Unit = {
-    delta.rawFp.write.mode("append").format("parquet")
+    // repartition on the bucket keys so each append adds ONE file per
+    // bucket, not one per (task, bucket) — the Bucketing.writeBucketed
+    // argument
+    delta.rawFp.repartition(buckets, col("fp"))
+      .write.mode("append").format("parquet")
       .bucketBy(buckets, "fp").sortBy("fp")
       .saveAsTable(s"${prefix}_rawfp")
-    delta.deconBands.write.mode("append").format("parquet")
+    delta.deconBands.repartition(buckets, col("b"), col("bkey"))
+      .write.mode("append").format("parquet")
       .bucketBy(buckets, "b", "bkey").sortBy("b", "bkey")
       .saveAsTable(s"${prefix}_bands")
   }
@@ -262,8 +267,18 @@ object PipelineOps extends QueryModule {
     def compactOne(table: String, path: String, keyCols: Seq[String]): Unit = {
       val tmpTable = s"${table}_compacting"
       spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+      // read the table's FILES, not the catalog table: over a bucketed
+      // scan the planner elides writeBucketed's aligning repartition
+      // (the bucket spec satisfies it) and THEN disables the bucketed
+      // scan as unnecessary — leaving arbitrary file-split tasks that
+      // each write a file per bucket they hold (measured: 127 files
+      // for 32 buckets). A plain parquet scan keeps the exchange and
+      // the one-file-per-bucket output.
+      val location = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location.toString
       graft.operators.Bucketing.writeBucketed(
-        spark.table(table), tmpTable, path, keyCols, buckets)
+        spark.read.parquet(location), tmpTable, path, keyCols, buckets)
       spark.sql(s"DROP TABLE $table")
       spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
     }
@@ -331,10 +346,15 @@ object PipelineOps extends QueryModule {
     val sig = Dedup.withSignatureFromHashes(Dedup.shingleHashRows(
       decon.select(col("doc_id"), col("clean_text").as("text"))))
       .transform(graft.operators.Pin(_))
-    val hitsBase = Dedup.lshBuckets(sig)
+    // hint on the DELTA side: the shuffled-hash build must be the
+    // delta's band rows (delta-sized at ANY index size), never the
+    // index's — a build-side index hash map is corpus-sized per task
+    // and OOMed the 5M-doc soak (40M band rows × signature arrays);
+    // the bucketed index side streams through the probe with zero
+    // exchange either way (OrderPipelineSpec plan gate).
+    val hitsBase = Dedup.lshBuckets(sig).hint("SHUFFLE_HASH")
       .join(idx.deconBands
-        .select(col("b"), col("bkey"), col("sg").as("_bsg"))
-        .hint("SHUFFLE_HASH"), Seq("b", "bkey"))
+        .select(col("b"), col("bkey"), col("sg").as("_bsg")), Seq("b", "bkey"))
       .filter(Dedup.signatureSimilarity(col("sg"), col("_bsg")) >= 0.5)
       .select(col("doc_id")).distinct()
     val cl = graft.operators.ConnectedComponents.clusters(

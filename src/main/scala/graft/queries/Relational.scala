@@ -74,7 +74,21 @@ object Relational extends QueryModule {
       |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
       |LIMIT 10""".stripMargin
 
-  // q03: 6-way join with broadcast dims. TPC-H Q5 shape.
+  // q03: 6-way join, TPC-H Q5 shape — planned INSIDE-OUT (round 15).
+  // The naive left-deep chain (l⋈o, ⋈c, ⋈sup, ⋈n, ⋈r) re-shuffles
+  // the wide fact stream at every non-broadcast step: 3 fact-sized
+  // exchanges, measured 3.7 s at sf10 vs DuckDB's 0.42. Instead the
+  // dimension side collapses FIRST into one slim probe — customer ⋈
+  // bc(nation) ⋈ bc(region="ASIA"), then the year-filtered orders ⋈
+  // bc(that) — leaving (o_orderkey, c_nationkey, n_name): 3 columns,
+  // |orders|/7 rows. Broadcasting it makes the whole query a SINGLE
+  // map pass over lineitem (zero fact exchanges before the 25-row
+  // aggregate — DuckDB's own build-side plan, 1.5 s at sf10 = 2.5x).
+  // SCALE NOTE: the o⋈c probe is year-bounded, not constant-bounded —
+  // on a cluster where one year of slim orders rows exceeds the
+  // driver, DROP the broadcast hint on `oc` and the identical tree
+  // plans as ONE lineitem co-shuffle on l_orderkey (measured 3.3 s at
+  // sf10), still ahead of the 3-exchange chain.
   private def q03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val r = Tables.region(s, dir).filter($"r_name" === "ASIA")
@@ -84,11 +98,14 @@ object Relational extends QueryModule {
       .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1997-01-01"))
     val l = Tables.lineitem(s, dir)
     val sup = Tables.supplier(s, dir)
-    l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(c, $"o_custkey" === $"c_custkey")
-      .join(sup, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
-      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+    val cAsia = c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey", $"c_nationkey", $"n_name")
+    val oc = o.join(broadcast(cAsia), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_nationkey", $"n_name")
+    l.join(broadcast(oc), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sup.select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .groupBy($"n_name")
       .agg(sumU(discPriceU($"l_extendedprice", $"l_discount"), 4).as("revenue"))
       .orderBy($"revenue".desc, $"n_name".asc)

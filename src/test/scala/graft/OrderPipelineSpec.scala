@@ -255,14 +255,21 @@ class OrderPipelineSpec extends SparkTestBase {
       val sig = Dedup.withSignatureFromHashes(Dedup.shingleHashRows(
         PipelineOps.deconFront(fpJoin.drop("_fp"), bench)
           .select(col("doc_id"), col("clean_text").as("text"))))
-      val bandProbe = Dedup.lshBuckets(sig)
+      // hint on the DELTA side as the operator builds it: the hash
+      // map must be delta-sized (build-index OOMed the 5M soak), and
+      // the bucketed index still streams exchange-free
+      val bandProbe = Dedup.lshBuckets(sig).hint("SHUFFLE_HASH")
         .join(pidx.deconBands
-          .select(col("b"), col("bkey"), col("sg").as("_bsg"))
-          .hint("SHUFFLE_HASH"), Seq("b", "bkey"))
+          .select(col("b"), col("bkey"), col("sg").as("_bsg")), Seq("b", "bkey"))
       assert(hasBucketedScan(bandProbe, "bands"),
         "band index must plan as a bucketed scan")
       assert(!indexScanUnderExchange(bandProbe, "bands"),
         s"band probe shuffles the persisted index:\n${bandProbe.queryExecution.executedPlan}")
+      import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+      assert(bandProbe.queryExecution.executedPlan.collect {
+        case j: ShuffledHashJoinExec => j.buildSide
+      }.forall(_ == org.apache.spark.sql.catalyst.optimizer.BuildLeft),
+        "band probe must build the DELTA side hash map")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       spark.sql("DROP TABLE IF EXISTS graft_baseidx_rawfp")
