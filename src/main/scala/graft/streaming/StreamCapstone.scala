@@ -96,6 +96,67 @@ object StreamCapstone {
       .start()
   }
 
+  /** The DEPLOYMENT form (round 15): base indexes live as the
+    * PERSISTED bucketed tables ([[PipelineOps.persistBaseIndexes]]'s
+    * `prefix`), and each micro-batch's index delta APPENDS to them
+    * ([[PipelineOps.appendBaseIndexes]]) instead of growing an
+    * in-memory union. Per-batch resident state is just the batch's
+    * own pins — the 5M-doc soak measured the in-memory form re-pinning
+    * the full 45M-row union at ~85 s PER BATCH; here a batch pays
+    * delta-sized work + two bucketed probes + a delta-sized append,
+    * flat at any base size, and the nightly
+    * [[PipelineOps.compactBaseIndexes]] job keeps the file counts
+    * bounded. Restart semantics: survivors/quarantine stay
+    * exactly-once through the checkpoint, while a batch RETRY may
+    * re-append its index rows — harmless by construction (duplicate
+    * fp rows don't change an anti-join; duplicate band rows only
+    * duplicate candidates ahead of the `hitsBase` distinct), so
+    * at-least-once appends preserve the output exactly. */
+  def incrementalCapstoneStreamPersisted(
+      docs: DataFrame,
+      prefix: String,
+      bench: DataFrame,
+      outPath: String,
+      quarantinePath: String,
+      checkpointDir: String,
+      buckets: Int = 32): StreamingQuery = {
+    require(docs.isStreaming, "docs must be a streaming DataFrame")
+    val spark = docs.sparkSession
+    val benchH = Pin(StreamClean.benchHashes(bench), eager = true)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val raw = batch.select(col("doc_id"), col("text"))
+          .transform(Pin(_))
+        // re-resolve the tables EVERY batch: prior batches' appends
+        // must be visible, and a cached relation would pin the old
+        // file list
+        val idx = PipelineOps.BaseIndexes(
+          spark.table(s"${prefix}_rawfp"), spark.table(s"${prefix}_bands"))
+        val (surv, delta) = PipelineOps.incrementalStep(idx, raw, bench)
+        surv.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+        raw
+          .select(col("doc_id"),
+            explode(graft.plans.ShingleHashes(trim(col("text")), 5, Dedup.P)).as("h"))
+          .join(broadcast(benchH), Seq("h"))
+          .select(col("doc_id")).distinct()
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(quarantinePath)
+        PipelineOps.appendBaseIndexes(delta, prefix, buckets)
+        // drop this batch's pins (raw + incrementalStep's internals);
+        // only the static bench hash set survives batches
+        spark.catalog.refreshTable(s"${prefix}_rawfp")
+        spark.catalog.refreshTable(s"${prefix}_bands")
+        val keep = pinnedRddIds(benchH).toSet
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => keep(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        ()
+      }
+      .start()
+  }
+
   private def pinnedRddIds(df: DataFrame): Seq[Int] =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id

@@ -140,6 +140,26 @@ object SoakIncr5M {
       s"fpFiles ${parquetFiles(s"$tmp/v1/rawfp")} " +
       s"bandFiles ${parquetFiles(s"$tmp/v1/bands")}")
 
+    // ---- deployment stream: days 4-6 through the PERSISTED-table
+    // variant (appends, no in-memory union re-pin) over the compacted
+    // tables — the number the in-memory replay above is compared to ----
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.StreamCapstone.incrementalCapstoneStreamPersisted(
+      input2.toDF().toDF("doc_id", "text"), prefix, bench,
+      s"$tmp/out2", s"$tmp/quarantine2", s"$tmp/ckpt2")
+    try {
+      (4 to 6).foreach { k =>
+        val rows = deltaRows(k)
+        timed(s"day $k persisted-stream batch") {
+          input2.addData(rows: _*); q2.processAllAvailable()
+        }
+      }
+    } finally q2.stop()
+    val streamed2 = spark.read.parquet(s"$tmp/out2")
+    println(s"SOAK5M persisted-stream days 4-6 survivors ${streamed2.count()} " +
+      s"fp ${spark.table(s"${prefix}_rawfp").count()} " +
+      s"bands ${spark.table(s"${prefix}_bands").count()}")
+
     spark.sql(s"DROP TABLE IF EXISTS ${prefix}_rawfp")
     spark.sql(s"DROP TABLE IF EXISTS ${prefix}_bands")
     spark.stop()

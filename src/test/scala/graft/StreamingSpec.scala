@@ -568,6 +568,60 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("persisted-table streaming capstone: appends grow the tables, output equals batch-over-union") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.queries.PipelineOps
+    def ws(seed: String, n: Int) = (1 to n).map(i => s"$seed$i").mkString(" ")
+    val benchText = "the held out benchmark passage with forty plus " +
+      "characters of exact evaluation text content appearing verbatim here"
+    val bench = Seq((-1L, benchText)).toDF("doc_id", "text")
+    val base = ((1 to 20).map(i => (1000L + i) -> ws(s"b$i ", 40)) :+
+      (2001L -> ws("alpha", 40))).toDF("doc_id", "text")
+    val d1 = Seq(
+      5001L -> ws("alpha", 40),  // exact dup of base -> drop
+      5002L -> ws("gamma", 40))  // fresh -> keep, must be indexed
+    val d2 = Seq(
+      6001L -> ws("gamma", 40),  // cross-batch exact dup of 5002 -> drop
+      6002L -> ((1 to 38).map(i => s"gamma$i") ++ Seq("qq1", "qq2")).mkString(" "),
+      //                         cross-batch NEAR dup of 5002 -> drop
+      6003L -> ws("delta", 40))  // fresh -> keep
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scap_p").toString
+    val prefix = "graft_scap_p"
+    try {
+      val idx0 = PipelineOps.persistBaseIndexes(
+        PipelineOps.baseIndexes(base, bench), s"$tmp/idx", prefix = prefix)
+      val fp0 = idx0.rawFp.count(); val bands0 = idx0.deconBands.count()
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamCapstone.incrementalCapstoneStreamPersisted(
+        input.toDF().toDF("doc_id", "text"), prefix, bench,
+        s"$tmp/out", s"$tmp/quarantine", s"$tmp/ckpt")
+      try {
+        input.addData(d1: _*); q.processAllAvailable()
+        input.addData(d2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(s"$tmp/out")
+        .select(col("doc_id"), col("clean_text"))
+        .as[(Long, String)].collect().toSet
+      val batch = PipelineOps.incrementalCapstone(
+        PipelineOps.baseIndexes(base, bench),
+        (d1 ++ d2).toDF("doc_id", "text"), bench)
+        .as[(Long, String)].collect().toSet
+      assert(got == batch,
+        s"persisted stream != batch-over-union: only-stream=${(got -- batch).map(_._1)}, " +
+          s"only-batch=${(batch -- got).map(_._1)}")
+      assert(got.map(_._1) == Set(5002L, 6003L), s"kept: ${got.map(_._1)}")
+      // the TABLES grew by each batch's delta (5002's and 6003's rows)
+      assert(spark.table(s"${prefix}_rawfp").count() > fp0,
+        "fp table did not grow")
+      assert(spark.table(s"${prefix}_bands").count() > bands0,
+        "band table did not grow")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_rawfp")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_bands")
+    }
+  }
+
   test("streaming incremental capstone equals batch incremental over the union of deltas") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
