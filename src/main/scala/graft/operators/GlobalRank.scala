@@ -40,13 +40,24 @@ object GlobalRank {
     * (nulls first, matching SQL `NULLS FIRST`). */
   def withRowNumber(df: DataFrame, sortCols: Seq[Column], out: String): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val parted = df
+    // Range partitioning EXECUTES its child twice — once for the
+    // reservoir sample that picks the boundaries, once for the real
+    // shuffle — so an expensive upstream projection (q98's quality
+    // score, q104's BPE token count: full passes over the text
+    // column) runs twice. Pin the input rows once; both the sample
+    // and the shuffle read the materialized slim rows.
+    val pinned = Pin(df, eager = true)
+    val parted = pinned
       .repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
       .withColumn("__local", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
       .transform(Pin(_, eager = true)) // one upstream pass feeds counts + result
+    // parted's eager pin holds the assigned positions now; the input
+    // pin's blocks are dead weight (slim, but release them anyway —
+    // packBinned callers hold a row per document)
+    Pin.release(pinned)
     val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     // prefix-sum: offset(p) = rows in partitions before p

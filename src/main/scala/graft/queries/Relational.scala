@@ -126,13 +126,26 @@ object Relational extends QueryModule {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name ASC""".stripMargin
 
-  // q04: EXISTS via left-semi join. TPC-H Q4 shape.
+  // q04: EXISTS via pre-aggregated witness join. TPC-H Q4 shape.
+  // EXISTS(l: l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+  // ⟺ max(l_shipdate) per orderkey > o_orderdate, so the fact side
+  // collapses to one slim (key, max) row per order BEFORE the join —
+  // map-side partial max does most of it on key-clustered files —
+  // instead of sort-merging every lineitem row into a semi join
+  // (sf10: 60M wide rows sorted vs 15M slim rows shuffled; 3.7x →
+  // measured below vs DuckDB). The orders window also bounds the
+  // witnesses: l_shipdate > o_orderdate ≥ window start, so rows at or
+  // before the window start can never witness and the filter pushes
+  // to the lineitem scan.
   private def q04(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, dir)
       .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1997-01-01"))
-    val l = Tables.lineitem(s, dir)
-    o.join(l, $"o_orderkey" === $"l_orderkey" && $"l_shipdate" > $"o_orderdate", "left_semi")
+    val lmax = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" > lit("1996-01-01"))
+      .groupBy($"l_orderkey")
+      .agg(max($"l_shipdate").as("__maxship"))
+    o.join(lmax, $"o_orderkey" === $"l_orderkey" && $"__maxship" > $"o_orderdate")
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
       .orderBy($"o_orderpriority")
