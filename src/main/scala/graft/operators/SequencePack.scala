@@ -110,12 +110,17 @@ object SequencePack {
               capacity: Long, out: String = "bin"): DataFrame = {
     require(capacity > 0, "pack: capacity must be positive")
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val parted = df
+    // pin before the range exchange: its boundary-sampling pass would
+    // otherwise re-run the caller's upstream (q67/q96 compute the BPE
+    // token count below this exchange — a full regex pass over text)
+    val pinned = Pin(df, eager = true)
+    val parted = pinned
       .repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__tok", tokenCol.cast("long"))
       .withColumn("__pid", spark_partition_id())
       .transform(Pin(_, eager = true)) // one upstream pass feeds totals + result
+    Pin.release(pinned)
     val totals = parted.groupBy(col("__pid")).agg(sum(col("__tok")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets: Map[Int, Long] = {
