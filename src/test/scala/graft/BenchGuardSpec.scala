@@ -101,22 +101,50 @@ class BenchGuardSpec extends AnyFunSuite {
       names.foreach(runOne) // warm-up: JIT, footer cache, codegen cache
 
       val ProbeHealthySec = 0.8
+      // all-core bound too: a round-15 guard run burned an hour and
+      // FAILED 8 queries at 2-4x under an external contender the
+      // single-thread probe could not see (0.69 s throughout); the
+      // all-core probe (healthy 0.76-0.81 s idle) reads >= 1.6 s in
+      // exactly that window, so sick passes are now skipped instead
+      // of failing the gate with host noise.
+      val ProbeParHealthySec =
+        sys.env.get("GRAFT_PROBE_PAR_MAX").map(_.toDouble).getOrElse(1.2)
+      def healthy(): Boolean =
+        Bench.probeSec() <= ProbeHealthySec &&
+          Bench.probeParSec() <= ProbeParHealthySec
       var passes = List.empty[Map[String, Double]]
       var attempts = 0
       while (passes.size < 2 && attempts < 5) {
         attempts += 1
-        if (Bench.probeSec() <= ProbeHealthySec) {
+        if (healthy()) {
           val pass = names.map(n => n -> runOne(n)).toMap
-          if (Bench.probeSec() <= ProbeHealthySec) passes ::= pass
+          if (healthy()) passes ::= pass
         } else Thread.sleep(5000)
       }
       assume(passes.nonEmpty, "no probe-clean pass in 5 attempts — host contended, no signal")
 
+      // Isolated clean retry for over-limit rows: in-suite readings
+      // inherit the heap/GC state of whatever ran before them (q70
+      // directly after q37's 2.1B-pair stage read 52 s in a round-15
+      // guard pass vs 16-18 s standalone-warm on the same host,
+      // healthy probes throughout, code A/B-identical), so one
+      // over-limit reading is re-taken after a full GC with nothing
+      // else resident. A real step-function regression — the Janino
+      // fallback / accidental quadratic this gate exists for — is
+      // slow in isolation too and still fails.
       val over = names.flatMap { n =>
-        val best = passes.map(_(n)).min
+        val inSuite = passes.map(_(n)).min
         val limit = envelope(n) * Slack
+        val best =
+          if (inSuite <= limit) inSuite
+          else {
+            System.gc()
+            Thread.sleep(2000)
+            math.min(inSuite, runOne(n))
+          }
         if (best > limit)
-          Some(f"$n: $best%.2f s > ${Slack}x envelope ${envelope(n)}%.2f s")
+          Some(f"$n: $best%.2f s > ${Slack}x envelope ${envelope(n)}%.2f s" +
+            f" (in-suite $inSuite%.2f s)")
         else None
       }
       assert(over.isEmpty,
