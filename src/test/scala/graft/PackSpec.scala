@@ -22,6 +22,28 @@ class PackSpec extends SparkTestBase {
     assert(got == want, "bin assignment diverged from the sequential reference")
   }
 
+  test("range-partitioned rankers evaluate their upstream exactly once (input pin)") {
+    // repartitionByRange executes its child twice (boundary sample +
+    // real shuffle); GlobalRank/withBin pin their input so expensive
+    // upstream projections (q98's quality score, q67/q96/q104's BPE
+    // token count) run once. The accumulator counts row evaluations
+    // of the upstream stand-in; without the pin it reads ~2x rows.
+    import spark.implicits._
+    for (viaBin <- Seq(true, false)) {
+      val acc = spark.sparkContext.longAccumulator("upstream-evals")
+      val base = (1L to 400L).map(i => (i, i % 97)).toDF("doc_id", "tok")
+        .as[(Long, Long)]
+        .map { r => acc.add(1); r }
+        .toDF("doc_id", "tok")
+      val out =
+        if (viaBin) SequencePack.withBin(base, col("tok"), Seq(col("doc_id")), 64L)
+        else graft.operators.GlobalRank.withRowNumber(base, Seq(col("doc_id")), "pos")
+      out.write.format("noop").mode("overwrite").save()
+      assert(acc.value == 400L,
+        s"upstream evaluated ${acc.value} row-times for 400 rows (viaBin=$viaBin)")
+    }
+  }
+
   test("packing never plans a SinglePartition exchange") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, i % 50)).toDF("doc_id", "tok")
