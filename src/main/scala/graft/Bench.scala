@@ -38,8 +38,35 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** The same fixed work on EVERY core at once (32 threads x 500M
-    * steps). The single-thread probe has a measured blind spot: a
+  /** Thread count for the all-core probe: one per vCPU the bench is
+    * configured for (SPARK_GRAFT_CPUS, same var main already reads),
+    * falling back to the JVM's processor count. Sizing the probe to
+    * the HOST keeps the fixed per-thread work (500M steps) the unit
+    * of measure on any core topology — with the old hardcoded 32, a
+    * 16-core host would time-slice 2 threads/core and read ~2x the
+    * healthy bound while perfectly idle. */
+  private[graft] def probeParThreads: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  /** The env-overridable all-core probe bound. Healthy calibration on
+    * an idle 32-vCPU host (round 15): 0.76-0.81 s with near-linear
+    * core scaling, so the per-thread fixed work is ~core-count
+    * independent and the 1.2 s default (1.5x healthy headroom) holds
+    * wherever threads == cores. A malformed override falls back to
+    * the default with a warning — a typo'd env var must not crash the
+    * bench before any pass runs. */
+  private[graft] def probeParMaxSec: Double =
+    sys.env.get("GRAFT_PROBE_PAR_MAX").map { s =>
+      s.toDoubleOption.getOrElse {
+        System.err.println(
+          s"[bench] WARNING: GRAFT_PROBE_PAR_MAX='$s' is not a number — using default 1.2")
+        1.2
+      }
+    }.getOrElse(1.2)
+
+  /** The same fixed work on EVERY core at once (one thread per vCPU x
+    * 500M steps). The single-thread probe has a measured blind spot: a
     * round-15 guard run read healthy 0.69 s single-thread probes while
     * every multicore query stage ran 2-4x slow (an external contender
     * that loads most-but-not-all vCPUs leaves one core's worth of
@@ -48,7 +75,7 @@ object Bench {
     * actually depend on. Healthy calibration on this 32-vCPU host
     * (idle, round 15): 0.76-0.81 s — near-linear core scaling vs the
     * 0.69-0.72 s solo probe. */
-  private[graft] def probeParSec(threads: Int = 32): Double = {
+  private[graft] def probeParSec(threads: Int = probeParThreads): Double = {
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { tid =>
       val t = new Thread(() => {
@@ -77,10 +104,24 @@ object Bench {
     // engine ratio over the common set and lists these as
     // "Spark-only extra"). Default OFF so the driver's per-round
     // sf0.1 bench stays comparable across rounds.
-    val names =
-      if (sys.env.get("SPARK_GRAFT_BENCH_EXTRA").contains("1"))
-        SparkEntry.headline ++ SparkEntry.benchExtra
-      else SparkEntry.headline
+    // SPARK_GRAFT_BENCH_ONLY=q96_...,q35_... restricts the run to the
+    // named queries (floor measurement for a few expensive extras
+    // without paying the whole suite) — it overrides EXTRA.
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(csv) =>
+        val want = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val known = SparkEntry.queries.keySet
+        val bad = want.filterNot(known)
+        if (bad.nonEmpty) {
+          System.err.println(s"[bench] FATAL: unknown queries in SPARK_GRAFT_BENCH_ONLY: ${bad.mkString(",")}")
+          sys.exit(1)
+        }
+        want
+      case None =>
+        if (sys.env.get("SPARK_GRAFT_BENCH_EXTRA").contains("1"))
+          SparkEntry.headline ++ SparkEntry.benchExtra
+        else SparkEntry.headline
+    }
     val queries = SparkEntry.queries
 
     def runOne(name: String, phase: String): Double = {
@@ -124,10 +165,9 @@ object Bench {
     // idle 32-vCPU host (near-linear scaling); the sick window this
     // bound exists for degraded multicore throughput 2-4x while the
     // single-thread probe stayed at 0.69 s, so it would read >= 1.6 s
-    // here. 1.2 s = 1.5x healthy headroom. Env-overridable for hosts
-    // with a different core topology.
-    val ProbeParHealthySec =
-      sys.env.get("GRAFT_PROBE_PAR_MAX").map(_.toDouble).getOrElse(1.2)
+    // here. 1.2 s = 1.5x healthy headroom (thread count tracks the
+    // host's cores, see probeParThreads). Env-overridable.
+    val ProbeParHealthySec = probeParMaxSec
     val TargetCleanPasses = 2
     val MaxAttempts = 6
     val allPasses = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]

@@ -45,8 +45,10 @@ object GlobalRank {
     // shuffle — so an expensive upstream projection (q98's quality
     // score, q104's BPE token count: full passes over the text
     // column) runs twice. Pin the input rows once; both the sample
-    // and the shuffle read the materialized slim rows.
-    val pinned = Pin(df, eager = true)
+    // and the shuffle read the materialized slim rows. Local pin: it
+    // is released a few lines down, so the reliable-checkpoint tier
+    // would only add an FS round-trip it can never benefit from.
+    val pinned = Pin.local(df, eager = true)
     val parted = pinned
       .repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)

@@ -23,6 +23,20 @@ object Pin {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
     else df.localCheckpoint(eager)
 
+  /** Executor-local pin regardless of a configured checkpoint dir.
+    * For EPHEMERAL intra-operator pins that are released before the
+    * operator returns (GlobalRank / SequencePack.withBin pin the
+    * input only so the range exchange's boundary-sampling pass and
+    * the real shuffle share one upstream evaluation): a reliable
+    * checkpoint there is a full write of the input to the shared
+    * filesystem whose cost exceeds the recompute it saves, `release`
+    * cannot reclaim it (it only unpersists RDD blocks), and the
+    * files leak until context stop. Executor loss during the
+    * microseconds the pin lives just re-runs the operator's stage —
+    * the recovery a reliable checkpoint buys is worthless here. */
+  def local(df: DataFrame, eager: Boolean = false): DataFrame =
+    df.localCheckpoint(eager)
+
   /** Release the block-manager storage behind a pinned DataFrame.
     * Iterative drivers (ConnectedComponents' label loop) pin every
     * round; without an explicit release each round's slim label set

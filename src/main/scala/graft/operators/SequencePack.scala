@@ -112,8 +112,10 @@ object SequencePack {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // pin before the range exchange: its boundary-sampling pass would
     // otherwise re-run the caller's upstream (q67/q96 compute the BPE
-    // token count below this exchange — a full regex pass over text)
-    val pinned = Pin(df, eager = true)
+    // token count below this exchange — a full regex pass over text).
+    // Local pin: released a few lines down, so the reliable tier's FS
+    // write could never pay for itself.
+    val pinned = Pin.local(df, eager = true)
     val parted = pinned
       .repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)

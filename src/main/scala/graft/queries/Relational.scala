@@ -84,11 +84,18 @@ object Relational extends QueryModule {
   // |orders|/7 rows. Broadcasting it makes the whole query a SINGLE
   // map pass over lineitem (zero fact exchanges before the 25-row
   // aggregate — DuckDB's own build-side plan, 1.5 s at sf10 = 2.5x).
-  // SCALE NOTE: the o⋈c probe is year-bounded, not constant-bounded —
-  // on a cluster where one year of slim orders rows exceeds the
-  // driver, DROP the broadcast hint on `oc` and the identical tree
+  // SCALE DIAL (round 16, was a scaladoc note): the o⋈c probe is
+  // year-bounded, not constant-bounded — on a cluster where one year
+  // of slim orders rows exceeds the driver, broadcasting it is the
+  // classic driver-OOM. The hint is therefore SIZE-GATED on the
+  // probe's Catalyst size estimate (file-size × projection ratio —
+  // deliberately NOT crediting the year filter's selectivity, so the
+  // estimate errs toward the safe co-shuffle side) against
+  // `spark.graft.q03.probeBroadcastMaxBytes` (default 256 MiB, a
+  // comfortable driver-side build). Over the gate, the identical tree
   // plans as ONE lineitem co-shuffle on l_orderkey (measured 3.3 s at
-  // sf10), still ahead of the 3-exchange chain.
+  // sf10), still ahead of the 3-exchange chain. Both paths
+  // spec-asserted output-identical (Q03DialSpec).
   private def q03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val r = Tables.region(s, dir).filter($"r_name" === "ASIA")
@@ -103,7 +110,21 @@ object Relational extends QueryModule {
       .select($"c_custkey", $"c_nationkey", $"n_name")
     val oc = o.join(broadcast(cAsia), $"o_custkey" === $"c_custkey")
       .select($"o_orderkey", $"c_nationkey", $"n_name")
-    l.join(broadcast(oc), $"l_orderkey" === $"o_orderkey")
+    val probeGate = BigInt(s.conf.get(
+      "spark.graft.q03.probeBroadcastMaxBytes", (256L << 20).toString))
+    // The estimate is the slim ORDERS projection, not oc itself:
+    // without CBO, a Join's sizeInBytes is the product of its
+    // children (measured 8e17 at sf10 — useless), while the
+    // scan+filter+project estimate is file-size × column ratio
+    // (62 MB at sf10 vs the true ~40 MB probe — sane, monotone with
+    // data scale, and an over-estimate because the year filter gets
+    // no selectivity credit). The probe's (o_orderkey, c_nationkey,
+    // n_name) row is the same width class as this projection, and
+    // the cAsia join only drops rows.
+    val probeEstBytes =
+      o.select($"o_orderkey", $"o_custkey").queryExecution.optimizedPlan.stats.sizeInBytes
+    val probe = if (probeEstBytes <= probeGate) broadcast(oc) else oc
+    l.join(probe, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(sup.select($"s_suppkey", $"s_nationkey")),
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .groupBy($"n_name")

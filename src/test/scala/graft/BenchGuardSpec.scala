@@ -107,8 +107,7 @@ class BenchGuardSpec extends AnyFunSuite {
       // all-core probe (healthy 0.76-0.81 s idle) reads >= 1.6 s in
       // exactly that window, so sick passes are now skipped instead
       // of failing the gate with host noise.
-      val ProbeParHealthySec =
-        sys.env.get("GRAFT_PROBE_PAR_MAX").map(_.toDouble).getOrElse(1.2)
+      val ProbeParHealthySec = Bench.probeParMaxSec // shared default + safe parse
       def healthy(): Boolean =
         Bench.probeSec() <= ProbeHealthySec &&
           Bench.probeParSec() <= ProbeParHealthySec
@@ -131,7 +130,11 @@ class BenchGuardSpec extends AnyFunSuite {
       // over-limit reading is re-taken after a full GC with nothing
       // else resident. A real step-function regression — the Janino
       // fallback / accidental quadratic this gate exists for — is
-      // slow in isolation too and still fails.
+      // slow in isolation too and still fails. The retry itself is
+      // probe-gated (a retry taken under external contention would be
+      // noise-vs-noise), and every rescue is logged so systematic
+      // reliance on the lenient path stays visible in the test output.
+      val rescued = scala.collection.mutable.ArrayBuffer.empty[String]
       val over = names.flatMap { n =>
         val inSuite = passes.map(_(n)).min
         val limit = envelope(n) * Slack
@@ -140,13 +143,25 @@ class BenchGuardSpec extends AnyFunSuite {
           else {
             System.gc()
             Thread.sleep(2000)
-            math.min(inSuite, runOne(n))
+            if (healthy()) {
+              val iso = runOne(n)
+              if (iso <= limit) {
+                rescued += f"$n (in-suite ${inSuite / envelope(n)}%.2fx -> isolated ${iso / envelope(n)}%.2fx)"
+              }
+              math.min(inSuite, iso)
+            } else {
+              System.err.println(
+                s"[guard] $n over limit in-suite but host contended — skipping isolated retry")
+              inSuite
+            }
           }
         if (best > limit)
           Some(f"$n: $best%.2f s > ${Slack}x envelope ${envelope(n)}%.2f s" +
             f" (in-suite $inSuite%.2f s)")
         else None
       }
+      if (rescued.nonEmpty)
+        info(s"isolated clean retry rescued ${rescued.size} row(s): ${rescued.mkString(", ")}")
       assert(over.isEmpty,
         s"perf regression vs committed $envelopeFile:\n  ${over.mkString("\n  ")}")
     } finally spark.stop()

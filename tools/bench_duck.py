@@ -14,6 +14,7 @@ deliberately quadratic correctness baselines (q35/q38), so drop them
 here too when computing a whole-suite ratio.
 """
 import json
+import os
 import re
 import sys
 import time
@@ -22,6 +23,55 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+class HostProbe:
+    """The graft.Bench host-health protocol on the DuckDB side (round
+    16, closing the round-15 verdict's #6): the Spark bench gates every
+    timed pass on a single-thread AND an all-core fixed-work probe,
+    because this host shows external-contention windows that degrade
+    aggregate throughput 2-4x while single-thread throughput stays
+    intact. The duck side min-combines under the same hazard — and a
+    contended duck reading flatters the SPARK ratio, so asymmetric
+    gating biases the comparison toward whichever side caught a clean
+    window. Same fixed work, same engine being timed: a max(hash(i))
+    scan over a pre-materialized temp table (near-linear thread
+    scaling, measured 0.91 s -> 0.05 s at 1 -> 32 threads on 200M
+    rows). Calibration on this idle 32-vCPU host: solo (25M rows,
+    hash^4, threads=1) 0.39-0.41 s; par (256M rows, hash^12,
+    threads=32) 0.38-0.40 s. Bounds default to 1.5x healthy, same
+    headroom rule as the Spark side's GRAFT_PROBE_PAR_MAX.
+    """
+
+    SOLO_MAX = float(os.environ.get("GRAFT_DUCK_PROBE_MAX", "0.6"))
+    PAR_MAX = float(os.environ.get("GRAFT_DUCK_PROBE_PAR_MAX", "0.6"))
+
+    def __init__(self, cpus):
+        # a SEPARATE in-memory database: toggling SET threads for the
+        # solo probe must not disturb the timing connection
+        self.con = duckdb.connect()
+        self.cpus = cpus
+        self.con.execute(f"SET threads={cpus}")
+        self.con.execute(
+            "CREATE TEMP TABLE psolo AS SELECT i FROM range(25000000) t(i)")
+        self.con.execute(
+            "CREATE TEMP TABLE ppar AS SELECT i FROM range(256000000) t(i)")
+
+    def pair(self):
+        h4 = "hash(" * 4 + "i" + ")" * 4
+        h12 = "hash(" * 12 + "i" + ")" * 12
+        self.con.execute("SET threads=1")
+        t0 = time.time()
+        self.con.execute(f"SELECT max({h4}) FROM psolo").fetchall()
+        solo = time.time() - t0
+        self.con.execute(f"SET threads={self.cpus}")
+        t0 = time.time()
+        self.con.execute(f"SELECT max({h12}) FROM ppar").fetchall()
+        par = time.time() - t0
+        return round(solo, 3), round(par, 3)
+
+    def healthy(self, p):
+        return p[0] <= self.SOLO_MAX and p[1] <= self.PAR_MAX
 
 
 def main():
@@ -105,12 +155,16 @@ SELECT d.doc_id, CAST(greatest(length(d.text)-39, 0) AS BIGINT) AS n_windows,
   CAST(coalesce(dup_windows, 0) AS DOUBLE) / nullif(greatest(length(d.text)-39, 0), 0) AS dup_frac
 FROM documents d LEFT JOIN dups USING (doc_id) ORDER BY d.doc_id"""
     res, total = {}, 0.0
+    probe_pairs, dirty = {}, []
     # resume: skip queries already timed in a previous (killed) run's
     # partial artifact, so one engine-death doesn't re-pay a 972 s q36
     inflight_path = out_path + ".inflight"
     if "--resume" in sys.argv:
         try:
-            res = json.load(open(out_path + ".partial"))["queries"]
+            partial = json.load(open(out_path + ".partial"))
+            res = partial["queries"]
+            probe_pairs = partial.get("probe_pairs", {})
+            dirty = partial.get("dirty", [])
             total = sum(max(t, 0.0) for t in res.values())
             print(f"[duck] resuming past {len(res)} completed queries",
                   file=sys.stderr, flush=True)
@@ -137,13 +191,26 @@ FROM documents d LEFT JOIN dups USING (doc_id) ORDER BY d.doc_id"""
     # ~970 s; anything past GRAFT_DUCK_TIMEOUT (default 2400 s) is a
     # formulation blow-up, not a timing — interrupt and record -1
     # rather than hold the suite hostage
-    import os
     import threading
     timeout_s = float(os.environ.get("GRAFT_DUCK_TIMEOUT", "2400"))
+    probe = HostProbe(int(os.environ.get("GRAFT_DUCK_CPUS", "32")))
     for name in sorted(sql):
         if name in res:
             continue
         q = sql[name]
+        # probe-gate the timed window exactly like the Spark side: a
+        # hot before-probe re-queues (bounded attempts) rather than
+        # timing under known contention; after bounded attempts the
+        # query still runs — marked dirty — so a permanently contended
+        # host emits numbers, flagged, instead of hanging
+        before = probe.pair()
+        attempts = 0
+        while not probe.healthy(before) and attempts < 5:
+            attempts += 1
+            print(f"[duck] probe {before} hot before {name} — "
+                  f"re-queueing ({attempts}/5)", file=sys.stderr, flush=True)
+            time.sleep(10)
+            before = probe.pair()
         if ts_is_bigint:
             # regex, not exact-string: tolerate alias qualification and
             # whitespace (epoch_us( e.ts )), and fail loudly if any
@@ -185,6 +252,12 @@ FROM documents d LEFT JOIN dups USING (doc_id) ORDER BY d.doc_id"""
             timer.cancel()
         res[name] = round(dt, 3)
         total += max(dt, 0.0)
+        after = probe.pair()
+        probe_pairs[name] = list(before) + list(after)
+        if not (probe.healthy(before) and probe.healthy(after)):
+            dirty.append(name)
+            print(f"[duck] {name}: probes {before}/{after} hot — "
+                  "timing kept as DIRTY", file=sys.stderr, flush=True)
         # per-query progress + a partial artifact: a multi-hundred-
         # second suite (sf10) that dies mid-run must not lose every
         # completed timing (the OOM kill above did exactly that)
@@ -192,16 +265,22 @@ FROM documents d LEFT JOIN dups USING (doc_id) ORDER BY d.doc_id"""
         # atomic write: dump to a temp file and rename, so a kill
         # mid-dump never leaves a truncated .partial behind
         tmp = out_path + ".partial.tmp"
-        json.dump({"partial": True, "queries": res}, open(tmp, "w"))
+        json.dump({"partial": True, "queries": res,
+                   "probe_pairs": probe_pairs, "dirty": dirty},
+                  open(tmp, "w"))
         os.replace(tmp, out_path + ".partial")
         try:
             os.remove(inflight_path)
         except FileNotFoundError:
             pass
     json.dump({"total": round(total, 3), "queries": res,
-               "overrides": overrides, "skipped": skipped},
+               "overrides": overrides, "skipped": skipped,
+               "probe_pairs": probe_pairs, "dirty": dirty,
+               "probe_bounds": {"solo_max": HostProbe.SOLO_MAX,
+                                "par_max": HostProbe.PAR_MAX}},
               open(out_path, "w"))
-    print(f"duckdb total {total:.2f} s over {len(res)} queries -> {out_path}")
+    print(f"duckdb total {total:.2f} s over {len(res)} queries -> {out_path}"
+          + (f" (DIRTY rows: {len(dirty)})" if dirty else ""))
 
 
 if __name__ == "__main__":
