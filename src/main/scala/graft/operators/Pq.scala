@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
-import graft.plans.{PqAdc, PqCodes, PqLut, PqPack}
+import graft.plans.{PqAdc, PqCodes, PqLut, PqPack, PqReconErr}
 
 /** IVF-PQ: product-quantized vector index — the 100 TB ANN MEMORY
   * path. The IVF machinery ([[Similarity.ivf]]/[[Similarity
@@ -146,20 +146,28 @@ object Pq {
     * similar first; ties break on neighbor_id — fully deterministic). */
   def searchAdcIndex(index: DataFrame, corpus: DataFrame, model: PqModel,
                      queryPred: Column, k: Int, probes: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    adcScored(index, corpus, model, queryPred, probes)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
+  }
+
+  /** The shared ADC scoring stream: every (query, probed-cell
+    * candidate) pair with its exact int64 approximate distance —
+    * the ranking/cutoff policy is the caller's. */
+  private def adcScored(index: DataFrame, corpus: DataFrame, model: PqModel,
+                        queryPred: Column, probes: Int): DataFrame = {
     val n = Similarity.withNorm(corpus)
     val qn = n.filter(queryPred)
     val q = queryProbes(qn, model, probes)
       .join(coarseDf(corpus.sparkSession, model), Seq("cell"))
       .select(col("cell"), col("query_id"),
         PqLut(col("qe"), col("cembedding"), model.m, model.ksub, model.codebook).as("lut"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
     broadcast(q).join(index, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adist", PqAdc(col("pq"), col("lut"), model.m, model.ksub))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
   }
 
   /** [[searchAdcIndex]] with the index built inline (the spec/soak
@@ -179,27 +187,86 @@ object Pq {
     * ~k/cluster-size by construction. The refine restores recall
     * while the expensive float-vector work stays bounded by
     * |queries|·shortlist rows — the scan itself still never touches a
-    * vector. SIZE `shortlist` at or above the expected code-TIE-group
-    * (≈ corpus / distinct-content-modes on clustered data): SoakIvfPq
-    * at 200k vectors / 512 planted clusters measured recall@5 = 0.70
-    * at shortlist 200 (< the ~390-member tie groups — the refine can
-    * only rescue what the shortlist admits) vs 0.96 at 800, at
-    * unchanged wall (the refine is |queries|·shortlist rows either
-    * way). Output (query_id, neighbor_id, rank, d2), d2 the exact
-    * int64 squared L2 of the quantized vectors. */
+    * vector. SHORTLIST SIZING (round 16 — tie-group-aware auto): the
+    * cutoff is a `rank()` over adist ALONE, so a code-tie group
+    * straddling the boundary is admitted WHOLE — which is exactly the
+    * failure mode a larger hand-picked shortlist existed to cover
+    * (SoakIvfPq at 200k vectors / 512 planted clusters: recall@5 =
+    * 0.70 at a row_number cut of 200 < the ~390-member tie groups,
+    * 0.96 only once a hand-tuned 800 covered them). With the tie
+    * extension, `shortlist = k` (the default, sentinel 0) already
+    * admits every group ADC cannot discriminate within, and recall is
+    * bounded by PQ's BETWEEN-group ordering only — no constant to
+    * tune. Per-query candidate volume is shortlist + (straddling tie
+    * group − 1): data-dependent, but precisely the tie-group size the
+    * hand constant was approximating, and the admitted set is a pure
+    * function of adist values (MORE deterministic than a row_number
+    * truncation, which splits ties on neighbor_id). Pass an explicit
+    * `shortlist > k` to also rescue near-miss groups when PQ's
+    * between-group ordering itself is suspect. Output (query_id,
+    * neighbor_id, rank, d2), d2 the exact int64 squared L2 of the
+    * quantized vectors. */
   def searchAdcRerank(corpus: DataFrame, model: PqModel, queryPred: Column,
-                      k: Int, probes: Int = 2, shortlist: Int = 100): DataFrame =
+                      k: Int, probes: Int = 2, shortlist: Int = 0): DataFrame =
     searchAdcRerankIndex(
       encode(corpus, model).select(col("vec_id"), col("cell"), col("pq")),
-      corpus, model, queryPred, k, probes, shortlist)
+      corpus, model, queryPred, k, probes, shortlist,
+      // auto mode: this convenience path holds the full corpus, so it
+      // measures the radius bound itself (one more bounded-output
+      // corpus pass; deployment computes it once at index time)
+      rmax2 = if (shortlist == 0) reconErrMax(corpus, model) else 0L)
+
+  /** MAX SQUARED RECONSTRUCTION ERROR of the corpus under the model —
+    * the quantization radius bound the auto shortlist's band rule
+    * uses ([[searchAdcRerankIndex]]). One map-side corpus pass
+    * (identical shape to [[encode]]), single-long result. Compute it
+    * when the index is built / compacted and store it beside the
+    * index: it is a statistic of the INDEXED rows, so rows encoded
+    * later can exceed it until refreshed. */
+  def reconErrMax(corpus: DataFrame, model: PqModel): Long = {
+    val n = Similarity.withNorm(corpus)
+    val row = withCell(n, model)
+      .join(broadcast(coarseDf(corpus.sparkSession, model)), Seq("cell"))
+      .select(PqReconErr(col("embedding"), col("cembedding"),
+        model.m, model.ksub, model.codebook).as("e"))
+      .agg(coalesce(max(col("e")), lit(0L))).collect()(0)
+    row.getLong(0)
+  }
 
   /** [[searchAdcRerank]] over a PERSISTED index (deployment encodes
-    * once; every query session reruns only the ADC + refine tail). */
+    * once; every query session reruns only the ADC + refine tail).
+    * `shortlist = 0` = auto: floor at k, tie groups extend, and with
+    * `rmax2` (the index's [[reconErrMax]]) the error band admits
+    * every provably-possible true neighbor. */
   def searchAdcRerankIndex(index: DataFrame, corpus: DataFrame, model: PqModel,
                            queryPred: Column, k: Int, probes: Int,
-                           shortlist: Int): DataFrame = {
-    require(shortlist >= k, s"shortlist $shortlist < k $k")
-    val cand = searchAdcIndex(index, corpus, model, queryPred, k = shortlist, probes)
+                           shortlist: Int = 0, rmax2: Long = 0L): DataFrame = {
+    require(shortlist == 0 || shortlist >= k, s"shortlist $shortlist < k $k")
+    val floor = if (shortlist == 0) k else shortlist
+    // Two parameter-free admission rules on top of the rank floor:
+    //  - rank() over adist ALONE (no tie-break column): every member
+    //    of a code-tie group shares the group's first rank, so a
+    //    group straddling the floor is admitted whole;
+    //  - the ERROR BAND (when the caller supplies the index's
+    //    reconstruction radius bound rmax2): admit every candidate
+    //    with sqrt(adist) <= sqrt(adist_k) + 2·sqrt(rmax2). Triangle
+    //    inequality: sqrt(adist_x) = ||q - x̂|| with ||x - x̂||² <=
+    //    rmax2, so any true top-k neighbor in the quantized metric
+    //    lands inside the band — recall vs that metric is then exact
+    //    over the probed cells, with admission bounded by how many
+    //    candidates PQ genuinely cannot certify out. A degenerate
+    //    codebook (huge rmax2) degrades to reranking the probed
+    //    cells — slower, never wrong.
+    val margin = if (rmax2 > 0) 2.0 * math.sqrt(rmax2.toDouble) else 0.0
+    val wTie = Window.partitionBy(col("query_id")).orderBy(col("adist"))
+    val wAll = Window.partitionBy(col("query_id"))
+    val cand = adcScored(index, corpus, model, queryPred, probes)
+      .withColumn("arank", rank().over(wTie))
+      .withColumn("akth",
+        max(when(col("arank") <= floor, col("adist"))).over(wAll))
+      .filter(col("arank") <= floor ||
+        sqrt(col("adist").cast("double")) <=
+          sqrt(col("akth").cast("double")) + lit(margin))
       .select(col("query_id"), col("neighbor_id"))
     val qv = corpus.select(col("vec_id"), quantizeQ(col("embedding")).as("qv"))
     val d2 = aggregate(zip_with(col("qq"), col("nv"),

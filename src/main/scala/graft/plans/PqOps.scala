@@ -161,6 +161,129 @@ object PqCodes {
       SparkSqlBridge.expression(centroid), m, ksub, codebook))
 }
 
+/** RECONSTRUCTION ERROR of a vector under the codebook: the exact
+  * int64 squared L2 distance between the vector's residual (vs its
+  * home cell centroid) and its own best code words — i.e. the sum of
+  * the per-subspace argmin distances [[PqCodes]] computes internally
+  * and throws away. `max` of this over an index is the quantization
+  * radius bound the tie-band shortlist rule needs
+  * ([[graft.operators.Pq.searchAdcRerankIndex]]): any candidate whose
+  * adist exceeds (sqrt(adist_k) + 2·sqrt(maxErr))² provably cannot be
+  * a true top-k neighbor in the quantized metric. Same children and
+  * arithmetic as [[PqCodes]]. */
+case class PqReconErr(
+    left: Expression,
+    right: Expression,
+    m: Int,
+    ksub: Int,
+    codebook: Seq[Long])
+  extends BinaryExpression {
+
+  private val dim = graft.functions.VectorFunctions.Dim
+  private val dsub = dim / m
+  require(dim % m == 0, s"m=$m must divide Dim=$dim")
+  PqOps.checkBook(m, ksub, dsub, codebook)
+  @transient private lazy val book: Array[Long] = codebook.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<float>), got $other")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_recon_err"
+
+  override def nullSafeEval(emb: Any, cent: Any): Any = {
+    val v = emb.asInstanceOf[ArrayData]
+    val c = cent.asInstanceOf[ArrayData]
+    if (v.numElements() != dim || c.numElements() != dim) return null
+    val r = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i) || c.isNullAt(i)) return null
+      r(i) = math.floor(v.getFloat(i).toDouble * 1.0e7).toLong -
+        math.floor(c.getFloat(i).toDouble * 1.0e7).toLong
+      i += 1
+    }
+    var err = 0L
+    var j = 0
+    while (j < m) {
+      var bestD = Long.MaxValue
+      var cw = 0
+      while (cw < ksub) {
+        var d = 0L
+        var t = 0
+        val base = (j * ksub + cw) * dsub
+        while (t < dsub) {
+          val diff = r(j * dsub + t) - book(base + t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) bestD = d
+        cw += 1
+      }
+      err += bestD
+      j += 1
+    }
+    err
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      val bookRef = ctx.addReferenceObj("pqBook", book, "long[]")
+      val r = ctx.freshName("r")
+      val err = ctx.freshName("err")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val cw = ctx.freshName("cw"); val t = ctx.freshName("t")
+      val d = ctx.freshName("d"); val diff = ctx.freshName("diff")
+      val bestD = ctx.freshName("bestD")
+      val base = ctx.freshName("base")
+      s"""
+         |if ($v.numElements() != $dim || $c.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $r = new long[$dim];
+         |  for (int $i = 0; $i < $dim && !${ev.isNull}; $i++) {
+         |    if ($v.isNullAt($i) || $c.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $r[$i] = (long) java.lang.Math.floor(((double) $v.getFloat($i)) * 1.0E7D)
+         |           - (long) java.lang.Math.floor(((double) $c.getFloat($i)) * 1.0E7D);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    long $err = 0L;
+         |    for (int $j = 0; $j < $m; $j++) {
+         |      long $bestD = Long.MAX_VALUE;
+         |      for (int $cw = 0; $cw < $ksub; $cw++) {
+         |        long $d = 0L;
+         |        int $base = ($j * $ksub + $cw) * $dsub;
+         |        for (int $t = 0; $t < $dsub; $t++) {
+         |          long $diff = $r[$j * $dsub + $t] - $bookRef[$base + $t];
+         |          $d += $diff * $diff;
+         |        }
+         |        if ($d < $bestD) $bestD = $d;
+         |      }
+         |      $err += $bestD;
+         |    }
+         |    ${ev.value} = $err;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqReconErr =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqReconErr {
+  def apply(embedding: Column, centroid: Column, m: Int, ksub: Int,
+            codebook: Seq[Long]): Column =
+    SparkSqlBridge.column(PqReconErr(SparkSqlBridge.expression(embedding),
+      SparkSqlBridge.expression(centroid), m, ksub, codebook))
+}
+
 /** ADC LOOKUP TABLE of one query against one coarse cell: entry
   * (j·ksub + c) = exact int64 squared L2 distance between the query
   * residual's subspace-j slice and codebook entry (j, c) — built once

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -105,13 +106,23 @@ class PqSpec extends SparkTestBase {
       .select(col("query_id"), col("neighbor_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    // exact squared-L2 top-k over the quantized vectors (the metric
-    // PQ approximates), brute-forced on the bounded query sliver
+    val exact = exactTopK(corpus, qPred, k)
+    val recalls = exact.map { case (qid, truth) =>
+      adc.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, f"full-probe PQ recall $mean%.3f < 0.8")
+  }
+
+  /** Exact squared-L2 top-k over the quantized vectors (the metric PQ
+    * approximates), brute-forced on the bounded query sliver. */
+  private def exactTopK(corpus: org.apache.spark.sql.DataFrame,
+                        qPred: Column, k: Int): Map[Long, Set[Long]] = {
     val q = VectorFunctions.quantizeQ(col("embedding"))
     val base = corpus.select(col("vec_id"), q.as("qv"))
     val queries = base.filter(qPred)
       .select(col("vec_id").as("query_id"), col("qv").as("qq"))
-    val exact = broadcast(queries).join(base, col("vec_id") =!= col("query_id"))
+    broadcast(queries).join(base, col("vec_id") =!= col("query_id"))
       .withColumn("d2", aggregate(zip_with(col("qq"), col("qv"),
         (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v))
       .withColumn("rank", row_number().over(
@@ -121,11 +132,33 @@ class PqSpec extends SparkTestBase {
       .select(col("query_id"), col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val recalls = exact.map { case (qid, truth) =>
-      adc.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / k
+  }
+
+  test("auto shortlist (tie band + error band): recall >= 0.95 with no hand-picked constant") {
+    // 16 clusters of 125 members — within-cluster candidates ADC
+    // cannot order (near-equal adist), the exact shape that forced
+    // SoakIvfPq's hand-tuned shortlist=800. Default shortlist (auto):
+    // the rank() cut admits exact-tie groups whole, and the
+    // reconstruction-radius error band (sqrt(adist) <= sqrt(adist_k)
+    // + 2·sqrt(reconErrMax)) provably admits every possible true
+    // neighbor in the quantized metric — measured here: the pure
+    // rank cut alone reads 0.36 (distinct codes, near-ties, only ~k
+    // admitted); the band restores the full cluster.
+    val corpus = plantedCorpus(2000, 16)
+    val model = Pq.train(corpus, cells = 8, m = 8, ksub = 64, seed = 42L)
+    val k = 10
+    val qPred = col("vec_id") < 16
+    val got = Pq.searchAdcRerank(corpus, model, qPred, k,
+      probes = model.coarse.size)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = exactTopK(corpus, qPred, k)
+    val recalls = truth.map { case (qid, t) =>
+      got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / k
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.8, f"full-probe PQ recall $mean%.3f < 0.8")
+    assert(mean >= 0.95, f"auto-shortlist recall $mean%.3f < 0.95")
   }
 
   test("pq expressions degrade to null on malformed input, never garbage") {

@@ -63,6 +63,15 @@ object SoakIvfPq {
     val adcPartial = timed("ADC shortlist(800) + refine, 8-cell probe")(
       graft.operators.Pin(Pq.searchAdcRerankIndex(index, docs, model, qPred, k,
         probes = 8, shortlist = 800), eager = true))
+    // AUTO shortlist (round 16): rank floor at k + tie extension +
+    // the reconstruction-radius error band — the hand-tuned 800
+    // replaced by the index's own statistic
+    val rmax2 = timed("reconErrMax (one corpus pass)")(
+      Pq.reconErrMax(docs, model))
+    println(s"SOAK ivfpq reconErrMax $rmax2")
+    val adcAuto = timed("ADC AUTO shortlist + refine, 8-cell probe")(
+      graft.operators.Pin(Pq.searchAdcRerankIndex(index, docs, model, qPred, k,
+        probes = 8, shortlist = 0, rmax2 = rmax2), eager = true))
 
     val brute = Similarity.knnBrute(docs, qPred, k)
       .select(col("query_id"), col("neighbor_id"))
@@ -71,8 +80,11 @@ object SoakIvfPq {
       adc.select(col("query_id"), col("neighbor_id"))).count()
     val hitsPart = brute.intersect(
       adcPartial.select(col("query_id"), col("neighbor_id"))).count()
+    val hitsAuto = brute.intersect(
+      adcAuto.select(col("query_id"), col("neighbor_id"))).count()
     println(s"SOAK ivfpq recall full-probe $hitsFull/${10 * k} " +
-      s"8-probe $hitsPart/${10 * k} (vs exact cosine brute)")
+      s"8-probe $hitsPart/${10 * k} auto-8-probe $hitsAuto/${10 * k} " +
+      "(vs exact cosine brute)")
 
     // uncompressed IVF baseline on the same codebook size
     import spark.implicits._
