@@ -38,16 +38,25 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Thread count for the all-core probe: one per vCPU the bench is
-    * configured for (SPARK_GRAFT_CPUS, same var main already reads),
-    * falling back to the JVM's processor count. Sizing the probe to
-    * the HOST keeps the fixed per-thread work (500M steps) the unit
-    * of measure on any core topology — with the old hardcoded 32, a
-    * 16-core host would time-slice 2 threads/core and read ~2x the
-    * healthy bound while perfectly idle. */
-  private[graft] def probeParThreads: Int =
+  /** THE cpu count for this bench process: SPARK_GRAFT_CPUS if it
+    * parses, else the JVM's processor count. main sizes local[N] from
+    * this and probeParThreads sizes the all-core probe from it, so the
+    * probe always measures the parallelism the bench actually uses —
+    * previously main fell back to "32" while the probe fell back to
+    * availableProcessors(), and on a non-32-core host with the var
+    * unset the two diverged (round-16 advice). */
+  private[graft] def resolvedCpus: Int =
     sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption)
       .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  /** Thread count for the all-core probe: one per vCPU the bench is
+    * configured for (resolvedCpus — the same value main sizes local[N]
+    * with). Sizing the probe to the HOST keeps the fixed per-thread
+    * work (500M steps) the unit of measure on any core topology — with
+    * the old hardcoded 32, a 16-core host would time-slice 2
+    * threads/core and read ~2x the healthy bound while perfectly
+    * idle. */
+  private[graft] def probeParThreads: Int = resolvedCpus
 
   /** The env-overridable all-core probe bound. Healthy calibration on
     * an idle 32-vCPU host (round 15): 0.76-0.81 s with near-linear
@@ -96,7 +105,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = resolvedCpus.toString
     val spark = GraftSession.local(cpus, cpus)
 
     // SPARK_GRAFT_BENCH_EXTRA=1 appends the non-headline queries
@@ -245,8 +254,18 @@ object Bench {
         s""""probe_sec_after":${num(probeAfter)}}"""
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), detailLine + "\n" + line + "\n")
+    // Atomic: write a temp file and move it over bench_out.json, so a
+    // crash (or a reader racing the write) can never observe a
+    // truncated artifact — the file is the noise-proof channel the
+    // driver falls back to when its stdout capture clips the headline
+    // (BENCH_r16.json "parsed": null).
+    val out = java.nio.file.Paths.get("bench_out.json")
+    val tmp = java.nio.file.Paths.get("bench_out.json.tmp")
+    java.nio.file.Files.writeString(tmp, detailLine + "\n" + line + "\n")
+    java.nio.file.Files.move(
+      tmp, out,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     println(detailLine)
     spark.stop() // stop BEFORE the headline so no shutdown noise can follow it
     println(line)

@@ -23,7 +23,7 @@ object Pin {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
     else df.localCheckpoint(eager)
 
-  /** Executor-local pin regardless of a configured checkpoint dir.
+  /** Executor-local pin even when a checkpoint dir is configured.
     * For EPHEMERAL intra-operator pins that are released before the
     * operator returns (GlobalRank / SequencePack.withBin pin the
     * input only so the range exchange's boundary-sampling pass and
@@ -31,11 +31,25 @@ object Pin {
     * checkpoint there is a full write of the input to the shared
     * filesystem whose cost exceeds the recompute it saves, `release`
     * cannot reclaim it (it only unpersists RDD blocks), and the
-    * files leak until context stop. Executor loss during the
-    * microseconds the pin lives just re-runs the operator's stage —
-    * the recovery a reliable checkpoint buys is worthless here. */
+    * files leak until context stop.
+    *
+    * The REAL trade (stated plainly — the earlier note here
+    * understated it): localCheckpoint TRUNCATES lineage and keeps
+    * blocks only on executors, so losing an executor while the pin is
+    * still referenced — and the range exchange's boundary-sampling
+    * pass plus the shuffle read are full stages, not microseconds —
+    * fails the job unrecoverably; it cannot be recomputed. The bet is
+    * that re-running one failed operator invocation is cheaper than a
+    * shared-filesystem round-trip of its whole input on EVERY
+    * invocation. A deployment that configured a checkpoint dir
+    * precisely because executors do get lost can veto the bet:
+    * `spark.graft.pin.localEphemeral=false` routes these pins through
+    * [[apply]]'s reliable tier. */
   def local(df: DataFrame, eager: Boolean = false): DataFrame =
-    df.localCheckpoint(eager)
+    if (df.sparkSession.conf
+        .get("spark.graft.pin.localEphemeral", "true") == "false")
+      apply(df, eager)
+    else df.localCheckpoint(eager)
 
   /** Release the block-manager storage behind a pinned DataFrame.
     * Iterative drivers (ConnectedComponents' label loop) pin every

@@ -35,12 +35,19 @@ class HostProbe:
     contended duck reading flatters the SPARK ratio, so asymmetric
     gating biases the comparison toward whichever side caught a clean
     window. Same fixed work, same engine being timed: a max(hash(i))
-    scan over a pre-materialized temp table (near-linear thread
-    scaling, measured 0.91 s -> 0.05 s at 1 -> 32 threads on 200M
-    rows). Calibration on this idle 32-vCPU host: solo (25M rows,
-    hash^4, threads=1) 0.39-0.41 s; par (256M rows, hash^12,
-    threads=32) 0.38-0.40 s. Bounds default to 1.5x healthy, same
-    headroom rule as the Spark side's GRAFT_PROBE_PAR_MAX.
+    scan over a temp table (near-linear thread scaling, measured
+    0.91 s -> 0.05 s at 1 -> 32 threads on 200M rows). The par probe
+    is FIXED WORK PER THREAD (8M rows x hash^12 each), the same sizing
+    rule Bench.probeParThreads uses on the Spark side — fixed TOTAL
+    work would read ~2x on a 16-core host that is perfectly idle, so
+    the bound would never pass off this 32-vCPU box. Calibration on
+    this idle 32-vCPU host: solo (25M rows, hash^4, threads=1)
+    0.39-0.41 s; par (8M rows/thread, hash^12) 0.38-0.40 s. Bounds
+    default to 1.5x healthy, same headroom rule as the Spark side's
+    GRAFT_PROBE_PAR_MAX. The par table (~8M x cpus rows, ~2.2 GB at
+    32) is dropped after every probe pair and recreated outside the
+    timed window — a resident copy sat in this process's RSS alongside
+    the 55 GB engine budget, in a suite with an OOM-kill history.
     """
 
     SOLO_MAX = float(os.environ.get("GRAFT_DUCK_PROBE_MAX", "0.6"))
@@ -54,8 +61,6 @@ class HostProbe:
         self.con.execute(f"SET threads={cpus}")
         self.con.execute(
             "CREATE TEMP TABLE psolo AS SELECT i FROM range(25000000) t(i)")
-        self.con.execute(
-            "CREATE TEMP TABLE ppar AS SELECT i FROM range(256000000) t(i)")
 
     def pair(self):
         h4 = "hash(" * 4 + "i" + ")" * 4
@@ -65,9 +70,14 @@ class HostProbe:
         self.con.execute(f"SELECT max({h4}) FROM psolo").fetchall()
         solo = time.time() - t0
         self.con.execute(f"SET threads={self.cpus}")
+        # materialize OUTSIDE the timed window (fixed work per thread)
+        self.con.execute(
+            "CREATE TEMP TABLE ppar AS SELECT i FROM "
+            f"range({8000000 * self.cpus}) t(i)")
         t0 = time.time()
         self.con.execute(f"SELECT max({h12}) FROM ppar").fetchall()
         par = time.time() - t0
+        self.con.execute("DROP TABLE ppar")
         return round(solo, 3), round(par, 3)
 
     def healthy(self, p):
@@ -78,8 +88,9 @@ def main():
     sfdir, oracle_path = sys.argv[1], sys.argv[2]
     out_path = sys.argv[3] if len(sys.argv) > 3 else "duck_out.json"
     sql = json.load(open(oracle_path))
+    cpus = int(os.environ.get("GRAFT_DUCK_CPUS", str(os.cpu_count() or 32)))
     con = duckdb.connect()
-    con.execute("SET threads=32")
+    con.execute(f"SET threads={cpus}")
     con.execute("SET TimeZone='UTC'")
     # Bound memory and spill to disk instead of dying: the unbounded
     # default let the sf10 q37 mirror's candidate DISTINCT grow to
@@ -193,7 +204,7 @@ FROM documents d LEFT JOIN dups USING (doc_id) ORDER BY d.doc_id"""
     # rather than hold the suite hostage
     import threading
     timeout_s = float(os.environ.get("GRAFT_DUCK_TIMEOUT", "2400"))
-    probe = HostProbe(int(os.environ.get("GRAFT_DUCK_CPUS", "32")))
+    probe = HostProbe(cpus)
     for name in sorted(sql):
         if name in res:
             continue

@@ -90,16 +90,30 @@ def main():
                 for q, t in j["queries"].items():
                     smin[q] = min(smin.get(q, 1e9), t)
 
-    dmin = {}
+    # Duck side: bench_duck.py emits per-query "dirty" flags (probe-hot
+    # timed window — round 16's symmetry fix). A dirty duck timing
+    # FLATTERS the Spark ratio, so it must not min-combine silently:
+    # when any run has a clean timing for a query, dirty timings are
+    # EXCLUDED from its min; a query with only dirty timings keeps its
+    # min but ships flagged in the artifact's "duck_dirty" list.
+    dclean, ddirty = {}, {}
     for f in duck_files:
         j = json.load(open(f))
+        flagged = set(j.get("dirty", []))
         for q, t in j["queries"].items():
             # bench_duck records an errored/DNF query as -1 (e.g. the
             # sf10 q37 mirror exhausting 75 GB of spill): that is a
             # MISSING timing, not a 0-second one — min-combining it
             # would hand the query a fake duck side
             if q in smin and t >= 0:
-                dmin[q] = min(dmin.get(q, 1e9), t)
+                d = ddirty if q in flagged else dclean
+                d[q] = min(d.get(q, 1e9), t)
+    dmin = dict(ddirty)
+    dmin.update(dclean)  # clean wins wherever it exists
+    duck_dirty = sorted(set(ddirty) - set(dclean))
+    if duck_dirty:
+        print(f"WARNING: duck timings kept from DIRTY-only windows: "
+              f"{duck_dirty}", file=sys.stderr)
 
     missing = sorted(set(smin) - set(dmin))
     if missing:
@@ -127,7 +141,9 @@ def main():
         and smin[q] > band["watch_ratio"] * dmin[q])
     watch = [q for q in over_band if q not in argued]
     argued_rows = {q: argued[q] for q in over_band if q in argued}
-    stale_args = sorted(set(argued) - set(over_band))
+    # only argued queries PRESENT in this pair can be judged stale — a
+    # partial/BENCH_ONLY run simply doesn't carry the others
+    stale_args = sorted((set(argued) & set(dmin)) - set(over_band))
     if stale_args:
         print(f"NOTE: argued rows now back under the band (drop from ARGUED): "
               f"{stale_args}", file=sys.stderr)
@@ -139,10 +155,12 @@ def main():
                                        "duck_s": cdtot},
                             "watch": watch,
                             "argued": argued_rows,
+                            "duck_dirty": duck_dirty,
                             "band": band}) + "\n")
     with open(f"duck_{prefix}_out.json", "w") as f:
         f.write(json.dumps({"total": dtot,
-                            "queries": {q: round(t, 3) for q, t in sorted(dmin.items())}}) + "\n")
+                            "queries": {q: round(t, 3) for q, t in sorted(dmin.items())},
+                            "dirty": duck_dirty}) + "\n")
 
     print(f"Spark {cstot:.1f} s vs DuckDB {cdtot:.1f} s -> {cstot/cdtot:.2f}x "
           f"over {len(common)} common queries"
