@@ -47,18 +47,27 @@ BANDS = {
 # without a matching md note is a lie; the note location is part of
 # the value so the judge can check in one hop.
 ARGUED = {
-    "sf1": {},
-    "sf10": {
-        "q15_author_filter": "BENCH_SF10.md round-15 borderline rows: "
-            "2-level agg family, scan+norm 0.41 s + 2 agg exchanges + range "
-            "sort stage floors; ratio improved 2.7x->2.1x sf1->sf10",
-        "q56_heuristic_profile": "BENCH_SF10.md round-15 borderline rows: "
-            "same 2-level family, 8 aggregates; floors ~1.9 s, measured 1.93; "
-            "ratio improved vs sf1",
-        "q83_knn_graph": "BENCH_SF10.md round-15 borderline rows: "
-            "irreducible 6-exchange graph pipeline; ratio improved "
-            "2.6x->2.15x sf1->sf10",
+    # Round 17: the sf1 entries are the six stacked-action-floor rows
+    # of the FRESH symmetric pair (BENCH_SF1.md "Round 17").  Shared
+    # argument, per-row numbers in the md note: 2.0-3.4x against
+    # 0.41-0.53 s DuckDB sides, and EVERY one reads <= 1.9x at sf10 on
+    # the same fresh protocol (q93 0.90x, q75 1.01x, q87 1.13x, q57
+    # 1.18x, q72 1.31x, q94 1.30x, q66 1.89x) — ratios IMPROVING 10x
+    # up is the constant-stage-floor signature, not a scale cliff.
+    "sf1": {
+        "q66_human_eval_prep": "BENCH_SF1.md Round 17: 2.02x on a 0.42 s side; 1.89x at sf10",
+        "q72_embedding_neardup": "BENCH_SF1.md Round 17: 2.49x on a 0.41 s side; 1.31x at sf10",
+        "q75_boilerplate_ngrams": "BENCH_SF1.md Round 17: 2.25x on a 0.53 s side; 1.01x at sf10 (round-12 hash-first note)",
+        "q87_tfidf_keywords": "BENCH_SF1.md Round 17: 3.37x on a 0.44 s side; 1.13x at sf10 (round-12 one-scan audit note)",
+        "q93_cdc_chunks": "BENCH_SF1.md Round 17: 2.53x on a 0.43 s side; 0.90x at sf10",
+        "q94_contrastive_triples": "BENCH_SF1.md Round 17: 2.08x on a 0.51 s side; 1.30x at sf10",
     },
+    # Round 17 empties the sf10 registry: on the fresh symmetric pair
+    # (regenerated data, probe-verified both sides) all three argued
+    # rows are UNDER the band — q15 1.03x, q56 0.99x, q83 in-band.
+    # The old 2.1x readings were inherited-min asymmetry
+    # (BENCH_SF10.md "Round 17").
+    "sf10": {},
 }
 
 
