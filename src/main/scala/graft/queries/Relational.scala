@@ -96,10 +96,35 @@ object Relational extends QueryModule {
   // plans as ONE lineitem co-shuffle on l_orderkey (measured 3.3 s at
   // sf10), still ahead of the 3-exchange chain. Both paths
   // spec-asserted output-identical (Q03DialSpec).
-  // q03's broadcast-dial size estimate, memoized per (session, dir) —
-  // see the computeIfAbsent note inside q03
-  private val q03ProbeEst =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), BigInt]()
+  // q03's broadcast-dial size estimate, memoized per session (WEAK
+  // keys — a stopped session's entry is collectable, so a long-lived
+  // multi-session driver never accretes dead SparkSessions: round-17
+  // advice) and per (dir, orders-file mtime) within a session — the
+  // mtime in the key means regenerating the files in-place invalidates
+  // the memo instead of silently mis-deciding the dial. See the
+  // computeIfAbsent note inside q03.
+  private val q03ProbeEst = new java.util.WeakHashMap[
+    SparkSession,
+    java.util.concurrent.ConcurrentHashMap[(String, Long), BigInt]]()
+
+  private def q03EstFor(s: SparkSession, dir: String)
+                       (compute: => BigInt): BigInt = {
+    val inner = q03ProbeEst.synchronized {
+      var m = q03ProbeEst.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, Long), BigInt]()
+        q03ProbeEst.put(s, m)
+      }
+      m
+    }
+    // one metadata call (works for any Hadoop-FS scheme, not just
+    // file://): the dir entry's mtime moves when files under
+    // orders.parquet are rewritten
+    val p = new org.apache.hadoop.fs.Path(dir, "orders.parquet")
+    val mtime = p.getFileSystem(s.sessionState.newHadoopConf())
+      .getFileStatus(p).getModificationTime
+    inner.computeIfAbsent((dir, mtime), _ => compute)
+  }
 
   private def q03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -129,7 +154,7 @@ object Relational extends QueryModule {
     // memoized per (session, dir): the estimate needs its own analyze+
     // optimize pass, and q03 is constructed fresh every bench pass —
     // the stats are a pure function of the files, so pay the pass once
-    val probeEstBytes = q03ProbeEst.computeIfAbsent((s, dir), _ =>
+    val probeEstBytes = q03EstFor(s, dir)(
       o.select($"o_orderkey", $"o_custkey")
         .queryExecution.optimizedPlan.stats.sizeInBytes)
     val probe = if (probeEstBytes <= probeGate) broadcast(oc) else oc

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.Pq
+import graft.operators.{Opq, Pq}
 
 /** Streaming VECTOR ingest for the persisted IVF-PQ index — the
   * vector analog of the daily-document capstone
@@ -43,6 +43,27 @@ object VectorIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         Pq.appendIndex(batch, model, prefix, buckets)
+        ()
+      }
+      .start()
+  }
+
+  /** The OPQ'd variant over a persisted [[Opq.OpqIndex]]: each
+    * micro-batch is ROTATED against the index's persisted rotation and
+    * appended through [[Opq.appendIndex]] — which also verifies per
+    * batch that the caller's model still IS the persisted model (a
+    * retrain mid-stream under the same prefix would otherwise corrupt
+    * the index silently; the verify turns it into a loud batch
+    * failure). Same at-least-once restart semantics as
+    * [[pqIngestStream]], same frozen-model contract. */
+  def opqIngestStream(vectors: DataFrame, model: Opq.OpqModel,
+                      prefix: String, checkpointDir: String,
+                      buckets: Int = 32): StreamingQuery = {
+    require(vectors.isStreaming, "vectors must be a streaming DataFrame")
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Opq.appendIndex(batch, model, prefix, buckets)
         ()
       }
       .start()

@@ -211,6 +211,37 @@ class PqIndexSpec extends SparkTestBase {
     } finally dropIndex(prefix)
   }
 
+  test("rebuild at the same basePath; nightly compaction re-runs at the same compactPath") {
+    val prefix = "pqidx_rerun"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    val tmpC = java.nio.file.Files.createTempDirectory("graft_pqidx_c").toString
+    try {
+      val base = plantedCorpus(600, 8)
+      val model = Pq.train(base, cells = 8, m = 8, ksub = 32, seed = 42L)
+      Pq.buildIndex(base, model, tmp, prefix, buckets = 8)
+      // REBUILD at the same basePath: the external meta files survive
+      // the catalog DROP, so the second build must overwrite them, not
+      // die on ErrorIfExists (round-17 advice)
+      val rebuilt = Pq.buildIndex(base, model, tmp, prefix, buckets = 8)
+      assert(rebuilt.codes.count() == 600)
+      val k = 5
+      val qPred = col("vec_id") < 4
+      val want = searchSet(Pq.searchAdcRerank(base, model, qPred, k,
+        probes = model.coarse.size))
+      // THREE nightly compactions against ONE compactPath: run 1 lands
+      // in the _a dirs, run 2 alternates to _b (never overwriting the
+      // live _a file set it is reading), run 3 returns to _a over the
+      // stale run-1 files (the overwrite-stale-dir path)
+      (1 to 3).foreach { night =>
+        val c = Pq.compactIndex(spark, tmpC, prefix, buckets = 8)
+        assert(c.codes.count() == 600, s"night $night lost rows")
+        assert(searchSet(Pq.searchIndex(c, base, model, qPred, k,
+          probes = model.coarse.size)) == want,
+          s"night $night changed search output")
+      }
+    } finally dropIndex(prefix)
+  }
+
   test("auto mode without a radius is refused, not silently weak") {
     val corpus = plantedCorpus(200, 4)
     val model = Pq.train(corpus, cells = 4, m = 4, ksub = 16, seed = 7L)
