@@ -235,6 +235,12 @@ object Similarity {
     val fam = corpus
       .withColumn("qv", quantizeQ(col("embedding")))
       .withColumn("rep", min(col("vec_id")).over(Window.partitionBy(col("qv"))))
+    // NOT pinned (round-18 A/B): pinning reps + entries here read
+    // q83 1.44 → 1.56 s and q94 1.61 → 2.16 s at sf1 — this plan's
+    // duplicated branches are all shuffle-keyed (no AQE broadcast
+    // conversion fires below), so vanilla exchange reuse already
+    // dedups the fam window, and the extra materialization jobs are
+    // pure overhead. Contrast nearDupPairs, where the pins WIN.
     val reps = fam.filter(col("vec_id") === col("rep"))
       .select(col("vec_id"), col("embedding"))
     val entries = lshEntries(reps, tables, planes)
@@ -268,6 +274,9 @@ object Similarity {
     * are cross-engine reproducible (q94). */
   def contrastiveTriples(corpus: DataFrame, posMin: Double, negMax: Double,
                          k: Int = 5): DataFrame = {
+    // NOT pinned (round-18 A/B, with the knnGraph note): the two
+    // argmin branches reuse the graph's exchanges as-is; a pin read
+    // q94 1.61 → 2.16 s at sf1.
     val g = knnGraph(corpus, k)
     val pos = g.filter(col("sim") >= posMin)
       .groupBy(col("query_id"))
@@ -325,13 +334,28 @@ object Similarity {
     val fam = corpus
       .withColumn("qv", quantizeQ(col("embedding")))
       .withColumn("rep", min(col("vec_id")).over(Window.partitionBy(col("qv"))))
-    val members = fam.select(col("vec_id"), col("rep"))
-    val reps = fam.filter(col("vec_id") === col("rep"))
+    // Pin the family map once (qv dropped — only the assignment and
+    // the rep embeddings survive): `members` is referenced FOUR times
+    // (both sides of the within-family join, both cross expansions)
+    // and `reps` three more (both band-join branches via `keyed`,
+    // selfSim) — without the pin each branch re-runs the quantize +
+    // family window over the whole corpus (AQE broadcast conversion
+    // defeats exchange reuse here; the q36/q37 discipline). One row
+    // per input vector, embedding kept only to derive reps.
+    val famP = Pin(fam.select(col("vec_id"), col("rep"), col("embedding")))
+    val members = famP.select(col("vec_id"), col("rep"))
+    val reps = famP.filter(col("vec_id") === col("rep"))
       .select(col("vec_id"), col("embedding"))
 
     val pm = planeMatrixOf(tables, planes)
-    val keyed = withNorm(reps)
-      .withColumn("bks", graft.plans.LshBucketKeys(col("embedding"), pm, planes))
+    // Pin the per-rep signature row (embedding, norm, bucket keys)
+    // BEFORE the table explode: the band self-join references it on
+    // both sides, and the bucket-key projection is the operator's
+    // per-row hot loop — one evaluation, one stored row per rep (the
+    // q36 signature-pin storage class).
+    val pre = Pin(withNorm(reps)
+      .withColumn("bks", graft.plans.LshBucketKeys(col("embedding"), pm, planes)))
+    val keyed = pre
       .withColumn("tbl", explode(sequence(lit(0), lit(tables - 1))))
       .withColumn("bkey", element_at(col("bks"), col("tbl") + 1))
     val a = keyed.select(col("vec_id").as("ra"), col("embedding").as("ea"),

@@ -162,7 +162,19 @@ object AgreementOps extends QueryModule {
     * ([[graft.operators.QualtricsIngest.rankToMatrix]]'s output)
     * feeds it unchanged (spec-exercised). */
   def pairAgreementOf(rt: DataFrame): DataFrame = {
-    val items = pairItems(rt)
+    // Pin the paired-item table: it is BOUNDED by the panel contract
+    // (≤ C(NRaters,2)·Cap·NModels rows — the scaladoc's scale
+    // argument) but its lineage is the whole ev-scan → distinct →
+    // cross → seen-window → ratings pipeline, and it sits on THREE
+    // plan branches (the kappa aggregation and both sides of the tau
+    // item-pair self-join). Without the pin the event-stream pipeline
+    // plans — and runs — once per branch (6 ev scans, 56 exchanges at
+    // sf0.1); exchange reuse cannot be trusted to dedup it because
+    // AQE's broadcast conversion drops the exchanges reuse keys on
+    // (the q36 lesson, operators/Pin scaladoc). Measured: q64
+    // 1.96 → 1.13 s and q65 1.57 → 1.02 s at sf1 (1.09 → 1.00 /
+    // 1.08 → 0.92 at sf0.1, where fixed stage overhead dominates).
+    val items = graft.operators.Pin(pairItems(rt))
 
     // Cohen's kappa over the interleaved (sense, specific) binary
     // sequences: po−pe arithmetic on exact counts —
@@ -244,7 +256,10 @@ object AgreementOps extends QueryModule {
   private val AlphaLcm = 2520L
 
   private def q69(s: SparkSession, dir: String): DataFrame = {
-    val rt = ratings(s, dir)
+    // Same pin discipline as pairAgreementOf: the bounded panel
+    // (raters·Cap·NModels rows) feeds BOTH unionAll branches, so
+    // without it the ev-scan → seen-window pipeline runs twice.
+    val rt = graft.operators.Pin(ratings(s, dir))
     val vals = rt.select(col("q"), col("m"), lit("sense").as("metric"),
         col("sense").as("label"))
       .unionAll(rt.select(col("q"), col("m"), lit("spec").as("metric"),
