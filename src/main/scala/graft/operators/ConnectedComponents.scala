@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * cluster_id == doc_id, drop the rest — the multi-doc generalization
   * of q34's min-id survivor rule).
   *
-  * Algorithm: every node starts labeled with its own id; each round
-  * every node takes the MIN of its label and its neighbors' labels,
-  * then SHORTCUTS through the label graph (new label = the label OF
-  * its label — Shiloach–Vishkin pointer halving, the work the
-  * large-star round does in the Kiveris et al. formulation): fixpoint
+  * Algorithm: every node starts labeled with min(own id, smallest
+  * neighbor id) — one aggregation over the edge table, equal to what
+  * an identity-label start plus one propagate round would produce
+  * (round 18 fused them); each round every node takes the MIN of its
+  * label and its neighbors' labels, then SHORTCUTS through the label
+  * graph (new label = the label OF its label — Shiloach–Vishkin
+  * pointer halving, the work the large-star round does in the Kiveris
+  * et al. formulation): fixpoint
   * = every node labeled with the smallest id in its component.
   * Deterministic (the fixpoint is unique). Propagation alone needs
   * O(component diameter) rounds; with the shortcut a label that has
@@ -51,13 +54,23 @@ object ConnectedComponents {
     val edges = pairs.select(col(a).as("x"), col(b).as("y"))
       .unionAll(pairs.select(col(b).as("x"), col(a).as("y")))
       .transform(Pin(_, eager = true)) // reused every round
-    var labels = edges.select(col("x").as("node")).distinct()
-      .withColumn("lbl", col("node"))
+    // Initial labels FUSE the old identity round: with identity
+    // labels, round 1's neighbor-min join could only produce
+    // lbl = min(node, min neighbor id) — which one aggregation over
+    // the edge table computes directly (every node appears as x in
+    // the bidirectional table, so the coverage is the old distinct's).
+    // One groupBy replaces the old init distinct PLUS the first
+    // propagate round's join; on the dense (clique-ish) graphs
+    // near-dup pairs produce this is a full round of the 2-4 the loop
+    // runs (round-18 A/B at sf1: q70 CC phase 3.7 → 2.8 s).
+    var labels = edges.groupBy(col("x"))
+      .agg(min(col("y")).as("_nl"))
+      .select(col("x").as("node"), least(col("x"), col("_nl")).as("lbl"))
       .transform(Pin(_, eager = true))
     var pinned = labels // previous round's pin, released once superseded
-    var changed = 1L
+    var converged = false
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    while (!converged && it < maxIter) {
       it += 1
       val nbrMin = edges.join(labels, edges("y") === labels("node"))
         .groupBy(col("x")).agg(min(col("lbl")).as("nl"))
@@ -67,22 +80,25 @@ object ConnectedComponents {
       // pointer halving: follow the propagated label one more step
       // through the label map (every label IS some node of the same
       // component, so the lookup always hits); min keeps monotonicity.
-      // Skipped in round 1, where labels are still the identity map
-      // and the lookup could only return `mid` itself — dense
-      // (clique-ish) near-dup graphs converge in 2-3 rounds, so the
-      // no-op join would be a third of their total cost.
-      val next = (if (it == 1) prop.select(col("node"), col("lbl"), col("mid").as("nxt"))
-        else {
+      // Runs from the first loop round — labels are never the identity
+      // map here (the fused init already collapsed one hop).
+      val next = {
           val look = labels.select(col("node").as("ln"), col("lbl").as("ll"))
           prop.join(look, prop("mid") === look("ln"))
             .select(col("node"), col("lbl"), least(col("mid"), col("ll")).as("nxt"))
-        }).transform(Pin(_, eager = true))
-      changed = next.filter(col("nxt") < col("lbl")).count()
+        }.transform(Pin(_, eager = true))
+      // (A second shortcut hop per round was A/B'd here in round 18:
+      // it did not reduce the round count on the near-dup graphs and
+      // its extra lookup join cost ~40% per round — not applied.)
+      // isEmpty, not count: an unconverged round early-exits at the
+      // first changed row (executeTake(1) over the pinned blocks);
+      // only the final confirming round scans everything.
+      converged = next.filter(col("nxt") < col("lbl")).isEmpty
       Pin.release(pinned) // the superseded round's blocks
       pinned = next
       labels = next.select(col("node"), col("nxt").as("lbl"))
     }
-    require(changed == 0,
+    require(converged,
       s"connected components did not converge in $maxIter rounds " +
         "(pathological high-diameter component — raise maxIter)")
     Pin.release(edges) // the result depends only on the final pin

@@ -261,6 +261,10 @@ object DedupOps extends QueryModule {
   private def q36(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, dir).repartition(col("a")).orderBy(col("a"), col("b"))
 
+  /** Test-only accessor for the profile harness (ProfileQ70CC). */
+  private[graft] def minhashPairsForProfile(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir)
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // The signature table (one slim row per doc, 250x smaller than the
     // shingle stream feeding it) feeds both band-join branches; AQE's
