@@ -137,17 +137,49 @@ object Dedup {
     val rows = docs.select(col("doc_id"),
       explode(graft.plans.ShingleHashes(trim(col("text")), n, P)).as("h"))
     maxDocFreq.fold(rows) { t =>
-      val candidates = rows.groupBy(col("h"))
-        .agg(count(lit(1)).as("rc"))
-        .filter(col("rc") > t)
-        .select(col("h"))
-      val hot = rows.join(broadcast(candidates), Seq("h"))
-        .groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("df_"))
-        .filter(col("df_") > t)
-        .select(col("h"))
-      rows.join(broadcast(hot), Seq("h"), "left_anti")
+      guarded(rows, lit(t))
     }
+  }
+
+  /** [[shingleHashRows]] with the nDocs/`denom` stop-shingle threshold
+    * arriving as a 1-ROW BROADCAST BRANCH instead of a pre-computed
+    * literal (the q87 global-N discipline): the old shape paid a
+    * separate sequential `docs.count()` driver action — a full extra
+    * job scheduled BEFORE the pipeline starts — just to embed the
+    * threshold. The count branch's scan is pruned to zero columns (row
+    * counts straight off parquet footers) and materializes
+    * CONCURRENTLY with the shingle stream inside the same action.
+    * Threshold value is bit-identical to the old
+    * `(nDocs / denom).max(1)` (integer `div`, greatest(·, 1)) — the
+    * oracle's `greatest(1, count(*) // denom)`. */
+  def shingleHashRowsCorpusGuard(docs: DataFrame, n: Int = 3,
+                                 denom: Int = 10): DataFrame = {
+    val rows = docs.select(col("doc_id"),
+      explode(graft.plans.ShingleHashes(trim(col("text")), n, P)).as("h"))
+    val thr = docs.groupBy().agg(
+      greatest(expr(s"count(1) div $denom"), lit(1L)).as("t_"))
+    guarded(rows, col("t_"), Some(thr))
+  }
+
+  /** The two-phase hot-hash guard over a shingle-hash stream, with the
+    * threshold as an expression (optionally fed by a broadcast 1-row
+    * `thr` branch). See [[shingleHashRows]]'s scaladoc for the shape
+    * argument (row-count prefilter → exact DF on the sliver →
+    * broadcast anti-join). */
+  private def guarded(rows: DataFrame, t: org.apache.spark.sql.Column,
+                      thr: Option[DataFrame] = None): DataFrame = {
+    def withThr(df: DataFrame): DataFrame =
+      thr.fold(df)(b => df.crossJoin(broadcast(b)))
+    val candidates = withThr(rows.groupBy(col("h"))
+      .agg(count(lit(1)).as("rc")))
+      .filter(col("rc") > t)
+      .select(col("h"))
+    val hot = withThr(rows.join(broadcast(candidates), Seq("h"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df_")))
+      .filter(col("df_") > t)
+      .select(col("h"))
+    rows.join(broadcast(hot), Seq("h"), "left_anti")
   }
 
   /** Benchmark decontamination core (q71): per training doc, the

@@ -279,11 +279,9 @@ object DedupOps extends QueryModule {
     // strings.
     // Stop-shingle guard: a shingle in >10% of documents carries no
     // dedup signal but turns its bucket quadratic at corpus scale.
-    // The doc count is a parquet metadata-only action; nothing in the
-    // synthetic corpus reaches the bound (max DF is ~0.5%), so the
-    // guard exists purely for the 100-TB shape (skew-planted spec
-    // proves it bounds candidates).
-    val nDocs = docs(s, dir).count()
+    // Nothing in the synthetic corpus reaches the bound (max DF is
+    // ~0.5%), so the guard exists purely for the 100-TB shape
+    // (skew-planted spec proves it bounds candidates).
     // signature base: the native one-pass shingle-hash stream (no
     // word-window shuffle, no n-gram strings; see ShingleHashes).
     // Pair emission: one band self-join with first-match-band
@@ -291,9 +289,13 @@ object DedupOps extends QueryModule {
     // (Dedup.minhashPairsOwned scaladoc; 12% at sf1, 3 fewer keyed
     // exchanges at cluster scale). A/B'd equal-output vs the slim
     // join+distinct+join-back shape on the sf1 corpus.
+    // Round 18: the nDocs/10 guard threshold arrives as a 1-row
+    // broadcast branch (shingleHashRowsCorpusGuard) instead of a
+    // sequential docs.count() action before the pipeline — the q87
+    // global-N discipline; value bit-identical.
     val sig = Dedup.withSignatureFromHashes(
-      Dedup.shingleHashRows(docs(s, dir),
-        maxDocFreq = Some((nDocs / 10).max(1L)))).transform(graft.operators.Pin(_))
+      Dedup.shingleHashRowsCorpusGuard(docs(s, dir)))
+      .transform(graft.operators.Pin(_))
     Dedup.minhashPairsOwned(sig)
   }
 
