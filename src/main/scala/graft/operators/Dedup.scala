@@ -528,10 +528,16 @@ object Dedup {
         1, 12), 16, 10).cast("long")
     })
     val occ = staged.select(col("doc_id"), explode(chunkHashes).as("ch"))
+    // Round 18 (same A/B as dupSubstringStats): repartition the RAW
+    // chunk stream on ch FIRST — HashPartitioning(ch) satisfies the
+    // (ch, doc_id) aggregation's clustering AND the per-ch window, so
+    // the stream crosses the wire ONCE; the old shape paid a second
+    // full exchange to keep the pre-shuffle (ch, doc) combine, which
+    // buys nothing when within-doc chunk repetition is rare.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ch"))
-    val perDoc = occ.groupBy(col("ch"), col("doc_id"))
+    val perDoc = occ.repartition(col("ch"))
+      .groupBy(col("ch"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
-      .repartition(col("ch"))
     val dups = perDoc.withColumn("nd", count(lit(1)).over(w))
       .filter(col("nd") >= 2)
       .groupBy(col("doc_id")).agg(sum(col("c")).as("dup_chunks"))
@@ -541,6 +547,14 @@ object Dedup {
         coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"))
   }
 
+  // (A scan-parallelism dial — repartition the raw docs when the file
+  // layout yields fewer splits than cores, so the per-char hash pass
+  // parallelizes — was A/B'd here in round 18 and came out FLAT:
+  // q77 1.32 → 1.37 s, q93 1.13 → 1.28 s probe-gated at sf0.1. The
+  // text exchange costs what the parallel hash pass saves; the h
+  // exchange right after already re-opens parallelism for the heavy
+  // aggregation stages. Not applied.)
+
   def dupSubstringStats(docs: DataFrame, l: Int = 40,
                         anchorMod: Int = 1): DataFrame = {
     require(anchorMod >= 1, "anchorMod must be >= 1")
@@ -549,19 +563,25 @@ object Dedup {
     val occ =
       if (anchorMod == 1) allOcc
       else allOcc.filter(col("h") % anchorMod === 0)
-    // (h, doc) counts first — the exchange with full map-side combine,
-    // so WITHIN-document window repetition collapses before anything
-    // crosses the wire (a repetitive doc ships one row per distinct
-    // window, not one per occurrence) — then ONE h-keyed exchange
-    // feeds the per-hash doc count as a keyed WINDOW over the same
-    // partitioning instead of the old groupBy(h) + join-back pair
-    // (which re-exchanged the perDoc stream twice more; hot-hash
-    // concentration is identical — the old join was h-keyed too —
-    // and the round-11 profile reads 3.6 s → 2.2 s at sf1)
+    // ONE h-keyed exchange of the RAW window stream (round 18):
+    // HashPartitioning(h) satisfies the (h, doc_id) aggregation's
+    // clustering requirement (subset-key) AND the per-hash doc-count
+    // window, so the slim stream crosses the wire once. The previous
+    // shape aggregated (h, doc) BEFORE its own exchange to keep the
+    // map-side combine (within-doc window repetition collapses
+    // pre-wire) and then paid a SECOND full exchange to re-key on h;
+    // on ordinary text within-doc 40-char repeats are rare, so the
+    // combine saves almost nothing and the extra exchange dominates
+    // (ProfileQ77, 4 interleaved rounds per shape: 2.15 → 1.28 s at
+    // sf0.1, 2.87 → 2.75 s at sf1 under the round-18 coalesce floor;
+    // the combine-first shape only won under the old 1 MiB floor). A
+    // pathologically self-repetitive corpus flips the trade back —
+    // that corpus should be running anchorMod > 1 anyway. The window
+    // (not a groupBy(h) + join-back pair) keeps the round-11 lesson.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val perDoc = occ.groupBy(col("h"), col("doc_id"))
+    val perDoc = occ.repartition(col("h"))
+      .groupBy(col("h"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
-      .repartition(col("h"))
     val dups = perDoc.withColumn("nd", count(lit(1)).over(w))
       .filter(col("nd") >= 2)
       .groupBy(col("doc_id")).agg(sum(col("c")).as("dup_windows"))
