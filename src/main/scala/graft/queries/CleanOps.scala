@@ -135,7 +135,11 @@ object CleanOps extends QueryModule {
     val st = graft.functions.TextFunctions.textStats(col("text"))
     val enPred =
       (st.getField("n_stop") / st.getField("n_words")) >= 0.05
-    graft.operators.Dsir.bucketModel(docs(s, dir), enPred)
+    // Spread: the hashed-ngram bucket counting is scan-side compute;
+    // on an under-split layout it runs on one task (operators/Spread —
+    // measured 0.84 -> 0.48 s at sf0.1; no-op on real layouts).
+    graft.operators.Dsir.bucketModel(
+      graft.operators.Spread(docs(s, dir)), enPred)
       .orderBy(col("bucket"))
   }
 
@@ -292,7 +296,10 @@ object CleanOps extends QueryModule {
     val st = graft.functions.TextFunctions.textStats(col("text"))
     val enPred =
       (st.getField("n_stop") / st.getField("n_words")) >= 0.05
-    Quality.classifierDesign(docs(s, dir), enPred)
+    // Spread: the design-matrix projection is scan-side compute; on an
+    // under-split layout it runs on one task (operators/Spread —
+    // measured 0.92 -> 0.38 s at sf0.1; no-op on real layouts).
+    Quality.classifierDesign(graft.operators.Spread(docs(s, dir)), enPred)
       // Presentation sort WITHIN partitions only (round 14, the q87
       // lesson): the design matrix is O(docs × distinct buckets) —
       // ~165M rows at sf10 — and a global orderBy's range sampler
