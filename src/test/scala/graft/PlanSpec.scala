@@ -408,18 +408,25 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("q97 design matrix is a pure projection: zero hash exchanges, zero range exchanges") {
-    // Round-14 structure lock: the per-doc bucket histogram is grouped
-    // IN-ROW (BucketCounts) because every (doc_id, bucket) group lives
-    // inside one input row — a reintroduced groupBy(doc_id, bucket)
-    // shows up as an Exchange hashpartitioning, and a reintroduced
-    // global orderBy as an Exchange rangepartitioning (whose sampler
-    // re-executes the child). The only allowed exchange is the 1-row
-    // class-count aggregate's SinglePartition.
+  test("q97 design matrix is a pure projection: no DATA shuffle, zero range exchanges") {
+    // Round-14 structure lock, round-18 amendment: the per-doc bucket
+    // histogram is grouped IN-ROW (BucketCounts) because every
+    // (doc_id, bucket) group lives inside one input row — a
+    // reintroduced groupBy(doc_id, bucket) shows up as an
+    // ENSURE_REQUIREMENTS hash exchange, and a reintroduced global
+    // orderBy as a range exchange (whose sampler re-executes the
+    // child). Allowed: the 1-row class-count aggregate's
+    // SinglePartition, and the round-18 Spread dial's explicit
+    // REPARTITION_BY_NUM of the RAW input rows (scan-parallelism fix
+    // for under-split file layouts — operators/Spread; it is an input
+    // spread, not a data-dependent shuffle, and fires only below the
+    // core count).
     val plan = SparkEntry.queries("q97_quality_classifier")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"q97 plans a hash exchange:\n$plan")
+    val hashEx = "Exchange hashpartitioning[^\n]*".r.findAllIn(plan).toSeq
+      .filterNot(_.contains("REPARTITION_BY_NUM"))
+    assert(hashEx.isEmpty,
+      s"q97 plans a non-Spread hash exchange:\n$plan")
     assert(!plan.contains("Exchange rangepartitioning"),
       s"q97 plans a range exchange:\n$plan")
   }
