@@ -23,30 +23,36 @@ object NearestEvent {
     * `targetPred` (strictly before / strictly after in
     * (tsCol, tieCol) order) within each partition.
     *
-    * Both directions use GROWING (unbounded-preceding) frames — the
-    * "next" side simply reverses the sort. Spark evaluates growing
-    * frames incrementally (O(n) per partition) but recomputes
-    * UNBOUNDED FOLLOWING frames from scratch per row (O(n²)): at 1000
-    * events/partition that is a 3x wall-clock difference already, and
-    * quadratic blowup at larger sessions. Same shuffle either way —
-    * identical partitioning key, two sorts.
+    * ONE ascending sort serves both directions (round 19; guide §2.4
+    * — establish the ordering once): the "prev" side is a growing
+    * (unbounded-preceding) frame, which Spark evaluates incrementally
+    * (O(n) per partition), and the "next" side is
+    * `lead(…, 1, ignoreNulls = true)` — the first non-null value
+    * STRICTLY AFTER the current row, exactly what the former
+    * descending-sorted growing frame computed, evaluated by the
+    * offset frame's forward-only cursor (O(n), no second sort).
+    * UNBOUNDED FOLLOWING aggregate frames stay banned: Spark
+    * recomputes those from scratch per row (O(n²) per partition).
+    * All four columns land in ONE Window operator (same partition and
+    * order spec; WindowExec evaluates multiple frames per operator),
+    * so the event stream is shuffled once and sorted once.
     */
   def withPrevNext(ev: DataFrame, partitionCol: String, tsCol: String,
                    tieCol: String, targetPred: Column): DataFrame = {
-    val asc = Window.partitionBy(partitionCol).orderBy(col(tsCol).asc, col(tieCol).asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val desc = Window.partitionBy(partitionCol).orderBy(col(tsCol).desc, col(tieCol).desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val ascOrd = Window.partitionBy(partitionCol)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val asc = ascOrd.rowsBetween(Window.unboundedPreceding, -1)
     // One select, not chained withColumn: same-spec window functions
-    // land in ONE Window operator per sort order (two data passes, not
-    // four — chained withColumn interleaves Projects that block
-    // CollapseWindow).
+    // land in ONE Window operator (chained withColumn interleaves
+    // Projects that block CollapseWindow).
     ev.select(
       col("*"),
       last(when(targetPred, col(tsCol)), ignoreNulls = true).over(asc).as("prev_ts"),
       last(when(targetPred, col(tieCol)), ignoreNulls = true).over(asc).as("prev_id"),
-      last(when(targetPred, col(tsCol)), ignoreNulls = true).over(desc).as("next_ts"),
-      last(when(targetPred, col(tieCol)), ignoreNulls = true).over(desc).as("next_id"))
+      lead(when(targetPred, col(tsCol)), 1, null, ignoreNulls = true)
+        .over(ascOrd).as("next_ts"),
+      lead(when(targetPred, col(tieCol)), 1, null, ignoreNulls = true)
+        .over(ascOrd).as("next_id"))
   }
 
   /** Nearest-association for rows matching `sourcePred`: picks the

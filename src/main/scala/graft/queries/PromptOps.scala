@@ -124,26 +124,30 @@ object PromptOps extends QueryModule {
     val asc = Window.partitionBy(col("instance_id"))
       .orderBy(col("ts_us").asc, col("event_id").asc)
     val ascGrow = asc.rowsBetween(Window.unboundedPreceding, -1)
-    val desc = Window.partitionBy(col("instance_id"))
-      .orderBy(col("ts_us").desc, col("event_id").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // Byte discipline through the two big sorts: `utt` is never
-    // materialized as a column — window-function args (the lags) and
-    // the downstream aggregate build it on the fly from the two long
-    // columns, so the sorts move only fixed-width rows. The desc
-    // window runs FIRST (chained selects) so the 5 lag strings the
-    // asc window emits never pass through the desc sort.
+    // ONE ascending sort serves everything (round 19, guide §2.4 —
+    // same rewrite as NearestEvent.withPrevNext): the next-cmd marks
+    // are `lead(…, 1, ignoreNulls = true)` — the first command
+    // STRICTLY AFTER the current row, exactly what the former
+    // desc-sorted growing frame computed — so the prev marks, next
+    // marks, and the 5 history lags all share one Window operator
+    // over one sort (frames differ per function; WindowExec evaluates
+    // multiple frames per operator). The former shape paid a second
+    // full sort of the event stream for the desc pass. Byte
+    // discipline is unchanged: `utt` is never materialized as a
+    // column — the lags and the downstream aggregate build it on the
+    // fly from the two long columns, and the sort runs BEFORE any
+    // window function evaluates, so it moves only fixed-width rows.
     val histCols =
       if (needHist) (1 to 5).map(k =>
         lag(when(isMsg, utt), k, null, ignoreNulls = true).over(asc).as(s"_h$k"))
       else Seq.empty
     val marked = ev.filter(isMsg || isCmd)
-      .select(
-        col("*"),
-        last(when(isCmd, col("ts_us")), ignoreNulls = true).over(desc).as("next_ts"),
-        last(when(isCmd, col("event_id")), ignoreNulls = true).over(desc).as("next_id"))
       .select(Seq(
         col("*"),
+        lead(when(isCmd, col("ts_us")), 1, null, ignoreNulls = true)
+          .over(asc).as("next_ts"),
+        lead(when(isCmd, col("event_id")), 1, null, ignoreNulls = true)
+          .over(asc).as("next_id"),
         last(when(isCmd, col("ts_us")), ignoreNulls = true).over(ascGrow).as("prev_ts"),
         last(when(isCmd, col("event_id")), ignoreNulls = true).over(ascGrow).as("prev_id")
       ) ++ histCols: _*)

@@ -431,15 +431,18 @@ class PlanSpec extends SparkTestBase {
       s"q97 plans a range exchange:\n$plan")
   }
 
-  test("prev/next columns collapse to one Window operator per sort order") {
-    // NearestEvent emits all four prev/next columns in one select so
-    // same-spec functions share a Window operator: 2 passes (asc+desc),
-    // not 4. Chained withColumn would interleave Projects that block
-    // CollapseWindow.
+  test("prev/next columns collapse to ONE Window operator (single sort)") {
+    // NearestEvent emits all four prev/next columns in one select over
+    // one ascending order spec — the next-side marks are
+    // lead(ignoreNulls) rather than a desc-sorted growing frame
+    // (round 19), so the whole prev/next stack is ONE Window operator
+    // over ONE sort. A second Window operator reappearing means either
+    // a chained withColumn broke CollapseWindow or the desc sort came
+    // back.
     val plan = SparkEntry.queries("q13_nearest_assoc")(spark, sfDir)
       .queryExecution.executedPlan.toString
     val windows = "Window \\[".r.findAllIn(plan).size
-    assert(windows == 2, s"q13: expected 2 Window operators, got $windows:\n$plan")
+    assert(windows == 1, s"q13: expected 1 Window operator, got $windows:\n$plan")
   }
 
   test("q73 is a pure map stage: zero joins, zero aggregates, one scan, only the protocol sort's exchange") {
