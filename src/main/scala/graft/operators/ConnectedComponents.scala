@@ -82,18 +82,25 @@ object ConnectedComponents {
       // component, so the lookup always hits); min keeps monotonicity.
       // Runs from the first loop round — labels are never the identity
       // map here (the fused init already collapsed one hop).
+      // Convergence detection rides the round's OWN materialization
+      // (round 19, guide §1.2 don't serialize jobs): an Observation
+      // over max(nxt < lbl) is collected by CollectMetricsExec DURING
+      // the eager pin's job — the former separate isEmpty probe
+      // (executeTake over the pinned blocks) cost one extra driver
+      // round-trip job per round. obs.get blocks only on the listener
+      // delivery of the already-finished job, not on a new job.
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$it")
       val next = {
           val look = labels.select(col("node").as("ln"), col("lbl").as("ll"))
           prop.join(look, prop("mid") === look("ln"))
             .select(col("node"), col("lbl"), least(col("mid"), col("ll")).as("nxt"))
-        }.transform(Pin(_, eager = true))
+        }
+        .observe(obs, max(col("nxt") < col("lbl")).as("changed"))
+        .transform(Pin(_, eager = true))
       // (A second shortcut hop per round was A/B'd here in round 18:
       // it did not reduce the round count on the near-dup graphs and
       // its extra lookup join cost ~40% per round — not applied.)
-      // isEmpty, not count: an unconverged round early-exits at the
-      // first changed row (executeTake(1) over the pinned blocks);
-      // only the final confirming round scans everything.
-      converged = next.filter(col("nxt") < col("lbl")).isEmpty
+      converged = !obs.get("changed").asInstanceOf[Boolean]
       Pin.release(pinned) // the superseded round's blocks
       pinned = next
       labels = next.select(col("node"), col("nxt").as("lbl"))

@@ -16,7 +16,7 @@ object ProfileCoalesce {
         "q20_words_between_cmds", "q50_finetune_pairs", "q87_tfidf_keywords",
         "q77_dup_substrings")
 
-    for (minSize <- Seq("1MB", "256KB", "64KB", "16KB")) {
+    for (minSize <- sys.env.get("GRAFT_COALESCE_SWEEP").map(_.split(",").toSeq).getOrElse(Seq("1MB", "256KB", "64KB", "16KB"))) {
       val spark = SparkSession.builder()
         .master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
