@@ -426,6 +426,21 @@ object Dedup {
     // SQL chain gets inlined 12x into the join condition and falls out
     // of codegen). Every qualifying pair survives in exactly one
     // table: same set as the distinct, zero extra exchange.
+    // The band self-join's strategy is AQE's call (round 19, guide
+    // §3.1): with equal-size sides the planner's muchSmaller test can
+    // never choose SHJ statically, so the sort-merge default paid TWO
+    // full sorts of the band table plus per-key group buffering
+    // exactly where buckets are large (a bucket of population P emits
+    // P²/2 pairs through the merge buffer). GraftSession sets
+    // spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold so AQE
+    // rewrites this SMJ to a shuffled-hash join at runtime whenever
+    // every post-shuffle partition's hash build fits the bound —
+    // measured 1.57 → 0.87 s at sf0.1 (ProfileQ37AB; an explicit
+    // repartition-to-cores variant read 1.07 — the win is the join
+    // machinery, not parallelism). A static SHUFFLE_HASH hint was
+    // tried and REJECTED: it overrides the size-based broadcast at
+    // small scale and forces the hash build even on partitions too
+    // big to hold one — the AQE form keeps both guards.
     val nearPairs = bands
       .select(col("doc_id").as("a"), col("simhash").as("ha"), col("b"), col("bkey"))
       .join(bands.select(col("doc_id").as("b_id"), col("simhash").as("hb"),

@@ -31,8 +31,25 @@ import org.apache.spark.sql.functions.col
   */
 object Spread {
   def apply(df: DataFrame, key: String = "doc_id"): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    val splits = df.queryExecution.toRdd.getNumPartitions
-    if (splits >= cores) df else df.repartition(cores, col(key))
+    // The probe builds a throwaway physical plan (toRdd); restrict it
+    // to scan-only inputs (projections/filters over one relation —
+    // round-19 advice): on a plan containing exchanges, AQE would
+    // EXECUTE the upstream shuffle stages just to count partitions.
+    // A non-scan input returns unchanged — the dial exists for raw
+    // file layouts, nothing else.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def scanOnly(p: LogicalPlan): Boolean = p match {
+      case _: LogicalRelation => true
+      case pr: Project => scanOnly(pr.child)
+      case f: Filter => scanOnly(f.child)
+      case _ => false
+    }
+    if (!scanOnly(df.queryExecution.analyzed)) df
+    else {
+      val cores = df.sparkSession.sparkContext.defaultParallelism
+      val splits = df.queryExecution.toRdd.getNumPartitions
+      if (splits >= cores) df else df.repartition(cores, col(key))
+    }
   }
 }

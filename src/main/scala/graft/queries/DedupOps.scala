@@ -351,7 +351,19 @@ object DedupOps extends QueryModule {
     // future consumer of it (counts, joins on simhash) sees phantom
     // NULL rows. Pair output was already identical either way: a
     // NULL bucket key joins nothing.
-    val base = docs(s, dir)
+    // Spread BEFORE the signature projection (round 19): the pinned
+    // base inherits its upstream partitioning, and at bench scale the
+    // single-row-group documents file leaves it at 1-2 partitions —
+    // AQE then broadcasts the tiny band side, so the candidate join's
+    // probe stage (the 1.8M-pair EMISSION, the query's dominant cost)
+    // streams over those same 1-2 partitions: near-serial. The dial
+    // re-opens scan parallelism only when planned splits < cores (a
+    // production layout is a no-op); interleaved A/B (ProfileQ37AB,
+    // 4 rounds): 2.52 → 1.07 s at sf0.1. A SHUFFLE_HASH hint on the
+    // join measured the same fix (1.13) from the other end — by
+    // forcing an exchange that happened to re-parallelize the probe —
+    // but overrides the size-based broadcast everywhere; rejected.
+    val base = graft.operators.Spread(docs(s, dir))
       .select(col("doc_id"), Dedup.simhash60(col("text")).as("simhash"))
       .filter(col("simhash").isNotNull)
     // simhashPairs pins the (doc_id, simhash) table: its band
@@ -423,6 +435,11 @@ object DedupOps extends QueryModule {
   private val SimCap = 16L
 
   private def q106(s: SparkSession, dir: String): DataFrame = {
+    // (q37's Spread dial was A/B'd here too and measured FLAT —
+    // old {1.703, 1.386} vs new {1.536, 1.669} s interleaved at
+    // sf0.1: with maxHamming=3 the hamming filter kills candidates
+    // before the expensive ownership/distinct work, so the capped
+    // path is not emission-bound the way q37 is. Not applied.)
     val base = docs(s, dir)
       .select(col("doc_id"), Dedup.simhash60(col("text")).as("simhash"))
       .filter(col("simhash").isNotNull)
