@@ -655,14 +655,33 @@ object Dedup {
     val occ = docs.select(col("doc_id"),
       posexplode(graft.plans.RollingHashes(col("text"), l)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
-    val dupH = occ.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("h"))
-    val candS = occ.join(dupH, Seq("h"))
+    // Candidate selection on ONE h-keyed exchange (round 19, the q77
+    // lesson): the old shape aggregated occ into dupH (exchange 1) and
+    // joined occ back against it (exchange 2 of the full per-character
+    // stream) — computing the RollingHashes explode TWICE, once per
+    // branch. HashPartitioning(h) satisfies both window specs below
+    // via subset-key clustering, so the stream is hashed, shipped and
+    // sorted ONCE: nd = per-h count of first-in-doc rows == the old
+    // countDistinct(doc_id), and qualifying rows keep their
+    // (doc_id, pos) — no join-back. Measured 23.4 → 6.8 s at sf1
+    // (full q79, driver protocol).
+    val wHD = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h"), col("doc_id")).orderBy(col("pos"))
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val cand = occ.repartition(col("h"))
+      .withColumn("_fst",
+        when(row_number().over(wHD) === 1, 1L).otherwise(0L))
+      .withColumn("_nd", sum(col("_fst")).over(wH))
+      .filter(col("_nd") >= 2)
+      .select(col("doc_id"), col("pos"), col("h"))
+    // The candidate sliver (true dups + ~n²/2M collisions) re-derives
+    // its slice from the text, then feeds TWO consumers (groups and
+    // the removals join) — pin it so the explode → window pipeline
+    // and the docs join run once, not per branch.
+    val candS = Pin(cand
       .join(docs, Seq("doc_id"))
       .select(col("doc_id"), col("pos"), col("h"),
-        expr(s"substring(text, pos + 1, $l)").as("slice"))
+        expr(s"substring(text, pos + 1, $l)").as("slice")))
     val groups = candS.groupBy(col("h"), col("slice")).agg(
       countDistinct(col("doc_id")).as("nd2"),
       min(struct(col("doc_id"), col("pos"))).as("owner"))

@@ -480,7 +480,15 @@ object DedupOps extends QueryModule {
   private def q38(s: SparkSession, dir: String): DataFrame = {
     val n = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), normQ(col("embedding")).as("nrm"))
-    val a = n.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+    // Spread the STREAMED side of the all-pairs nested-loop join
+    // (round 19): the broadcast side is one full copy everywhere, but
+    // the N²/2 pair emission + cosine runs on the streamed side's scan
+    // splits — a single-row-group embeddings file serialized the whole
+    // quadratic baseline onto 1 task at any local core count (54.9 s
+    // at sf1). Spread fires only when planned splits < cores, so a
+    // production layout is a no-op. Measured 54.9 → 5.1 s at sf1 (driver protocol, BENCH_ONLY).
+    val a = graft.operators.Spread(n, "vec_id")
+      .select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = n.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("a") < col("b"))
       .withColumn("sim", cosineWithNorms(col("ea"), col("na"), col("eb"), col("nb")))
@@ -606,7 +614,11 @@ object DedupOps extends QueryModule {
   // overlapping cut intervals (gaps-and-islands), stitch the kept
   // segments. ORDER BY inside string_agg keeps segment order exact.
   private def q79(s: SparkSession, dir: String): DataFrame =
-    Dedup.stripDupSpans(docs(s, dir), SubL).orderBy(col("doc_id"))
+    // Spread (round 19): the per-character RollingHashes pass +
+    // posexplode (one row per char position) otherwise runs on the
+    // raw file's 1-2 scan splits; no-op on production layouts.
+    Dedup.stripDupSpans(graft.operators.Spread(docs(s, dir)), SubL)
+      .orderBy(col("doc_id"))
 
   private val q79Sql =
     s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
