@@ -83,24 +83,32 @@ object ConnectedComponents {
       // Runs from the first loop round — labels are never the identity
       // map here (the fused init already collapsed one hop).
       // Convergence detection rides the round's OWN materialization
-      // (round 19, guide §1.2 don't serialize jobs): an Observation
+      // (round 19, guide §1.2 don't serialize jobs): a named observe()
       // over max(nxt < lbl) is collected by CollectMetricsExec DURING
       // the eager pin's job — the former separate isEmpty probe
       // (executeTake over the pinned blocks) cost one extra driver
-      // round-trip job per round. obs.get blocks only on the listener
-      // delivery of the already-finished job, not on a new job.
-      val obs = org.apache.spark.sql.Observation(s"cc_round_$it")
-      val next = {
+      // round-trip job per round. The metric is read straight from the
+      // executed plan's accumulators (queryExecution.observedMetrics),
+      // NOT via an Observation handle: Observation registers a
+      // permanent entry + listener in the session's ObservationManager
+      // with no unregister API, and that manager is not
+      // java-serializable — a later query whose task closure captures
+      // the session (e.g. spark.ml model lambdas holding their
+      // training summary) then fails to serialize (caught by
+      // RegressionHeadSpec in the shared test session).
+      val obsName = s"cc_round_$it"
+      val observed = {
           val look = labels.select(col("node").as("ln"), col("lbl").as("ll"))
           prop.join(look, prop("mid") === look("ln"))
             .select(col("node"), col("lbl"), least(col("mid"), col("ll")).as("nxt"))
         }
-        .observe(obs, max(col("nxt") < col("lbl")).as("changed"))
-        .transform(Pin(_, eager = true))
+        .observe(obsName, max(col("nxt") < col("lbl")).as("changed"))
+      val next = Pin(observed, eager = true)
       // (A second shortcut hop per round was A/B'd here in round 18:
       // it did not reduce the round count on the near-dup graphs and
       // its extra lookup join cost ~40% per round — not applied.)
-      converged = !obs.get("changed").asInstanceOf[Boolean]
+      converged = !observed.queryExecution.observedMetrics.get(obsName)
+        .exists(r => !r.isNullAt(0) && r.getBoolean(0))
       Pin.release(pinned) // the superseded round's blocks
       pinned = next
       labels = next.select(col("node"), col("nxt").as("lbl"))
