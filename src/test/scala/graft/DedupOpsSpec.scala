@@ -507,4 +507,73 @@ class DedupOpsSpec extends SparkTestBase {
     // windows counted per doc: chars - L + 1
     assert(r(1L)._1 == s"alphaQ${span}Womega".length - 39)
   }
+
+  test("dupSubstringStats: planted HOT window (10^4 occurrences of one h) stays linear and exact") {
+    import spark.implicits._
+    // Skew plant (round 19, VERDICT #8): one 40-char span S replicated
+    // 2500x inside one document plus shared across two small docs puts
+    // ~10^4 h-rows of ONE key on a single post-exchange task. The
+    // single-h-keyed shape's per-task work is LINEAR in that key's
+    // occurrence count (one hash-agg probe + one window row per
+    // occurrence — never pairwise), so the plant must complete fast
+    // and EXACTLY: in S^2500 only the 40-aligned windows equal S
+    // (rotations r != 0 occur only inside the hot doc itself, so their
+    // nd = 1 and they are not dups); doc 1/2 share exactly the S
+    // window with the hot doc. The production dial for keys hot enough
+    // to straggle a task (10^8+, boilerplate at corpus scale) is
+    // anchorMod > 1 — content-defined sampling, documented on the
+    // operator — which this test's exactness pins must survive
+    // unchanged at the default anchorMod = 1.
+    val span = "0123456789abcdefghijklmnopqrstuvwxyzABCD" // exactly 40 chars
+    assert(span.length == 40)
+    val hot = span * 2500 // 100k chars, hot h occurs 2500x in ONE doc
+    val d = Seq(
+      (1L, s"Q${span}W"), // S once, distinct neighbors
+      (2L, s"Z${span}K"),
+      (3L, hot),
+      (4L, "entirely unique text with no forty char repeats anywhere here"))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val r = Dedup.dupSubstringStats(d, 40).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(r(1L)._2 == 1 && r(2L)._2 == 1, s"${r(1L)} / ${r(2L)}")
+    // hot doc: exactly the 2500 S-aligned windows are cross-doc dups
+    assert(r(3L) == (100000L - 39L, 2500L), s"${r(3L)}")
+    assert(r(4L)._2 == 0)
+    // linearity guard, generous: a pairwise blow-up on 2500 co-keyed
+    // rows would be ~6M window comparisons on one task and minutes of
+    // wall; linear completes in seconds even on a contended host
+    assert(sec < 120.0, f"hot-key plant took $sec%.1f s — not linear?")
+  }
+
+  test("cdcChunkStats: planted HOT chunk (shared passage replicated 10^3x) completes and counts exactly") {
+    import spark.implicits._
+    // CDC analog of the hot-window plant: a shared word passage chunks
+    // identically wherever it appears (content-defined boundaries), so
+    // a passage replicated 1000x in one doc + once in two others puts
+    // every occurrence of its chunk hashes on single tasks. Exactness
+    // at the hot key is the guard against any future shape change
+    // silently double-counting under skew.
+    val passage = (1 to 64).map(i => s"w$i").mkString(" ")
+    val hot = Seq.fill(1000)(passage).mkString(" ")
+    val d = Seq(
+      (1L, passage),
+      (2L, passage),
+      (3L, hot),
+      (4L, (1 to 64).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Dedup.cdcChunkStats(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // docs 1/2 are identical: every chunk is a cross-doc dup
+    assert(r(1L)._1 == r(1L)._2 && r(1L)._2 > 0, s"${r(1L)}")
+    assert(r(1L) == r(2L))
+    // the hot doc's interior repeats chunk the same as the passage's
+    // own chunking wherever boundaries realign; at minimum every
+    // occurrence of the passage's INTERIOR chunks (those fully inside
+    // one repetition) is a cross-doc dup, so dup_chunks must be large
+    // and can never exceed n_chunks
+    assert(r(3L)._2 > 0 && r(3L)._2 <= r(3L)._1, s"${r(3L)}")
+    assert(r(4L)._2 == 0)
+  }
 }

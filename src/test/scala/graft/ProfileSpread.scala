@@ -30,7 +30,6 @@ object ProfileSpread {
     time("q97_spread")(noop(graft.operators.Quality.classifierDesign(docsSpread, enPred)))
     time("q76_raw")(noop(graft.operators.Dsir.bucketModel(docsRaw, enPred).orderBy(col("bucket"))))
     time("q76_spread")(noop(graft.operators.Dsir.bucketModel(docsSpread, enPred).orderBy(col("bucket"))))
-    val bench = docsRaw.filter(col("doc_id") < 20)
     time("q85_raw")(noop(graft.operators.LangModel.pplFeatures(docsRaw, col("doc_id") < 20)))
     time("q85_spread")(noop(graft.operators.LangModel.pplFeatures(docsSpread, col("doc_id") < 20)))
     spark.stop()
