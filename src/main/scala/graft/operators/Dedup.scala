@@ -427,20 +427,16 @@ object Dedup {
     // of codegen). Every qualifying pair survives in exactly one
     // table: same set as the distinct, zero extra exchange.
     // The band self-join's strategy is AQE's call (round 19, guide
-    // §3.1): with equal-size sides the planner's muchSmaller test can
-    // never choose SHJ statically, so the sort-merge default paid TWO
-    // full sorts of the band table plus per-key group buffering
-    // exactly where buckets are large (a bucket of population P emits
-    // P²/2 pairs through the merge buffer). GraftSession sets
-    // spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold so AQE
-    // rewrites this SMJ to a shuffled-hash join at runtime whenever
-    // every post-shuffle partition's hash build fits the bound —
-    // measured 1.57 → 0.87 s at sf0.1 (ProfileQ37AB; an explicit
-    // repartition-to-cores variant read 1.07 — the win is the join
-    // machinery, not parallelism). A static SHUFFLE_HASH hint was
-    // tried and REJECTED: it overrides the size-based broadcast at
-    // small scale and forces the hash build even on partitions too
-    // big to hold one — the AQE form keeps both guards.
+    // §3.1): at bench scale AQE broadcasts the tiny band side, and the
+    // probe stage — the pair EMISSION, the dominant cost — runs on the
+    // BASE's partitioning, which is why q37 Spreads the base before
+    // the signature projection (see DedupOps.q37). Two join-machinery
+    // alternatives were A/B'd (ProfileQ37AB/ProfileShjAB) and NOT
+    // applied: AQE maxShuffledHashJoinLocalMapThreshold=64MB read flat
+    // under same-JVM interleaving, and a static SHUFFLE_HASH hint
+    // matched the Spread win only by accidentally re-parallelizing
+    // the probe while overriding every size-based broadcast — both
+    // rejected in favor of fixing the input partitioning itself.
     val nearPairs = bands
       .select(col("doc_id").as("a"), col("simhash").as("ha"), col("b"), col("bkey"))
       .join(bands.select(col("doc_id").as("b_id"), col("simhash").as("hb"),
@@ -515,7 +511,8 @@ object Dedup {
     * over the same partitioning. Chunk-content collisions at 48 bits
     * are the shared ShingleHashes discipline: both engines key on
     * the hash. */
-  def cdcChunkStats(docs: DataFrame, every: Int = 16): DataFrame = {
+  def cdcChunkStats(docs: DataFrame, every: Int = 16,
+                    combineFirst: Option[Boolean] = None): DataFrame = {
     require(every >= 1, "chunk target must be >= 1")
     val t = trim(col("text"))
     val wsE = split(t, " ")
@@ -543,16 +540,20 @@ object Dedup {
         1, 12), 16, 10).cast("long")
     })
     val occ = staged.select(col("doc_id"), explode(chunkHashes).as("ch"))
-    // Round 18 (same A/B as dupSubstringStats): repartition the RAW
-    // chunk stream on ch FIRST — HashPartitioning(ch) satisfies the
-    // (ch, doc_id) aggregation's clustering AND the per-ch window, so
-    // the stream crosses the wire ONCE; the old shape paid a second
-    // full exchange to keep the pre-shuffle (ch, doc) combine, which
-    // buys nothing when within-doc chunk repetition is rare.
+    // Same size-adaptive exchange shape as [[dupSubstringStats]] (see
+    // [[combineMinBytes]]): one ch-keyed exchange of the raw chunk
+    // stream at bench scale, map-side-combined (ch, doc) aggregation +
+    // ch re-key at scale (skew-safe two-phase for hot shared chunks).
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ch"))
-    val perDoc = occ.repartition(col("ch"))
-      .groupBy(col("ch"), col("doc_id"))
-      .agg(count(lit(1)).as("c"))
+    val perDoc =
+      if (combineFirst.getOrElse(inputBytes(docs) >= combineMinBytes))
+        occ.groupBy(col("ch"), col("doc_id"))
+          .agg(count(lit(1)).as("c"))
+          .repartition(col("ch"))
+      else
+        occ.repartition(col("ch"))
+          .groupBy(col("ch"), col("doc_id"))
+          .agg(count(lit(1)).as("c"))
     val dups = perDoc.withColumn("nd", count(lit(1)).over(w))
       .filter(col("nd") >= 2)
       .groupBy(col("doc_id")).agg(sum(col("c")).as("dup_chunks"))
@@ -570,33 +571,62 @@ object Dedup {
   // exchange right after already re-opens parallelism for the heavy
   // aggregation stages. Not applied.)
 
+  /** SIZE-ADAPTIVE exchange shape for the h-keyed duplication stats
+    * (round 19, VERDICT task 1 — the q77 cold-protocol A/B): below
+    * this many estimated input bytes the raw window stream takes ONE
+    * h-keyed exchange (HashPartitioning(h) serves both the (h, doc)
+    * aggregation and the per-h window — round 18's shape); at or above
+    * it the (h, doc) aggregation runs FIRST with map-side partial
+    * aggregation and re-keys on h afterwards — the guide-§2.5
+    * two-phase shape, which is also the skew-safe one (a hot h's raw
+    * occurrences pre-collapse per doc instead of all landing on one
+    * post-exchange task). Cold fresh-JVM driver-protocol A/B on the
+    * current drop (3 interleaved rounds each, min):
+    *   sf0.1 (0.6 MB input): one-exchange 1.84 s, combine-first 2.72 s
+    *   sf1   (9.8 MB input): one-exchange 5.38 s, combine-first 3.57 s
+    * — the trade flips with scale, so the shape derives from the
+    * input's logical stats (parquet: sum of file bytes) instead of
+    * being a constant tuned for either end. Production corpora are
+    * always far above the threshold → always the skew-safe two-phase
+    * shape; stats overestimates (joins upstream) also fall through to
+    * two-phase, the safe direction. Env-overridable for A/B. */
+  private[graft] def combineMinBytes: BigInt =
+    sys.env.get("GRAFT_DEDUP_COMBINE_MIN_BYTES").flatMap(_.toLongOption)
+      .map(BigInt(_)).getOrElse(BigInt(4L << 20))
+
+  private def inputBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** `combineFirst`: None (default) derives the exchange shape from
+    * the input's size (see [[combineMinBytes]]); Some(_) pins it —
+    * the spec hook that lets both shapes be equality-checked on the
+    * same data regardless of its size. */
   def dupSubstringStats(docs: DataFrame, l: Int = 40,
-                        anchorMod: Int = 1): DataFrame = {
+                        anchorMod: Int = 1,
+                        combineFirst: Option[Boolean] = None): DataFrame = {
     require(anchorMod >= 1, "anchorMod must be >= 1")
     val allOcc = docs.select(col("doc_id"),
       explode(graft.plans.RollingHashes(col("text"), l)).as("h"))
     val occ =
       if (anchorMod == 1) allOcc
       else allOcc.filter(col("h") % anchorMod === 0)
-    // ONE h-keyed exchange of the RAW window stream (round 18):
-    // HashPartitioning(h) satisfies the (h, doc_id) aggregation's
-    // clustering requirement (subset-key) AND the per-hash doc-count
-    // window, so the slim stream crosses the wire once. The previous
-    // shape aggregated (h, doc) BEFORE its own exchange to keep the
-    // map-side combine (within-doc window repetition collapses
-    // pre-wire) and then paid a SECOND full exchange to re-key on h;
-    // on ordinary text within-doc 40-char repeats are rare, so the
-    // combine saves almost nothing and the extra exchange dominates
-    // (ProfileQ77, 4 interleaved rounds per shape: 2.15 → 1.28 s at
-    // sf0.1, 2.87 → 2.75 s at sf1 under the round-18 coalesce floor;
-    // the combine-first shape only won under the old 1 MiB floor). A
-    // pathologically self-repetitive corpus flips the trade back —
-    // that corpus should be running anchorMod > 1 anyway. The window
-    // (not a groupBy(h) + join-back pair) keeps the round-11 lesson.
+    // Exchange shape (see [[combineMinBytes]]): one h-keyed exchange
+    // of the raw stream at bench scale (the second exchange's fixed
+    // cost dominates a few-MB shuffle), map-side-combined (h, doc)
+    // aggregation + h re-key at scale (skew-safe two-phase — a hot
+    // 40-char window's occurrences collapse per doc before the wire).
+    // The window (not a groupBy(h) + join-back pair) keeps the
+    // round-11 lesson either way.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val perDoc = occ.repartition(col("h"))
-      .groupBy(col("h"), col("doc_id"))
-      .agg(count(lit(1)).as("c"))
+    val perDoc =
+      if (combineFirst.getOrElse(inputBytes(docs) >= combineMinBytes))
+        occ.groupBy(col("h"), col("doc_id"))
+          .agg(count(lit(1)).as("c"))
+          .repartition(col("h"))
+      else
+        occ.repartition(col("h"))
+          .groupBy(col("h"), col("doc_id"))
+          .agg(count(lit(1)).as("c"))
     val dups = perDoc.withColumn("nd", count(lit(1)).over(w))
       .filter(col("nd") >= 2)
       .groupBy(col("doc_id")).agg(sum(col("c")).as("dup_windows"))

@@ -576,4 +576,29 @@ class DedupOpsSpec extends SparkTestBase {
     assert(r(3L)._2 > 0 && r(3L)._2 <= r(3L)._1, s"${r(3L)}")
     assert(r(4L)._2 == 0)
   }
+
+  test("size-adaptive exchange shapes agree: combine-first == one-exchange for window and CDC stats") {
+    import spark.implicits._
+    // Round 19 (the q77 cold-protocol settle): the exchange shape now
+    // derives from input size — one h-keyed exchange of the raw stream
+    // below combineMinBytes, map-side-combined (h, doc) aggregation +
+    // re-key at scale. The two shapes must be ROW-IDENTICAL on any
+    // corpus; this pins it on data exercising every case (cross-doc
+    // dup, within-doc hot repetition, unique doc, sub-L doc).
+    val span = "0123456789abcdefghijklmnopqrstuvwxyzABCD"
+    val passage = (1 to 64).map(i => s"p$i").mkString(" ")
+    val d = Seq(
+      (1L, s"Q${span}W$passage"),
+      (2L, s"Z${span}K"),
+      (3L, span * 50 + " " + passage),
+      (4L, "unique text with no forty char repeats at all here"),
+      (5L, "xy"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(rows(Dedup.dupSubstringStats(d, 40, combineFirst = Some(true))) ==
+      rows(Dedup.dupSubstringStats(d, 40, combineFirst = Some(false))))
+    assert(rows(Dedup.cdcChunkStats(d, combineFirst = Some(true))) ==
+      rows(Dedup.cdcChunkStats(d, combineFirst = Some(false))))
+  }
 }
