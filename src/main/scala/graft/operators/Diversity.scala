@@ -52,9 +52,15 @@ object Diversity {
     def pri(node: Column): Column =
       conv(substring(md5(concat(lit(seed.toString), lit(":"),
         node.cast("string"))), 1, 12), 16, 10).cast("long")
-    var und = edges.select(col("x").as("node")).distinct()
+    // Round 19 (the CC convergence discipline, guide §1.2 don't
+    // serialize jobs): the undecided-set size rides each round's OWN
+    // eager-pin materialization as an observed metric instead of a
+    // separate count() job per round — read from observedMetrics
+    // directly (not an Observation handle; see ConnectedComponents).
+    val undObs = edges.select(col("x").as("node")).distinct()
       .withColumn("p", pri(col("node")))
-      .transform(Pin(_, eager = true))
+      .observe("mis_und_0", count(lit(1)).as("n"))
+    var und = Pin(undObs, eager = true)
     var pinned = und
     // ONE accumulated output-sized pin for the kept set (round-12
     // fix): the old shape pinned every round's `sel` and kept ALL of
@@ -75,7 +81,7 @@ object Diversity {
     var it = 0
     var succeeded = false
     try {
-      var remaining = und.count()
+      var remaining = undObs.queryExecution.observedMetrics("mis_und_0").getLong(0)
       while (remaining > 0 && it < maxIter) {
         it += 1
         // min (priority, id) among UNDECIDED neighbors
@@ -99,11 +105,12 @@ object Diversity {
         val dominated = edges
           .join(sel.select(col("node").as("sx")), edges("x") === col("sx"))
           .select(col("y").as("node"))
-        val next = und
+        val nextObs = und
           .join(sel.select(col("node")), Seq("node"), "left_anti")
           .join(dominated, Seq("node"), "left_anti")
-          .transform(Pin(_, eager = true))
-        remaining = next.count()
+          .observe(s"mis_round_$it", count(lit(1)).as("n"))
+        val next = Pin(nextObs, eager = true)
+        remaining = nextObs.queryExecution.observedMetrics(s"mis_round_$it").getLong(0)
         Pin.release(pinned)
         Pin.release(sel)
         selLive = null
@@ -151,18 +158,28 @@ object Diversity {
                          idCol: String = "doc_id",
                          a: String = "a", b: String = "b",
                          seed: Long = 42L): DataFrame = {
-    val keptNodes = independentSet(pairs, a, b, seed)
+    // Pin the PAIR SET once (round 19): `pairs` is consumed by TWO
+    // plan branches — the MIS's edge table and the graph-node set the
+    // dropped-id anti-join needs — and the q36-style band self-join
+    // behind it is the query's dominant cost; unpinned, the whole
+    // pair pipeline executed twice (measured: the second execution
+    // was ~6 s of q92's 18.7 s wall at sf1). The pin is the slim
+    // (a, b, ...) pair list, released before return.
+    val p = Pin(pairs, eager = true)
     // release the O(nodes) kept pin on EVERY exit — a task failure
     // during the eager dropped-set materialization must not strand it
     // (the exception-path leak class independentSetWithRounds closes
     // internally, applied one level up)
     val dropped =
       try {
-        val graphNodes = pairs.select(col(a).as("node"))
-          .unionAll(pairs.select(col(b).as("node"))).distinct()
-        Pin(graphNodes.join(keptNodes, Seq("node"), "left_anti")
-          .select(col("node").as(idCol)), eager = true)
-      } finally Pin.release(keptNodes)
+        val keptNodes = independentSet(p, a, b, seed)
+        try {
+          val graphNodes = p.select(col(a).as("node"))
+            .unionAll(p.select(col(b).as("node"))).distinct()
+          Pin(graphNodes.join(keptNodes, Seq("node"), "left_anti")
+            .select(col("node").as(idCol)), eager = true)
+        } finally Pin.release(keptNodes)
+      } finally Pin.release(p)
     docs.join(dropped, Seq(idCol), "left_anti")
   }
 }
